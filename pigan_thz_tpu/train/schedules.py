@@ -1,0 +1,118 @@
+"""Optimizer + LR schedule builders (optax).
+
+Reference parity (per-epoch torch schedulers re-expressed per optimizer step):
+- G: Adam(2e-4, betas=(0.5, 0.999)) + CosineAnnealingLR(T_max=num_epochs,
+  eta_min=lr*0.01)  (train_pigan.py:56,61);
+- D: Adam(2e-4) + StepLR(step_size=num_epochs//4, gamma=0.5)
+  (train_pigan.py:57,62);
+- F pretrain: Adam(1e-3) + CosineAnnealingLR(T_max=epochs, eta_min=0)
+  (pretrain_fwd_model.py:44-48);
+- all three clip grads to global-norm 1.0 (train_pigan.py:142,186).
+
+With steps_per_epoch compiled in, a per-step schedule traces the exact same
+curve the torch per-epoch scheduler follows at epoch boundaries.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from ..config import OptimizerConfig
+
+
+def cosine_schedule(
+    base_lr: float, total_epochs: int, steps_per_epoch: int, alpha: float = 0.01
+) -> optax.Schedule:
+    """CosineAnnealingLR: lr decays to alpha*base_lr over the run."""
+    return optax.cosine_decay_schedule(
+        init_value=base_lr,
+        decay_steps=max(1, total_epochs * steps_per_epoch),
+        alpha=alpha,
+    )
+
+
+def step_schedule(
+    base_lr: float,
+    total_epochs: int,
+    steps_per_epoch: int,
+    decay_rate: float = 0.5,
+    decay_every_frac: float = 0.25,
+) -> optax.Schedule:
+    """StepLR with step_size = total_epochs * decay_every_frac epochs."""
+    every = max(1, int(total_epochs * decay_every_frac) * steps_per_epoch)
+    return optax.exponential_decay(
+        init_value=base_lr,
+        transition_steps=every,
+        decay_rate=decay_rate,
+        staircase=True,
+    )
+
+
+def linear_schedule(
+    base_lr: float, total_epochs: int, steps_per_epoch: int, end_frac: float = 0.1
+) -> optax.Schedule:
+    """LinearLR analogue used by the constraint trainer's per-mode policies
+    (unified_constraint_trainer.py:196-214)."""
+    return optax.linear_schedule(
+        init_value=base_lr,
+        end_value=base_lr * end_frac,
+        transition_steps=max(1, total_epochs * steps_per_epoch),
+    )
+
+
+def build_optimizer(
+    lr: float,
+    total_epochs: int,
+    steps_per_epoch: int,
+    schedule: str = "cosine",
+    b1: float = 0.5,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    grad_clip: float = 1.0,
+    weight_decay: float = 0.0,
+    schedule_alpha: float = 0.01,
+    step_decay_rate: float = 0.5,
+    step_decay_every_frac: float = 0.25,
+) -> optax.GradientTransformation:
+    if schedule == "cosine":
+        sched = cosine_schedule(lr, total_epochs, steps_per_epoch, schedule_alpha)
+    elif schedule == "step":
+        sched = step_schedule(
+            lr, total_epochs, steps_per_epoch, step_decay_rate, step_decay_every_frac
+        )
+    elif schedule == "linear":
+        sched = linear_schedule(lr, total_epochs, steps_per_epoch)
+    elif schedule == "constant":
+        sched = optax.constant_schedule(lr)
+    else:
+        raise ValueError(f"unknown schedule: {schedule!r}")
+
+    adam = (
+        optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        if weight_decay > 0
+        else optax.adam(sched, b1=b1, b2=b2, eps=eps)
+    )
+    parts = []
+    if grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(adam)
+    return optax.chain(*parts)
+
+
+def from_config(
+    cfg: OptimizerConfig, total_epochs: int, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    return build_optimizer(
+        lr=cfg.lr,
+        total_epochs=total_epochs,
+        steps_per_epoch=steps_per_epoch,
+        schedule=cfg.schedule,
+        b1=cfg.b1,
+        b2=cfg.b2,
+        eps=cfg.eps,
+        grad_clip=cfg.grad_clip,
+        weight_decay=cfg.weight_decay,
+        schedule_alpha=cfg.schedule_alpha,
+        step_decay_rate=cfg.step_decay_rate,
+        step_decay_every_frac=cfg.step_decay_every_frac,
+    )
