@@ -1,0 +1,91 @@
+"""Benchmark: fused PI-GAN training throughput on the available accelerator.
+
+Baseline: the reference trains on CPU at ~1.3-2 steps/s (16 batches of 64 in
+8-13 s/epoch; timestamps in
+logs/PIGAN_train_20250711-215855/PIGAN_train.log — see BASELINE.md).  We use
+the generous end of that range (2.0 steps/s) as the denominator.
+
+The benchmark reproduces the reference workload shape exactly — 1000-sample
+dataset, batch 64, 16 optimizer steps per epoch, full alternating D+G update
+with all physics losses — and times whole jitted epoch-scans after warmup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+BASELINE_STEPS_PER_SEC = 2.0  # reference CPU upper bound
+
+
+def main() -> None:
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.data import synthetic_dataset
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.train import (
+        StepSettings,
+        init_forward_state,
+        init_pigan_state,
+        make_epoch_fn,
+        make_forward_step,
+        make_optimizers,
+        make_pigan_step,
+    )
+
+    cfg = default_config()  # 1000 samples, batch 64 — the reference workload
+    ds = synthetic_dataset(cfg.data)
+    g, d, f = build_trio(cfg)
+    steps_per_epoch = ds.num_samples // cfg.train.batch_size
+    g_tx, d_tx, f_tx = make_optimizers(cfg, steps_per_epoch)
+
+    # brief forward pretrain so the GAN step runs on realistic weights
+    fs = init_forward_state(f, f_tx, jax.random.PRNGKey(0))
+    fepoch = make_epoch_fn(make_forward_step(f, f_tx), cfg.train.batch_size)
+    for e in range(5):
+        fs, _ = fepoch(fs, ds, jax.random.PRNGKey(100 + e))
+
+    state = init_pigan_state(
+        g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
+        forward_variables=fs.f.variables,
+    )
+    step = make_pigan_step(
+        g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
+        ds.param_lo, ds.param_hi,
+    )
+    epoch = make_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+
+    # warmup (compile + first execution)
+    state, m = epoch(state, ds, jax.random.PRNGKey(2), 1.0)
+    jax.block_until_ready(m)
+
+    # timed: enough epochs for a stable measurement
+    n_epochs = 50
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        state, m = epoch(state, ds, jax.random.PRNGKey(3 + e), 1.0)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_epochs * steps_per_epoch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pigan_train_steps_per_sec",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Text summary report with the reference's rating rubric
+(unified_evaluator.py:582-701: per-suite EXCELLENT/GOOD/NEEDS-IMPROVEMENT
+thresholds and the >=3-excellent overall rating)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict
+
+
+def generate_summary_report(
+    results: Dict[str, Any], save_path: str | None = None
+) -> str:
+    lines = []
+    bar = "=" * 80
+    sub = "-" * 40
+    lines += [bar, "PI-GAN UNIFIED EVALUATION REPORT (pigan_thz_tpu)", bar]
+    lines.append(f"Evaluation Date: {time.strftime('%Y-%m-%d %H:%M:%S')}")
+    lines.append(f"Total Samples: {results.get('total_samples', '?')}")
+    if "evaluation_time" in results:
+        lines.append(f"Evaluation Time: {results['evaluation_time']:.2f}s")
+    lines.append("")
+
+    fwd = results["forward_network_evaluation"]
+    spectrum_r2 = fwd["spectrum_prediction"]["r2"]
+    metrics_r2 = fwd["metrics_prediction"]["r2"]
+    lines += ["1. FORWARD NETWORK EVALUATION", sub]
+    lines.append(f"Spectrum Prediction R2: {spectrum_r2:.4f}")
+    lines.append(f"Metrics Prediction R2: {metrics_r2:.4f}")
+    if spectrum_r2 > 0.9 and metrics_r2 > 0.9:
+        lines.append("[OK] Forward network shows EXCELLENT performance")
+    elif spectrum_r2 > 0.8 and metrics_r2 > 0.8:
+        lines.append("[OK] Forward network shows GOOD performance")
+    else:
+        lines.append("[!] Forward network needs improvement")
+    lines.append("")
+
+    pig = results["pigan_evaluation"]
+    param_r2 = pig["parameter_prediction"]["r2"]
+    disc_acc = pig["discriminator_performance"]["overall_accuracy"]
+    lines += ["2. PI-GAN EVALUATION", sub]
+    lines.append(f"Parameter Prediction R2: {param_r2:.4f}")
+    lines.append(f"Discriminator Accuracy: {disc_acc:.4f}")
+    if param_r2 > 0.8 and disc_acc > 0.8:
+        lines.append("[OK] PI-GAN shows EXCELLENT performance")
+    elif param_r2 > 0.6 and disc_acc > 0.7:
+        lines.append("[OK] PI-GAN shows GOOD performance")
+    else:
+        lines.append("[!] PI-GAN needs improvement")
+    lines.append("")
+
+    st = results["structural_prediction_evaluation"]
+    violation_rate = st["param_range_violation_rate"]
+    consistency = st["consistency_score_mean"]
+    lines += ["3. STRUCTURAL PREDICTION EVALUATION", sub]
+    lines.append(f"Parameter Violation Rate: {violation_rate:.4f}")
+    lines.append(f"Consistency Score: {consistency:.4f}")
+    if violation_rate < 0.1 and consistency > 0.8:
+        lines.append("[OK] Structural prediction is RELIABLE")
+    elif violation_rate < 0.2 and consistency > 0.6:
+        lines.append("[OK] Structural prediction is ACCEPTABLE")
+    else:
+        lines.append("[!] Structural prediction needs improvement")
+    lines.append("")
+
+    mv = results["model_validation"]
+    cycle_error = mv["cycle_consistency_error_mean"]
+    stability = mv["prediction_stability_mean"]
+    plausibility = mv["physical_plausibility_mean"]
+    lines += ["4. MODEL VALIDATION", sub]
+    lines.append(f"Cycle Consistency Error: {cycle_error:.6f}")
+    lines.append(f"Prediction Stability: {stability:.6f}")
+    lines.append(f"Physical Plausibility: {plausibility:.4f}")
+    if cycle_error < 0.01 and stability < 0.01 and plausibility > 0.8:
+        lines.append("[OK] Model validation is EXCELLENT")
+    elif cycle_error < 0.05 and stability < 0.05 and plausibility > 0.6:
+        lines.append("[OK] Model validation is GOOD")
+    else:
+        lines.append("[!] Model validation shows concerns")
+    lines.append("")
+
+    lines += ["5. OVERALL ASSESSMENT", sub]
+    excellent_count = sum(
+        [
+            spectrum_r2 > 0.9 and metrics_r2 > 0.9,
+            param_r2 > 0.8 and disc_acc > 0.8,
+            violation_rate < 0.1 and consistency > 0.8,
+            cycle_error < 0.01 and stability < 0.01 and plausibility > 0.8,
+        ]
+    )
+    if excellent_count >= 3:
+        lines.append("OVERALL RATING: EXCELLENT")
+    elif excellent_count >= 2:
+        lines.append("OVERALL RATING: GOOD")
+    else:
+        lines.append("OVERALL RATING: NEEDS IMPROVEMENT")
+    lines.append(bar)
+
+    content = "\n".join(lines)
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        with open(save_path, "w") as fh:
+            fh.write(content)
+    return content

@@ -136,7 +136,10 @@ def enhanced_constraint_loss(
     )
     hard = jnp.sum(out_of_range**2) / b
     boundary_dist = jnp.minimum(params_norm, 1.0 - params_norm)
-    boundary = jnp.sum(jnp.exp(-20.0 * boundary_dist)) / b
+    # clamp the exponent: params far outside [0,1] (fresh tanh generators
+    # reach -1) would otherwise push exp(-20*d) toward overflow in low
+    # precision; the hard term already dominates out there.
+    boundary = jnp.sum(jnp.exp(jnp.clip(-20.0 * boundary_dist, None, 25.0))) / b
     smooth = jnp.mean(jnp.abs(jnp.diff(params_norm, axis=1)))
     invalid = jnp.isnan(spectrum_from_forward) | jnp.isinf(spectrum_from_forward)
     validity = jnp.sum(invalid.astype(jnp.float32)) / b

@@ -1,0 +1,21 @@
+from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicated
+from .sharding import (
+    make_parallel_epoch_fn,
+    param_partition_spec,
+    replicate_dataset,
+    shard_state,
+    state_shardings,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "make_parallel_epoch_fn",
+    "param_partition_spec",
+    "replicate_dataset",
+    "replicated",
+    "shard_state",
+    "state_shardings",
+]

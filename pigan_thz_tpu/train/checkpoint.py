@@ -1,0 +1,116 @@
+"""Checkpoint / resume via Orbax.
+
+Reference contract being preserved (SURVEY §1 "contract between Training and
+Evaluation layers"): fixed artifact names in a saved-models directory —
+``generator_final``, ``discriminator_final``, ``forward_model_final``,
+``forward_model_pretrained`` (written at unified_trainer.py:643-651 /
+train_pigan.py:299-309, read at unified_evaluator.py:89-99, and unit-tested
+by the reference at test_unified_training.py:109-136).  Periodic checkpoints
+keep epoch + model + optimizer + scheduler state exactly like
+unified_constraint_trainer.py:1114-1176 — here that is simply the whole
+`PiGanState` pytree, saved/restored in one call.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+# Fixed artifact names (parity with the reference's *.pth contract).
+GENERATOR_FINAL = "generator_final"
+DISCRIMINATOR_FINAL = "discriminator_final"
+FORWARD_MODEL_FINAL = "forward_model_final"
+FORWARD_MODEL_PRETRAINED = "forward_model_pretrained"
+TRAIN_STATE = "train_state"
+
+
+def _path(directory: str, name: str) -> str:
+    return os.path.join(os.path.abspath(directory), name)
+
+
+def save_pytree(directory: str, name: str, tree: Any) -> str:
+    """Save any pytree (model variables, a full train state, history dict)."""
+    path = _path(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_pytree(directory: str, name: str, template: Any) -> Any:
+    """Restore a pytree saved by `save_pytree`; `template` supplies structure
+    and shapes (abstract values are fine)."""
+    path = _path(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    return ckptr.restore(path, target)
+
+
+def exists(directory: str, name: str) -> bool:
+    return os.path.isdir(_path(directory, name))
+
+
+def save_final_trio(directory: str, state) -> None:
+    """Write the three final model artifacts under their contract names
+    (train_pigan.py:299-304)."""
+    save_pytree(directory, GENERATOR_FINAL, state.g.variables)
+    save_pytree(directory, DISCRIMINATOR_FINAL, state.d.variables)
+    save_pytree(directory, FORWARD_MODEL_FINAL, state.f.variables)
+
+
+def load_final_trio(directory: str, g_template, d_template, f_template):
+    """Read the trio back (unified_evaluator.py:55-111)."""
+    g = restore_pytree(directory, GENERATOR_FINAL, g_template)
+    d = restore_pytree(directory, DISCRIMINATOR_FINAL, d_template)
+    f = restore_pytree(directory, FORWARD_MODEL_FINAL, f_template)
+    return g, d, f
+
+
+class CheckpointManager:
+    """Periodic full-state checkpoints with retention, plus named finals.
+
+    TPU preemption is routine; the manager makes `resume-from-latest` a
+    one-liner, upgrading the reference's epoch-interval torch.save pattern
+    (train_pigan.py:283-295) to real preemption recovery (SURVEY §5).
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3, save_interval: int = 50):
+        self.directory = os.path.abspath(directory)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            save_interval_steps=save_interval,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, TRAIN_STATE), options=options
+        )
+
+    def maybe_save(self, epoch: int, state) -> bool:
+        # copy: saves are async and training loops donate the live state
+        if self._mgr.should_save(epoch):
+            state = jax.tree.map(jnp.copy, state)
+        saved = self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        return bool(saved)
+
+    def save(self, epoch: int, state) -> None:
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state), force=True)
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template, epoch: int | None = None):
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return step, restored
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -101,6 +101,10 @@ def init_pigan_state(
         forward_variables = forward_model.init(
             {"params": kf, "dropout": kf}, par, train=False
         )
+    else:
+        # Deep-copy: epoch loops donate the GAN state, which would otherwise
+        # invalidate buffers shared with the caller's pretrain state.
+        forward_variables = jax.tree.map(jnp.copy, forward_variables)
 
     g = ModelState.from_variables(g_vars)
     d = ModelState.from_variables(d_vars)

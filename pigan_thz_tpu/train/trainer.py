@@ -1,0 +1,287 @@
+"""High-level Trainer: the UnifiedTrainer equivalent.
+
+Covers the reference's trainer surface (core/train/unified_trainer.py:30-745):
+modes ``forward_only`` / ``pigan_only`` / ``full``, per-epoch history dicts,
+periodic checkpointing + resume, final-artifact saving under the contract
+names, and hook points used by the multi-phase programs
+(pigan_thz_tpu.train.programs).
+
+Each epoch is ONE device program (`make_epoch_fn` lax.scan); the Python level
+only sequences epochs, logs scalars, and applies metric-gated control flow —
+exactly the split XLA wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PiGanConfig
+from ..data.dataset import ThzDataset, load_or_synthesize
+from ..evaluate.evaluator import Evaluator
+from ..models.registry import build_trio
+from ..utils.logging import RunLogger
+from . import checkpoint as ckpt
+from .schedules import build_optimizer
+from .state import (
+    ForwardState,
+    PiGanState,
+    init_forward_state,
+    init_pigan_state,
+    make_optimizers,
+)
+from .steps import (
+    ForwardStepSettings,
+    StepSettings,
+    make_epoch_fn,
+    make_forward_step,
+    make_pigan_step,
+)
+
+History = Dict[str, List[float]]
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: PiGanConfig,
+        ds: Optional[ThzDataset] = None,
+        logger: Optional[RunLogger] = None,
+        csv_path: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
+        self.logger = logger
+        self.generator, self.discriminator, self.forward_model = build_trio(cfg)
+        self.steps_per_epoch = max(1, self.ds.num_samples // cfg.train.batch_size)
+        self.g_tx, self.d_tx, self.f_tx = make_optimizers(cfg, self.steps_per_epoch)
+
+        self.forward_state: Optional[ForwardState] = None
+        self.pigan_state: Optional[PiGanState] = None
+        self.train_history: History = {}
+        self._epoch_fns: dict = {}  # cache compiled epoch fns by settings key
+
+    # ------------------------------------------------------------------
+    def _log(self, msg: str) -> None:
+        if self.logger:
+            self.logger.info(msg)
+
+    def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
+        for k, v in metrics.items():
+            self.train_history.setdefault(f"{prefix}{k}", []).append(float(v))
+        if self.logger:
+            self.logger.add_scalars(
+                {k: float(v) for k, v in metrics.items()}, epoch, prefix
+            )
+
+    # ------------------------------------------------------------------
+    # Forward surrogate training (pretrain_fwd_model.py / phase-1 / emergency)
+    # ------------------------------------------------------------------
+    def pretrain_forward(
+        self,
+        epochs: Optional[int] = None,
+        settings: ForwardStepSettings = ForwardStepSettings(),
+        lr: Optional[float] = None,
+        seed: int = 0,
+        log_every: int = 10,
+        early_stop_patience: Optional[int] = None,
+        keep_best: bool = False,
+        reset: bool = False,
+    ) -> History:
+        cfg = self.cfg
+        epochs = epochs or cfg.train.fwd_pretrain_epochs
+        tx = self.f_tx
+        if lr is not None:
+            tx = build_optimizer(
+                lr=lr, total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
+                schedule="cosine", b1=0.9, grad_clip=cfg.train.grad_clip,
+                schedule_alpha=0.0,
+            )
+        if self.forward_state is None or reset:
+            self.forward_state = init_forward_state(
+                self.forward_model, tx, jax.random.PRNGKey(cfg.train.seed + seed),
+                param_dim=cfg.data.param_dim,
+            )
+        epoch_fn = make_epoch_fn(
+            make_forward_step(self.forward_model, tx, settings), cfg.train.batch_size
+        )
+
+        best_loss, best_state, bad_epochs = float("inf"), None, 0
+        key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
+        for epoch in range(epochs):
+            key, sub = jax.random.split(key)
+            self.forward_state, m = epoch_fn(self.forward_state, self.ds, sub)
+            loss = float(m["loss"])
+            self._record(m, "forward/", epoch)
+            if (epoch + 1) % log_every == 0:
+                self._log(f"[forward] epoch {epoch + 1}/{epochs} loss={loss:.6f}")
+            if loss < best_loss - 1e-7:
+                best_loss, bad_epochs = loss, 0
+                if keep_best:
+                    # copy: the next epoch donates this state's buffers
+                    best_state = jax.tree.map(jnp.copy, self.forward_state)
+            else:
+                bad_epochs += 1
+                if early_stop_patience and bad_epochs >= early_stop_patience:
+                    self._log(f"[forward] early stop at epoch {epoch + 1}")
+                    break
+        if keep_best and best_state is not None:
+            self.forward_state = best_state
+        return self.train_history
+
+    # ------------------------------------------------------------------
+    # PI-GAN training (train_pigan.py / trainer-variant settings)
+    # ------------------------------------------------------------------
+    def init_pigan(self, seed: int = 0, fresh_gd: bool = False) -> PiGanState:
+        fwd_vars = (
+            self.forward_state.f.variables if self.forward_state is not None else None
+        )
+        if self.pigan_state is None or fresh_gd:
+            self.pigan_state = init_pigan_state(
+                self.generator, self.discriminator, self.forward_model,
+                self.g_tx, self.d_tx,
+                jax.random.PRNGKey(self.cfg.train.seed + 2000 + seed),
+                spectrum_dim=self.ds.spectrum_dim,
+                param_dim=self.cfg.data.param_dim,
+                forward_variables=fwd_vars,
+            )
+        elif fwd_vars is not None:
+            # refresh frozen F with latest pretrained weights (copied: the
+            # GAN epoch loop donates its state, which would invalidate
+            # buffers shared with forward_state)
+            from .state import ModelState
+
+            self.pigan_state = self.pigan_state.replace(
+                f=ModelState.from_variables(jax.tree.map(jnp.copy, fwd_vars))
+            )
+        return self.pigan_state
+
+    def train_pigan(
+        self,
+        epochs: Optional[int] = None,
+        settings: Optional[StepSettings] = None,
+        log_every: int = 10,
+        constraint_schedule: Optional[Callable[[int], float]] = None,
+        snapshot_metric: Optional[str] = None,
+        snapshot_mode: str = "min",
+        early_stop: Optional[Callable[[Dict[str, float]], bool]] = None,
+        checkpoint_manager: Optional[ckpt.CheckpointManager] = None,
+    ) -> History:
+        """Run GAN epochs with optional constraint annealing
+        (unified_constraint_trainer.py:515-529), best-snapshot restore
+        (:645-674) and metric-based early stop (:662-665)."""
+        cfg = self.cfg
+        epochs = epochs or cfg.train.num_epochs
+        settings = settings or StepSettings.from_config(cfg)
+        if self.pigan_state is None:
+            self.init_pigan()
+
+        step_fn = make_pigan_step(
+            self.generator, self.discriminator, self.forward_model,
+            self.g_tx, self.d_tx, settings, self.ds.param_lo, self.ds.param_hi,
+        )
+        epoch_fn = make_epoch_fn(step_fn, cfg.train.batch_size, with_scale=True)
+
+        best_val, best_state = None, None
+        key = jax.random.PRNGKey(cfg.train.seed + 3000)
+        t0 = time.time()
+        for epoch in range(epochs):
+            key, sub = jax.random.split(key)
+            scale = constraint_schedule(epoch) if constraint_schedule else 1.0
+            self.pigan_state, m = epoch_fn(
+                self.pigan_state, self.ds, sub, jnp.float32(scale)
+            )
+            mf = {k: float(v) for k, v in m.items()}
+            self._record(m, "pigan/", epoch)
+            if (epoch + 1) % log_every == 0:
+                self._log(
+                    f"[pigan] epoch {epoch + 1}/{epochs} "
+                    f"D={mf['d_loss']:.4f} G={mf['g_loss']:.4f} "
+                    f"viol={mf['violation_rate']:.3f} "
+                    f"({(time.time() - t0) / (epoch + 1):.2f}s/ep)"
+                )
+            if snapshot_metric is not None:
+                val = mf[snapshot_metric]
+                better = (
+                    best_val is None
+                    or (snapshot_mode == "min" and val < best_val)
+                    or (snapshot_mode == "max" and val > best_val)
+                )
+                if better:
+                    # copy: the next epoch donates this state's buffers
+                    best_val = val
+                    best_state = jax.tree.map(jnp.copy, self.pigan_state)
+            if checkpoint_manager is not None:
+                checkpoint_manager.maybe_save(epoch + 1, self.pigan_state)
+            if early_stop is not None and early_stop(mf):
+                self._log(f"[pigan] early stop at epoch {epoch + 1}")
+                break
+        if snapshot_metric is not None and best_state is not None:
+            self.pigan_state = best_state
+            self._log(f"[pigan] restored best snapshot ({snapshot_metric}={best_val:.4f})")
+        return self.train_history
+
+    # ------------------------------------------------------------------
+    # Full pipeline (unified_trainer.train_full_pipeline :422-455)
+    # ------------------------------------------------------------------
+    def train_full_pipeline(
+        self,
+        forward_epochs: Optional[int] = None,
+        gan_epochs: Optional[int] = None,
+    ) -> History:
+        self.pretrain_forward(epochs=forward_epochs)
+        self.init_pigan()
+        self.train_pigan(epochs=gan_epochs)
+        return self.train_history
+
+    def train(self, mode: str = "full", **kw) -> History:
+        """Mode dispatch parity (unified_trainer.py:114-155)."""
+        if mode == "forward_only":
+            return self.pretrain_forward(**kw)
+        if mode == "pigan_only":
+            self.init_pigan()
+            return self.train_pigan(**kw)
+        if mode == "full":
+            return self.train_full_pipeline(**kw)
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    # ------------------------------------------------------------------
+    # Evaluation / artifacts
+    # ------------------------------------------------------------------
+    def evaluator(self) -> Evaluator:
+        assert self.pigan_state is not None, "train or init_pigan first"
+        st = self.pigan_state
+        return Evaluator(
+            self.generator, self.discriminator, self.forward_model,
+            st.g.variables, st.d.variables, st.f.variables,
+        )
+
+    def evaluate(self, key: jax.Array | None = None) -> Dict:
+        return self.evaluator().run_comprehensive_evaluation(self.ds, key)
+
+    def save_final(self, directory: str) -> None:
+        assert self.pigan_state is not None
+        ckpt.save_final_trio(directory, self.pigan_state)
+        if self.forward_state is not None:
+            ckpt.save_pytree(
+                directory, ckpt.FORWARD_MODEL_PRETRAINED, self.forward_state.f.variables
+            )
+
+    def load_final(self, directory: str) -> None:
+        if self.pigan_state is None:
+            self.init_pigan()
+        st = self.pigan_state
+        g, d, f = ckpt.load_final_trio(
+            directory, st.g.variables, st.d.variables, st.f.variables
+        )
+        from .state import ModelState
+
+        self.pigan_state = st.replace(
+            g=ModelState.from_variables(g),
+            d=ModelState.from_variables(d),
+            f=ModelState.from_variables(f),
+        )

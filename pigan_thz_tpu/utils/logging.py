@@ -1,0 +1,73 @@
+"""Run logging: console + file + JSONL scalars + optional TensorBoard.
+
+Parity surface with the reference Logger (core/utils/logger.py:8-89 —
+console/file handlers + TensorBoard SummaryWriter in a timestamped run dir),
+plus a machine-readable `scalars.jsonl` stream that the bench/driver tooling
+can consume without TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Mapping
+
+
+class RunLogger:
+    def __init__(
+        self,
+        workdir: str,
+        name: str = "pigan",
+        use_tensorboard: bool = False,
+        stdout: bool = True,
+    ):
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.run_dir = os.path.join(workdir, f"{name}_{ts}")
+        os.makedirs(self.run_dir, exist_ok=True)
+
+        self._logger = logging.getLogger(f"{name}_{ts}_{id(self)}")
+        self._logger.setLevel(logging.INFO)
+        self._logger.propagate = False
+        fh = logging.FileHandler(os.path.join(self.run_dir, f"{name}.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
+        self._logger.addHandler(fh)
+        if stdout:
+            sh = logging.StreamHandler(sys.stdout)
+            sh.setFormatter(logging.Formatter("%(message)s"))
+            self._logger.addHandler(sh)
+
+        self._scalars = open(os.path.join(self.run_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(log_dir=os.path.join(self.run_dir, "tb"))
+            except Exception:  # tensorboard optional
+                self._tb = None
+
+    def info(self, msg: str) -> None:
+        self._logger.info(msg)
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._scalars.write(
+            json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n"
+        )
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def add_scalars(self, scalars: Mapping[str, float], step: int, prefix: str = "") -> None:
+        for k, v in scalars.items():
+            self.add_scalar(f"{prefix}{k}", v, step)
+        self._scalars.flush()
+
+    def close(self) -> None:
+        self._scalars.close()
+        if self._tb is not None:
+            self._tb.close()
+        for h in list(self._logger.handlers):
+            h.close()
+            self._logger.removeHandler(h)
