@@ -1,0 +1,118 @@
+"""Large-scale inverse-design screening.
+
+BASELINE.json config #5: "generate 1e6 candidate (r1,r2,w,g) sets and rank by
+surrogate Q/FoM".  The reference has no screening capability at all; this is
+a TPU-native addition built from the framework's own parts:
+
+1. sample candidate parameters uniformly in the normalized design box;
+2. run the frozen forward surrogate in large batches (one (B,4)x(4,1024)
+   matmul chain per chunk — pure MXU work);
+3. derive physics metrics (f_res, Q, FoM, S) from the PREDICTED spectra with
+   the fixed-shape peak analysis (`ops.peaks`) — grounding the ranking in
+   spectrum shape rather than trusting the surrogate's metric head;
+4. maintain a running top-k via `lax.top_k` inside a `lax.scan` over chunks —
+   the full 1e6-candidate screen never leaves the device.
+
+`screen_designs` returns physical-unit parameters with their scores; chunked
+scanning keeps peak VMEM/HBM use independent of the total candidate count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import denormalize_params
+from ..ops.peaks import batched_peak_metrics
+
+# metric layout from ops.peaks.spectrum_metrics
+METRIC_INDEX = {"f1": 0, "f2": 1, "Q1": 2, "FoM1": 3, "S1": 4,
+                "Q2": 5, "FoM2": 6, "S2": 7}
+
+
+class ScreeningResult(NamedTuple):
+    params: jax.Array        # (top_k, 4) physical units
+    scores: jax.Array        # (top_k,)
+    metrics: jax.Array       # (top_k, 8) spectrum-derived metrics
+    spectra: jax.Array       # (top_k, S) predicted spectra of the winners
+
+
+@dataclass(frozen=True)
+class ScreeningConfig:
+    num_candidates: int = 1_000_000
+    chunk_size: int = 8192
+    top_k: int = 100
+    objective: str = "FoM1"      # any METRIC_INDEX key or "FoM1+FoM2"
+    min_prominence: float = 1.0
+
+
+def _score(metrics: jax.Array, objective: str) -> jax.Array:
+    """NaN-safe objective: missing peaks score -inf."""
+    def one(name):
+        v = metrics[:, METRIC_INDEX[name]]
+        return jnp.where(jnp.isnan(v), -jnp.inf, v)
+
+    if "+" in objective:
+        parts = objective.split("+")
+        return sum(one(p) for p in parts)
+    return one(objective)
+
+
+def screen_designs(
+    forward_model,
+    f_variables,
+    frequencies: jax.Array,
+    param_lo: jax.Array,
+    param_hi: jax.Array,
+    key: jax.Array,
+    cfg: ScreeningConfig = ScreeningConfig(),
+) -> ScreeningResult:
+    """Run the full screen on device; returns the global top-k designs."""
+    n_chunks = -(-cfg.num_candidates // cfg.chunk_size)
+    spectrum_dim = frequencies.shape[0]
+
+    @partial(jax.jit, static_argnums=())
+    def run(key):
+        def chunk(carry, k):
+            top_scores, top_params, top_metrics, top_spectra = carry
+            params_norm = jax.random.uniform(
+                k, (cfg.chunk_size, param_lo.shape[0]), minval=-1.0, maxval=1.0
+            )
+            out = forward_model.apply(f_variables, params_norm, train=False)
+            pred_spec = out[0]
+            metrics = batched_peak_metrics(
+                frequencies, pred_spec, min_prominence=cfg.min_prominence
+            )
+            scores = _score(metrics, cfg.objective)
+
+            all_scores = jnp.concatenate([top_scores, scores])
+            best, idx = jax.lax.top_k(all_scores, cfg.top_k)
+            all_params = jnp.concatenate([top_params, params_norm])
+            all_metrics = jnp.concatenate([top_metrics, metrics])
+            all_spectra = jnp.concatenate([top_spectra, pred_spec])
+            return (
+                best, all_params[idx], all_metrics[idx], all_spectra[idx]
+            ), None
+
+        init = (
+            jnp.full((cfg.top_k,), -jnp.inf),
+            jnp.zeros((cfg.top_k, param_lo.shape[0])),
+            jnp.zeros((cfg.top_k, 8)),
+            jnp.zeros((cfg.top_k, spectrum_dim)),
+        )
+        keys = jax.random.split(key, n_chunks)
+        (scores, params_norm, metrics, spectra), _ = jax.lax.scan(chunk, init, keys)
+        params_phys = denormalize_params(params_norm, param_lo, param_hi)
+        return ScreeningResult(
+            params=params_phys, scores=scores, metrics=metrics, spectra=spectra
+        )
+
+    return run(key)
+
+
+def screening_throughput(num_candidates: int, seconds: float) -> float:
+    return num_candidates / seconds

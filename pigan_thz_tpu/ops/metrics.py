@@ -28,10 +28,17 @@ def rmse(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
 
 
 def r2_score(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
-    """Coefficient of determination over all elements (matches
-    sklearn.r2_score on flattened multi-output with uniform average when used
-    per-column; the reference's in-loop variant sums over everything —
-    unified_constraint_trainer.py:349-362)."""
+    """Coefficient of determination, uniform-averaged over output columns —
+    sklearn's default multioutput behaviour, which is what the reference
+    evaluator calls (unified_evaluator.py:158)."""
+    y_true = y_true.reshape(y_true.shape[0], -1)
+    y_pred = y_pred.reshape(y_pred.shape[0], -1)
+    return jnp.mean(r2_per_column(y_true, y_pred))
+
+
+def r2_pooled(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+    """Single pooled R² summing squared errors over ALL elements — the
+    reference trainers' in-loop variant (unified_constraint_trainer.py:349-362)."""
     y_true = y_true.reshape(y_true.shape[0], -1)
     y_pred = y_pred.reshape(y_pred.shape[0], -1)
     mean = jnp.mean(y_true, axis=0, keepdims=True)

@@ -1,0 +1,207 @@
+"""Ensemble training: vmapped physics-loss λ-ablation sweeps.
+
+BASELINE.json config #3 calls for a "physics-loss ablation sweep:
+Q/FoM/peak-shift weighting grid via vmap'd parallel training ensembles".
+The reference can only run such sweeps as sequential processes; here the
+loss weights are DYNAMIC per-member inputs and the whole fused D+G step is
+`jax.vmap`-ed over an ensemble axis, so N independent GAN trainings execute
+as one batched XLA program (and shard over the mesh data axis for free).
+
+The member loss surface matches the reference generator loss
+(train_pigan.py:174-181) with the weight vector
+[adv, recon, physics_spec, physics_metrics, maxwell, lc, range]
+supplied at runtime instead of compile time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.dataset import ThzDataset, denormalize_params, epoch_indices, gather_batch
+from ..ops import losses as L
+from .state_utils import tree_stack  # noqa: F401  (re-export convenience)
+from ..train.state import ModelState, PiGanState, init_pigan_state
+
+WEIGHT_NAMES: Tuple[str, ...] = (
+    "adv", "recon", "physics_spectrum", "physics_metrics", "maxwell", "lc", "range",
+)
+
+
+def weight_vector(
+    adv: float = 1.0,
+    recon: float = 100.0,
+    physics_spectrum: float = 10.0,
+    physics_metrics: float = 1.0,
+    maxwell: float = 1.0,
+    lc: float = 1.0,
+    range_: float = 0.1,
+) -> jax.Array:
+    return jnp.array(
+        [adv, recon, physics_spectrum, physics_metrics, maxwell, lc, range_],
+        jnp.float32,
+    )
+
+
+@dataclass(frozen=True)
+class EnsembleSettings:
+    detach_forward: bool = False
+    label_real: float = 0.9
+    label_fake: float = 0.1
+    range_lo: float = 0.0
+    range_hi: float = 1.0
+
+
+def make_ensemble_pigan_step(
+    generator, discriminator, forward_model,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    settings: EnsembleSettings,
+    param_lo: jax.Array,
+    param_hi: jax.Array,
+):
+    """step(state, batch, weights(7,)) -> (state, metrics): one member's fused
+    D+G update with runtime loss weights.  vmap over (state, weights) gives
+    the ensemble."""
+
+    def apply(module, mstate: ModelState, *args, train, rng=None, params=None):
+        variables = {"params": params if params is not None else mstate.params,
+                     **mstate.extra}
+        rngs = {"dropout": rng} if rng is not None else None
+        mutable = list(mstate.extra.keys()) if train else []
+        if train and mutable:
+            out, new_extra = module.apply(
+                variables, *args, train=train, rngs=rngs, mutable=mutable
+            )
+            return out, dict(new_extra)
+        return module.apply(variables, *args, train=train, rngs=rngs), mstate.extra
+
+    def step(state: PiGanState, batch, weights: jax.Array):
+        spectra, params_phys, params_norm, _, metrics_norm = batch[:5]
+        b = spectra.shape[0]
+        rng, k_gd, k_dd, k_gg, k_dg = jax.random.split(state.rng, 5)
+
+        # --- D update ---
+        fake_norm, _ = apply(generator, state.g, spectra, train=True, rng=k_gd)
+        fake_phys = denormalize_params(
+            jax.lax.stop_gradient(fake_norm), param_lo, param_hi
+        )
+        cat_spec = jnp.concatenate([spectra, spectra], axis=0)
+        cat_par = jnp.concatenate([params_phys, fake_phys], axis=0)
+        labels = jnp.concatenate(
+            [jnp.full((b, 1), settings.label_real),
+             jnp.full((b, 1), settings.label_fake)], axis=0)
+
+        def d_loss_fn(dp):
+            logits, new_extra = apply(
+                discriminator, state.d, cat_spec, cat_par,
+                train=True, rng=k_dd, params=dp,
+            )
+            return 2.0 * L.bce_logits(logits, labels), new_extra
+
+        (d_loss, d_extra), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d.params
+        )
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d.params)
+        new_d = ModelState(
+            params=optax.apply_updates(state.d.params, d_updates), extra=d_extra
+        )
+
+        # --- G update (reads updated D) ---
+        def g_loss_fn(gp):
+            pred_norm, new_g_extra = apply(
+                generator, state.g, spectra, train=True, rng=k_gg, params=gp
+            )
+            pred_phys = denormalize_params(pred_norm, param_lo, param_hi)
+            adv_logits, _ = apply(
+                discriminator, new_d, spectra, pred_phys, train=True, rng=k_dg
+            )
+            adv = L.bce_logits(adv_logits, jnp.ones((b, 1)))
+            (recon_spec, pred_met), _ = apply(
+                forward_model, state.f, pred_norm, train=False
+            )
+            if settings.detach_forward:
+                recon_spec = jax.lax.stop_gradient(recon_spec)
+                pred_met = jax.lax.stop_gradient(pred_met)
+            terms = jnp.stack([
+                adv,
+                L.mse(recon_spec, spectra),
+                L.mse(recon_spec, spectra),
+                L.mse(pred_met, metrics_norm),
+                L.maxwell_smoothness_loss(recon_spec),
+                L.lc_approx_loss(pred_met[:, 0:1], pred_met[:, 1:2], pred_norm),
+                L.param_range_loss(pred_norm, settings.range_lo, settings.range_hi),
+            ])
+            total = jnp.sum(weights * terms)
+            viol = L.violation_rate(pred_norm, settings.range_lo, settings.range_hi)
+            return total, (new_g_extra, terms, viol)
+
+        (g_loss, (g_extra, terms, viol)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g.params)
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g.params)
+        new_state = PiGanState(
+            step=state.step + 1,
+            rng=rng,
+            g=ModelState(params=optax.apply_updates(state.g.params, g_updates),
+                         extra=g_extra),
+            d=new_d,
+            f=state.f,
+            g_opt=new_g_opt,
+            d_opt=new_d_opt,
+        )
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "recon_spec_loss": terms[1],
+            "violation_rate": viol,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def init_ensemble_states(
+    generator, discriminator, forward_model, g_tx, d_tx,
+    num_members: int, rng: jax.Array,
+    spectrum_dim: int = 250, param_dim: int = 4, forward_variables=None,
+) -> PiGanState:
+    """Stacked (leading ensemble axis) states, one per member seed."""
+    keys = jax.random.split(rng, num_members)
+    states = [
+        init_pigan_state(
+            generator, discriminator, forward_model, g_tx, d_tx, k,
+            spectrum_dim=spectrum_dim, param_dim=param_dim,
+            forward_variables=forward_variables,
+        )
+        for k in keys
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_ensemble_epoch_fn(step_fn, batch_size: int):
+    """epoch(states, ds, key, weights(N,7)) -> (states, metrics(N,...)).
+
+    All members see the SAME shuffled batch sequence (isolating the effect of
+    the loss weights — a controlled ablation), and the whole ensemble runs as
+    one vmapped scan."""
+    vstep = jax.vmap(step_fn, in_axes=(0, None, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(states: PiGanState, ds: ThzDataset, key: jax.Array, weights: jax.Array):
+        idx = epoch_indices(key, ds.spectra.shape[0], batch_size)
+
+        def body(st, ix):
+            batch = gather_batch(ds, ix)
+            st, m = vstep(st, batch, weights)
+            return st, m
+
+        states, ms = jax.lax.scan(body, states, idx)
+        return states, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+    return epoch

@@ -1,0 +1,99 @@
+"""Ensemble λ-sweep and inverse-design screening tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.design import METRIC_INDEX, ScreeningConfig, screen_designs
+from pigan_thz_tpu.models import build_trio
+from pigan_thz_tpu.parallel.ensemble import (
+    EnsembleSettings,
+    init_ensemble_states,
+    make_ensemble_epoch_fn,
+    make_ensemble_pigan_step,
+    weight_vector,
+)
+from pigan_thz_tpu.train import make_optimizers
+
+
+@pytest.fixture(scope="module")
+def trio(cfg):
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, f_tx = make_optimizers(cfg, 4)
+    return g, d, f, g_tx, d_tx, f_tx
+
+
+def test_ensemble_members_diverge_with_weights(trio, small_ds, cfg):
+    """Same data, same seeds-per-member, different λ -> different params."""
+    g, d, f, g_tx, d_tx, _ = trio
+    n = 3
+    states = init_ensemble_states(
+        g, d, f, g_tx, d_tx, n, jax.random.PRNGKey(0)
+    )
+    weights = jnp.stack(
+        [weight_vector(recon=1.0), weight_vector(recon=100.0), weight_vector(recon=100.0)]
+    )
+    step = make_ensemble_pigan_step(
+        g, d, f, g_tx, d_tx, EnsembleSettings(), small_ds.param_lo, small_ds.param_hi
+    )
+    epoch = make_ensemble_epoch_fn(step, cfg.train.batch_size)
+    states, m = epoch(states, small_ds, jax.random.PRNGKey(1), weights)
+    assert m["g_loss"].shape == (n,)
+    assert all(np.isfinite(v) for v in np.asarray(m["g_loss"]))
+    # member 1 vs 2 share λ but different init seeds -> both trained;
+    # member 0 vs 1 differ in λ -> losses must differ
+    assert float(m["g_loss"][0]) != float(m["g_loss"][1])
+
+
+def test_ensemble_step_counts(trio, small_ds, cfg):
+    g, d, f, g_tx, d_tx, _ = trio
+    states = init_ensemble_states(g, d, f, g_tx, d_tx, 2, jax.random.PRNGKey(0))
+    weights = jnp.stack([weight_vector(), weight_vector()])
+    step = make_ensemble_pigan_step(
+        g, d, f, g_tx, d_tx, EnsembleSettings(), small_ds.param_lo, small_ds.param_hi
+    )
+    epoch = make_ensemble_epoch_fn(step, cfg.train.batch_size)
+    states, _ = epoch(states, small_ds, jax.random.PRNGKey(1), weights)
+    steps = small_ds.num_samples // cfg.train.batch_size
+    np.testing.assert_array_equal(np.asarray(states.step), steps)
+
+
+def test_screening_returns_sorted_topk(trio, small_ds):
+    g, d, f, g_tx, d_tx, _ = trio
+    fv = f.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 4)), train=False,
+    )
+    sc = ScreeningConfig(num_candidates=4096, chunk_size=1024, top_k=16, objective="FoM1")
+    res = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(1), sc,
+    )
+    scores = np.asarray(res.scores)
+    assert res.params.shape == (16, 4)
+    assert res.metrics.shape == (16, 8)
+    # descending order
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+    # params mapped back to physical units within the design box
+    p = np.asarray(res.params)
+    assert p.min() >= float(small_ds.param_lo.min()) - 1e-5
+    assert p.max() <= float(small_ds.param_hi.max()) + 1e-5
+
+
+def test_screening_objective_consistency(trio, small_ds):
+    """Winner scores must equal the named metric column (when finite)."""
+    g, d, f, g_tx, d_tx, _ = trio
+    fv = f.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 4)), train=False,
+    )
+    sc = ScreeningConfig(num_candidates=2048, chunk_size=1024, top_k=8, objective="Q1")
+    res = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(2), sc,
+    )
+    scores = np.asarray(res.scores)
+    col = np.asarray(res.metrics)[:, METRIC_INDEX["Q1"]]
+    finite = np.isfinite(scores)
+    np.testing.assert_allclose(scores[finite], col[finite], rtol=1e-6)

@@ -1,0 +1,114 @@
+"""Trainer / programs / checkpoint integration tests (kept small: a few
+epochs on a 256-sample synthetic set)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pigan_thz_tpu import default_config
+from pigan_thz_tpu.config import DataConfig
+from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
+from pigan_thz_tpu.train.programs import (
+    Phase,
+    constraint_finetune_phase,
+    progressive_pipeline,
+    run_program,
+)
+from pigan_thz_tpu.train.steps import ForwardStepSettings, StepSettings
+
+
+@pytest.fixture(scope="module")
+def trainer(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds)
+    t.pretrain_forward(epochs=8, log_every=100)
+    t.init_pigan()
+    t.train_pigan(epochs=3, log_every=100)
+    return t
+
+
+def test_history_recorded(trainer):
+    assert len(trainer.train_history["forward/loss"]) == 8
+    assert len(trainer.train_history["pigan/g_loss"]) == 3
+    assert all(np.isfinite(v) for v in trainer.train_history["pigan/g_loss"])
+
+
+def test_mode_dispatch(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds)
+    t.train(mode="forward_only", epochs=2, log_every=100)
+    assert t.forward_state is not None
+    with pytest.raises(ValueError):
+        t.train(mode="bogus")
+
+
+def test_final_artifact_contract(trainer, tmp_path):
+    """The trainer<->evaluator artifact contract the reference unit-tests via
+    source grep (test_unified_training.py:99-135), exercised for real."""
+    d = str(tmp_path / "saved_models")
+    trainer.save_final(d)
+    for name in (
+        ckpt.GENERATOR_FINAL,
+        ckpt.DISCRIMINATOR_FINAL,
+        ckpt.FORWARD_MODEL_FINAL,
+        ckpt.FORWARD_MODEL_PRETRAINED,
+    ):
+        assert ckpt.exists(d, name), name
+    r2a = trainer.evaluate()["pigan_evaluation"]["parameter_prediction"]["r2"]
+    t2 = Trainer(trainer.cfg, ds=trainer.ds)
+    t2.load_final(d)
+    r2b = t2.evaluate()["pigan_evaluation"]["parameter_prediction"]["r2"]
+    assert r2a == pytest.approx(r2b, abs=1e-6)
+
+
+def test_checkpoint_manager_resume(trainer, tmp_path):
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"), save_interval=1)
+    mgr.save(3, trainer.pigan_state)
+    step, restored = mgr.restore(trainer.pigan_state)
+    assert step == 3
+    orig = jax.tree_util.tree_leaves(trainer.pigan_state.g.params)
+    rest = jax.tree_util.tree_leaves(restored.g.params)
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_snapshot_restore_keeps_best(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds)
+    t.init_pigan()
+    t.train_pigan(epochs=3, log_every=100, snapshot_metric="violation_rate",
+                  snapshot_mode="min")
+    best = min(t.train_history["pigan/violation_rate"])
+    # evaluator violation on restored state should be near the best epoch's
+    assert np.isfinite(best)
+
+
+def test_program_gates_skip_when_healthy(cfg, small_ds):
+    """A gate whose predicate fails must skip its phase."""
+    t = Trainer(cfg, ds=small_ds)
+    t.pretrain_forward(epochs=2, log_every=100)
+    t.init_pigan()
+    t.train_pigan(epochs=1, log_every=100)
+    phases = [
+        Phase(name="never", kind="gan", epochs=1,
+              gate=lambda ev: False),
+        Phase(name="always", kind="gan", epochs=1),
+    ]
+    res = run_program(t, phases, log_every=100)
+    assert res.phases_skipped == ["never"]
+    assert res.phases_run == ["always"]
+
+
+def test_constraint_finetune_reduces_violation(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds)
+    t.pretrain_forward(epochs=5, log_every=100)
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=100)
+    before = t.evaluate()["structural_prediction_evaluation"][
+        "param_range_violation_rate"
+    ]
+    run_program(t, [constraint_finetune_phase(epochs=4)], log_every=100)
+    after = t.evaluate()["structural_prediction_evaluation"][
+        "param_range_violation_rate"
+    ]
+    assert after <= before
