@@ -1,0 +1,303 @@
+"""Command-line interface.
+
+Replaces the reference's eleven per-script argparse CLIs (six training entry
+points under core/train/ and five evaluation wrappers under core/evaluate/,
+each re-implementing device setup, seeding, data loading and model loading)
+with one `python -m pigan_thz_tpu <command>` surface sharing the config
+system.  Every command accepts repeated `--set a.b.c=value` overrides.
+
+Commands:
+  generate-data     synthesize a reference-schema CSV dataset
+  pretrain-forward  train the forward surrogate           (pretrain_fwd_model.py)
+  train             forward_only | pigan_only | full      (unified_trainer.py)
+  program           progressive | emergency | finetune    (unified_constraint_trainer.py,
+                                                           emergency_trainer.py,
+                                                           constraint_optimizer.py)
+  evaluate          run the four suites + report          (unified_evaluator.py)
+  screen            batched inverse-design screening      (new capability)
+  bench             training-throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List
+
+from .config import PiGanConfig, apply_overrides, default_config
+
+
+def _base_parser(sub: argparse.ArgumentParser) -> None:
+    sub.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                     help="config override, e.g. --set train.num_epochs=200")
+    sub.add_argument("--csv", default=None, help="dataset CSV path (else synthetic)")
+    sub.add_argument("--workdir", default="runs", help="output directory")
+    sub.add_argument("--seed", type=int, default=None)
+
+
+def _make_cfg(args) -> PiGanConfig:
+    cfg = default_config()
+    if args.seed is not None:
+        cfg = apply_overrides(cfg, [f"train.seed={args.seed}", f"data.seed={args.seed}"])
+    cfg = apply_overrides(cfg, args.set)
+    return cfg.replace(workdir=args.workdir)
+
+
+def _make_trainer(cfg: PiGanConfig, args, name: str):
+    from .train.trainer import Trainer
+    from .utils.logging import RunLogger
+
+    logger = RunLogger(cfg.workdir, name=name)
+    return Trainer(cfg, logger=logger, csv_path=args.csv), logger
+
+
+def cmd_generate_data(args) -> int:
+    cfg = _make_cfg(args)
+    from .data import save_csv, synthetic_dataset
+
+    ds = synthetic_dataset(cfg.data)
+    save_csv(ds, args.out)
+    print(f"wrote {ds.num_samples} samples to {args.out}")
+    return 0
+
+
+def cmd_pretrain_forward(args) -> int:
+    cfg = _make_cfg(args)
+    trainer, logger = _make_trainer(cfg, args, "fwd_pretrain")
+    trainer.pretrain_forward(epochs=args.epochs, lr=args.lr)
+    out = args.out or os.path.join(cfg.workdir, "saved_models")
+    from .train import checkpoint as ckpt
+
+    ckpt.save_pytree(out, ckpt.FORWARD_MODEL_PRETRAINED, trainer.forward_state.f.variables)
+    logger.info(f"saved pretrained forward model under {out}")
+    logger.close()
+    return 0
+
+
+def cmd_train(args) -> int:
+    cfg = _make_cfg(args)
+    trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}")
+    from .train.steps import StepSettings
+
+    settings = StepSettings.from_config(cfg, detach_forward=not args.fixed_physics)
+    if args.mode == "forward_only":
+        trainer.pretrain_forward(epochs=args.epochs)
+    elif args.mode == "pigan_only":
+        if args.forward_model:
+            _load_pretrained_forward(trainer, args.forward_model)
+        trainer.init_pigan()
+        trainer.train_pigan(epochs=args.epochs, settings=settings)
+    else:
+        trainer.pretrain_forward(epochs=args.forward_epochs)
+        trainer.init_pigan()
+        trainer.train_pigan(epochs=args.epochs, settings=settings)
+    out = args.out or os.path.join(cfg.workdir, "saved_models")
+    trainer.save_final(out)
+    logger.info(f"saved final models under {out}")
+    if args.plot:
+        from .utils.viz import plot_training_curves
+
+        plot_training_curves(trainer.train_history,
+                             os.path.join(logger.run_dir, "training_curves.png"))
+    logger.close()
+    return 0
+
+
+def _load_pretrained_forward(trainer, path: str) -> None:
+    from .train import checkpoint as ckpt
+    from .train.state import ForwardState, ModelState
+    import jax
+    import jax.numpy as jnp
+
+    directory, name = os.path.split(os.path.abspath(path))
+    template = trainer.forward_model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, trainer.cfg.data.param_dim)), train=False,
+    )
+    variables = ckpt.restore_pytree(directory, name, template)
+    trainer.forward_state = ForwardState(
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(0),
+        f=ModelState.from_variables(variables),
+        opt=trainer.f_tx.init(dict(variables)["params"]),
+    )
+
+
+def cmd_program(args) -> int:
+    cfg = _make_cfg(args)
+    trainer, logger = _make_trainer(cfg, args, f"program_{args.name}")
+    from .train import programs as P
+
+    if args.name == "progressive":
+        phases = P.progressive_pipeline()
+    elif args.name == "emergency":
+        phases = [*P.standard_phases(50, 50), *P.emergency_phases()]
+    elif args.name == "finetune":
+        phases = [P.constraint_finetune_phase()]
+    else:
+        raise SystemExit(f"unknown program: {args.name}")
+    result = P.run_program(trainer, phases)
+    logger.info(f"phases run: {result.phases_run}; skipped: {result.phases_skipped}")
+    out = args.out or os.path.join(cfg.workdir, "saved_models")
+    trainer.save_final(out)
+    with open(os.path.join(logger.run_dir, "final_eval.json"), "w") as fh:
+        json.dump(result.final_eval, fh, indent=2)
+    logger.close()
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    cfg = _make_cfg(args)
+    from .evaluate import generate_summary_report
+    from .train.trainer import Trainer
+
+    trainer = Trainer(cfg, csv_path=args.csv)
+    trainer.load_final(args.models)
+    results = trainer.evaluate()
+    results["evaluation_time"] = 0.0
+    report = generate_summary_report(
+        results, save_path=os.path.join(args.models, "unified_evaluation_report.txt")
+    )
+    print(report)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(results, fh, indent=2)
+    if args.plot:
+        from .utils.viz import plot_evaluation_summary
+
+        plot_evaluation_summary(results, os.path.join(args.models, "evaluation_summary.png"))
+    return 0
+
+
+def cmd_screen(args) -> int:
+    cfg = _make_cfg(args)
+    import jax
+
+    from .data import load_or_synthesize
+    from .design import ScreeningConfig, screen_designs
+    from .models.registry import build_forward_model
+    from .train import checkpoint as ckpt
+    import jax.numpy as jnp
+
+    ds = load_or_synthesize(cfg.data, args.csv)
+    f = build_forward_model(cfg.forward_model, cfg.data.spectrum_dim, cfg.data.metrics_dim)
+    template = f.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, cfg.data.param_dim)), train=False,
+    )
+    name = (
+        ckpt.FORWARD_MODEL_PRETRAINED
+        if ckpt.exists(args.models, ckpt.FORWARD_MODEL_PRETRAINED)
+        else ckpt.FORWARD_MODEL_FINAL
+    )
+    fv = ckpt.restore_pytree(args.models, name, template)
+    sc = ScreeningConfig(
+        num_candidates=args.candidates, top_k=args.top_k,
+        objective=args.objective, chunk_size=args.chunk_size,
+        use_pallas=args.pallas,
+    )
+    res = screen_designs(
+        f, fv, ds.frequencies, ds.param_lo, ds.param_hi,
+        jax.random.PRNGKey(cfg.train.seed), sc,
+    )
+    import numpy as np
+
+    rows = []
+    for i in range(args.top_k):
+        rows.append({
+            "rank": i + 1,
+            "score": float(res.scores[i]),
+            "r1": float(res.params[i, 0]),
+            "r2": float(res.params[i, 1]),
+            "w": float(res.params[i, 2]),
+            "g": float(res.params[i, 3]),
+        })
+    out = args.out or "screening_results.json"
+    with open(out, "w") as fh:
+        json.dump({"objective": args.objective, "designs": rows}, fh, indent=2)
+    print(f"screened {args.candidates} candidates; top-{args.top_k} -> {out}")
+    print(json.dumps(rows[:3], indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import importlib
+
+    bench = importlib.import_module("bench")
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pigan_thz_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate-data", help="synthesize a CSV dataset")
+    _base_parser(g)
+    g.add_argument("--out", default="dataset/THz_Metamaterial_Spectra_With_Metrics.csv")
+    g.set_defaults(fn=cmd_generate_data)
+
+    g = sub.add_parser("pretrain-forward", help="pretrain the forward surrogate")
+    _base_parser(g)
+    g.add_argument("--epochs", type=int, default=None)
+    g.add_argument("--lr", type=float, default=None)
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_pretrain_forward)
+
+    g = sub.add_parser("train", help="train models")
+    _base_parser(g)
+    g.add_argument("--mode", choices=["forward_only", "pigan_only", "full"],
+                   default="full")
+    g.add_argument("--epochs", type=int, default=None)
+    g.add_argument("--forward-epochs", type=int, default=None)
+    g.add_argument("--forward-model", default=None,
+                   help="path to pretrained forward model (dir/name)")
+    g.add_argument("--fixed-physics", action="store_true",
+                   help="let physics-loss gradients flow through frozen F "
+                        "(recommended; default reproduces the reference's "
+                        "no_grad behaviour)")
+    g.add_argument("--out", default=None)
+    g.add_argument("--plot", action="store_true")
+    g.set_defaults(fn=cmd_train)
+
+    g = sub.add_parser("program", help="run a multi-phase training program")
+    _base_parser(g)
+    g.add_argument("name", choices=["progressive", "emergency", "finetune"])
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_program)
+
+    g = sub.add_parser("evaluate", help="run the four evaluation suites")
+    _base_parser(g)
+    g.add_argument("--models", required=True, help="saved_models directory")
+    g.add_argument("--json", default=None, help="also dump results JSON")
+    g.add_argument("--plot", action="store_true")
+    g.set_defaults(fn=cmd_evaluate)
+
+    g = sub.add_parser("screen", help="batched inverse-design screening")
+    _base_parser(g)
+    g.add_argument("--models", required=True)
+    g.add_argument("--candidates", type=int, default=1_000_000)
+    g.add_argument("--top-k", type=int, default=100)
+    g.add_argument("--chunk-size", type=int, default=8192)
+    g.add_argument("--objective", default="FoM1")
+    g.add_argument("--pallas", action="store_true")
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_screen)
+
+    g = sub.add_parser("bench", help="training throughput benchmark")
+    _base_parser(g)
+    g.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: List[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

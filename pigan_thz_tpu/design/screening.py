@@ -48,6 +48,10 @@ class ScreeningConfig:
     top_k: int = 100
     objective: str = "FoM1"      # any METRIC_INDEX key or "FoM1+FoM2"
     min_prominence: float = 1.0
+    # Use the Pallas fused-MLP kernel for the surrogate (baseline ForwardMLP
+    # only; ~1.5x over the XLA path at screening batch sizes — see
+    # ops/pallas_kernels.py).  Same default-precision envelope as XLA.
+    use_pallas: bool = False
 
 
 def _score(metrics: jax.Array, objective: str) -> jax.Array:
@@ -82,8 +86,15 @@ def screen_designs(
             params_norm = jax.random.uniform(
                 k, (cfg.chunk_size, param_lo.shape[0]), minval=-1.0, maxval=1.0
             )
-            out = forward_model.apply(f_variables, params_norm, train=False)
-            pred_spec = out[0]
+            if cfg.use_pallas:
+                from ..ops.pallas_kernels import forward_surrogate_fused
+
+                pred_spec, _ = forward_surrogate_fused(
+                    f_variables, params_norm, spectrum_dim=spectrum_dim
+                )
+            else:
+                out = forward_model.apply(f_variables, params_norm, train=False)
+                pred_spec = out[0]
             metrics = batched_peak_metrics(
                 frequencies, pred_spec, min_prominence=cfg.min_prominence
             )

@@ -1,0 +1,145 @@
+"""Pallas TPU kernels: fused MLP-chain forward pass.
+
+The forward surrogate is a 5-block LayerNorm MLP
+(4->256->512->1024->512->256->258; reference forward_model.py:28-60).  Its
+entire weight set is ~5.5 MB fp32 — it fits in VMEM (~16 MB/core).  The
+fused kernel therefore:
+
+- keeps EVERY layer's weights resident in VMEM for the whole grid,
+- tiles the batch over the grid (TILE_B rows/step, MXU-aligned),
+- runs the full chain (dot -> LayerNorm -> LeakyReLU -> ... -> split head)
+  with zero HBM round-trips between layers.
+
+This targets the big-batch inference paths — inverse-design screening
+(design/screening.py ranks 1e6+ candidates) and full-dataset evaluation —
+where XLA would otherwise stream inter-layer activations through HBM.
+Training keeps the standard XLA path (fusion there is already
+near-roofline at these sizes, and the backward pass would need a custom
+VJP for no measured win).
+
+Numerics match flax exactly in fp32 (LayerNorm epsilon 1e-5 first, like
+flax.linen.LayerNorm; LeakyReLU slope 0.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def extract_forward_mlp_weights(variables: Any, num_blocks: int = 5):
+    """Flatten a ForwardMLP variables dict into per-layer (W, b, scale, bias)
+    lists plus the head (W, b).  Layout follows models.forward_model.ForwardMLP
+    (MLPBlock_i -> Dense_0 + LayerNorm_0, head Dense_0)."""
+    p = variables["params"]
+    layers = []
+    for i in range(num_blocks):
+        blk = p[f"MLPBlock_{i}"]
+        dense = blk["Dense_0"]
+        ln = blk["NormAct_0"]["LayerNorm_0"]
+        layers.append((dense["kernel"], dense["bias"], ln["scale"], ln["bias"]))
+    head = (p["Dense_0"]["kernel"], p["Dense_0"]["bias"])
+    return layers, head
+
+
+def fused_mlp_forward(
+    x: jax.Array,
+    layers: Sequence[tuple],
+    head: tuple,
+    leaky_slope: float = 0.2,
+    ln_eps: float = 1e-5,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused LayerNorm-MLP chain: x (B, D_in) -> (B, D_out).
+
+    layers: [(W, b, ln_scale, ln_bias), ...]; head: (W, b).
+    The batch is padded to a multiple of `tile_b`; each grid step computes
+    one batch tile through the whole chain in VMEM.
+    """
+    b, d_in = x.shape
+    d_out = head[0].shape[1]
+    b_pad = _round_up(max(b, 1), tile_b)
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
+
+    n_layers = len(layers)
+    flat_weights = []
+    for W, bb, s, bias in layers:
+        flat_weights += [W, bb, s, bias]
+    flat_weights += [head[0], head[1]]
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:-1]
+        out_ref = refs[-1]
+        h = x_ref[:].astype(jnp.float32)
+        for i in range(n_layers):
+            W = w_refs[4 * i][:]
+            bb = w_refs[4 * i + 1][:]
+            scale = w_refs[4 * i + 2][:]
+            bias = w_refs[4 * i + 3][:]
+            h = jnp.dot(h, W, preferred_element_type=jnp.float32) + bb[None, :]
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + ln_eps)
+            h = h * scale[None, :] + bias[None, :]
+            h = jnp.where(h >= 0.0, h, leaky_slope * h)
+        W, bb = w_refs[4 * n_layers][:], w_refs[4 * n_layers + 1][:]
+        out_ref[:] = jnp.dot(h, W, preferred_element_type=jnp.float32) + bb[None, :]
+
+    grid = (b_pad // tile_b,)
+    in_specs = [
+        pl.BlockSpec((tile_b, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for w in flat_weights
+    ]
+    flops = 2 * b_pad * sum(W.shape[0] * W.shape[1] for W, *_ in layers)
+    flops += 2 * b_pad * head[0].shape[0] * head[0].shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_b, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                4 * (b_pad * d_in + b_pad * d_out)
+                + 4 * sum(int(np.prod(w.shape)) for w in flat_weights)
+            ),
+            transcendentals=b_pad * n_layers,  # rsqrt per row per layer
+        ),
+        interpret=interpret,
+    )(x, *flat_weights)
+    return out[:b]
+
+
+@partial(jax.jit, static_argnames=("spectrum_dim", "num_blocks", "tile_b", "interpret"))
+def forward_surrogate_fused(
+    variables: Any,
+    params_norm: jax.Array,
+    spectrum_dim: int = 250,
+    num_blocks: int = 5,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in fused replacement for `ForwardMLP.apply(..., train=False)`:
+    params (B,4) -> (spectrum (B,250), metrics (B,8))."""
+    layers, head = extract_forward_mlp_weights(variables, num_blocks)
+    out = fused_mlp_forward(
+        params_norm, layers, head, tile_b=tile_b, interpret=interpret
+    )
+    return out[:, :spectrum_dim], out[:, spectrum_dim:]

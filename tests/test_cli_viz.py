@@ -1,0 +1,86 @@
+"""CLI + visualization smoke tests (tiny configs; CSV round trip through the
+command surface)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_cli_generate_train_evaluate_screen(workdir):
+    csv = os.path.join(workdir, "thz.csv")
+    assert main(["generate-data", "--out", csv, "--set", "data.num_samples=96"]) == 0
+    assert os.path.exists(csv)
+
+    runs = os.path.join(workdir, "runs")
+    assert main([
+        "train", "--mode", "full", "--epochs", "2", "--forward-epochs", "3",
+        "--fixed-physics", "--csv", csv, "--workdir", runs,
+        "--set", "data.num_samples=96", "--set", "train.batch_size=32",
+    ]) == 0
+    models = os.path.join(runs, "saved_models")
+    assert os.path.isdir(os.path.join(models, "generator_final"))
+
+    ev_json = os.path.join(workdir, "eval.json")
+    assert main([
+        "evaluate", "--models", models, "--csv", csv, "--json", ev_json,
+        "--set", "data.num_samples=96",
+    ]) == 0
+    with open(ev_json) as fh:
+        results = json.load(fh)
+    assert "pigan_evaluation" in results
+    assert os.path.exists(os.path.join(models, "unified_evaluation_report.txt"))
+
+    designs = os.path.join(workdir, "designs.json")
+    assert main([
+        "screen", "--models", models, "--candidates", "2048", "--top-k", "5",
+        "--chunk-size", "1024", "--out", designs, "--csv", csv,
+        "--set", "data.num_samples=96",
+    ]) == 0
+    with open(designs) as fh:
+        data = json.load(fh)
+    assert len(data["designs"]) == 5
+    assert data["designs"][0]["score"] >= data["designs"][-1]["score"]
+
+
+def test_cli_bad_override_errors(workdir):
+    with pytest.raises(KeyError):
+        main(["generate-data", "--out", os.path.join(workdir, "x.csv"),
+              "--set", "train.nope=1"])
+
+
+def test_viz_functions(workdir, small_ds, cfg):
+    import jax
+
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.utils.viz import (
+        plot_evaluation_summary,
+        plot_forward_predictions,
+        plot_gan_comparison,
+        plot_training_curves,
+    )
+    from pigan_thz_tpu.evaluate import Evaluator
+
+    g, d, f = build_trio(cfg)
+    k = jax.random.PRNGKey(0)
+    gv = g.init(k, small_ds.spectra[:2], train=False)
+    dv = d.init(k, small_ds.spectra[:2], small_ds.params[:2], train=False)
+    fv = f.init({"params": k, "dropout": k}, small_ds.params_norm[:2], train=False)
+
+    p1 = plot_training_curves({"pigan/g_loss": [3.0, 2.0, 1.5], "pigan/d_loss": [1.0, 0.9, 0.8]},
+                              os.path.join(workdir, "curves.png"))
+    p2 = plot_forward_predictions(small_ds, f, fv, os.path.join(workdir, "fwd.png"))
+    p3 = plot_gan_comparison(small_ds, g, gv, f, fv, os.path.join(workdir, "gan.png"))
+    ev = Evaluator(g, d, f, gv, dv, fv)
+    res = ev.run_comprehensive_evaluation(small_ds)
+    p4 = plot_evaluation_summary(res, os.path.join(workdir, "summary.png"))
+    for p in (p1, p2, p3, p4):
+        assert os.path.exists(p) and os.path.getsize(p) > 10_000
