@@ -9,6 +9,7 @@ from .forward_model import (
     ForwardMLP,
     PhysicsForwardModel,
     UncertaintyForwardModel,
+    mc_dropout_predict,
     sample_predictions,
 )
 from .generator import ConvAttnGenerator, MLPGenerator, ResidualGenerator
@@ -30,5 +31,6 @@ __all__ = [
     "build_forward_model",
     "build_generator",
     "build_trio",
+    "mc_dropout_predict",
     "sample_predictions",
 ]

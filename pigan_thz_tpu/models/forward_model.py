@@ -144,6 +144,32 @@ class UncertaintyForwardModel(nn.Module):
         return spec_mean, met_mean, spec_var, met_var
 
 
+def mc_dropout_predict(
+    model,
+    variables,
+    params_norm: jax.Array,
+    key: jax.Array,
+    num_samples: int = 100,
+):
+    """MC-dropout uncertainty for any dropout-bearing forward model
+    (forward_model.py:33: "Dropout 层进行不确定性建模"): run `num_samples`
+    stochastic forward passes (train=True, distinct dropout rngs) and return
+    (spectrum_mean, spectrum_std, metrics_mean, metrics_std).  Vmapped over
+    samples — one batched XLA program instead of a Python loop."""
+
+    def draw(k):
+        out = model.apply(variables, params_norm, train=True, rngs={"dropout": k})
+        return out[0], out[1]
+
+    specs, mets = jax.vmap(draw)(jax.random.split(key, num_samples))
+    return (
+        jnp.mean(specs, axis=0),
+        jnp.std(specs, axis=0),
+        jnp.mean(mets, axis=0),
+        jnp.std(mets, axis=0),
+    )
+
+
 def sample_predictions(
     model: UncertaintyForwardModel,
     variables,
