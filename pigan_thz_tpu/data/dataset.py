@@ -221,8 +221,13 @@ def save_csv(ds: ThzDataset, path: str) -> None:
 
 def load_or_synthesize(cfg: DataConfig, csv_path: str | None = None) -> ThzDataset:
     """Prefer the CSV if it exists (reference workflow); otherwise synthesize
-    (the CSV is a missing large blob in the reference repo)."""
+    (the CSV is a missing large blob in the reference repo).  Uses the native
+    C++ parser when the extension is buildable, pandas otherwise."""
     if csv_path and os.path.exists(csv_path):
+        from .native_io import load_csv_native, native_available
+
+        if native_available():
+            return load_csv_native(csv_path, cfg)
         return load_csv(csv_path, cfg)
     return synthetic_dataset(cfg)
 
