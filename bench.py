@@ -27,6 +27,8 @@ BASELINE_STEPS_PER_SEC = 2.0  # reference CPU upper bound
 
 
 def main() -> None:
+    import jax.numpy as jnp
+
     from pigan_thz_tpu import default_config
     from pigan_thz_tpu.data import synthetic_dataset
     from pigan_thz_tpu.models import build_trio
@@ -36,6 +38,7 @@ def main() -> None:
         init_pigan_state,
         make_epoch_fn,
         make_forward_step,
+        make_multi_epoch_fn,
         make_optimizers,
         make_pigan_step,
     )
@@ -60,17 +63,20 @@ def main() -> None:
         g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
         ds.param_lo, ds.param_hi,
     )
-    epoch = make_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+    # 25 whole epochs per jit call: one dispatch per 400 optimizer steps
+    chunk = 25
+    multi_epoch = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+    ones = jnp.ones((chunk,), jnp.float32)
 
     # warmup (compile + first execution)
-    state, m = epoch(state, ds, jax.random.PRNGKey(2), 1.0)
+    state, m = multi_epoch(state, ds, jax.random.PRNGKey(2), ones)
     jax.block_until_ready(m)
 
     # timed: enough epochs for a stable measurement
-    n_epochs = 50
+    n_epochs = 100
     t0 = time.perf_counter()
-    for e in range(n_epochs):
-        state, m = epoch(state, ds, jax.random.PRNGKey(3 + e), 1.0)
+    for e in range(n_epochs // chunk):
+        state, m = multi_epoch(state, ds, jax.random.PRNGKey(3 + e), ones)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
 

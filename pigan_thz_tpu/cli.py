@@ -155,6 +155,27 @@ def cmd_evaluate(args) -> int:
 
     trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
+    if args.suite != "all":
+        # per-suite frontends, parity with the reference's four eval CLI
+        # wrappers (evaluate_fwd_model / evaluate_pigan /
+        # evaluate_structural_prediction / evaluate_model_validation)
+        import jax
+
+        ev = trainer.evaluator()
+        suite_fns = {
+            "forward": lambda: ev.forward_network(trainer.ds),
+            "pigan": lambda: ev.pigan(trainer.ds),
+            "structural": lambda: ev.structural_prediction(trainer.ds),
+            "validation": lambda: ev.model_validation(
+                trainer.ds, jax.random.PRNGKey(0)
+            ),
+        }
+        res = jax.tree.map(float, suite_fns[args.suite]())
+        print(json.dumps(res, indent=2))
+        if args.json:
+            with open(args.json, "w") as fh:
+                json.dump(res, fh, indent=2)
+        return 0
     results = trainer.evaluate()
     results["evaluation_time"] = 0.0
     report = generate_summary_report(
@@ -273,6 +294,9 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("evaluate", help="run the four evaluation suites")
     _base_parser(g)
     g.add_argument("--models", required=True, help="saved_models directory")
+    g.add_argument("--suite", default="all",
+                   choices=["all", "forward", "pigan", "structural", "validation"],
+                   help="run one suite only (parity with the per-suite CLIs)")
     g.add_argument("--json", default=None, help="also dump results JSON")
     g.add_argument("--plot", action="store_true")
     g.set_defaults(fn=cmd_evaluate)

@@ -12,6 +12,7 @@ from .steps import (
     StepSettings,
     make_epoch_fn,
     make_forward_step,
+    make_multi_epoch_fn,
     make_pigan_step,
 )
 from .trainer import Trainer
@@ -28,6 +29,7 @@ __all__ = [
     "init_pigan_state",
     "make_epoch_fn",
     "make_forward_step",
+    "make_multi_epoch_fn",
     "make_optimizers",
     "make_pigan_step",
     "programs",

@@ -39,6 +39,7 @@ from .steps import (
     StepSettings,
     make_epoch_fn,
     make_forward_step,
+    make_multi_epoch_fn,
     make_pigan_step,
 )
 
@@ -52,7 +53,10 @@ class Trainer:
         ds: Optional[ThzDataset] = None,
         logger: Optional[RunLogger] = None,
         csv_path: Optional[str] = None,
+        epochs_per_call: int = 25,
     ):
+        # epochs_per_call > 1 scans whole epochs inside one jit call
+        # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
         self.cfg = cfg
         self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
         self.logger = logger
@@ -63,6 +67,7 @@ class Trainer:
         self.forward_state: Optional[ForwardState] = None
         self.pigan_state: Optional[PiGanState] = None
         self.train_history: History = {}
+        self.epochs_per_call = max(1, epochs_per_call)
         self._epoch_fns: dict = {}  # cache compiled epoch fns by settings key
 
     # ------------------------------------------------------------------
@@ -106,29 +111,41 @@ class Trainer:
                 self.forward_model, tx, jax.random.PRNGKey(cfg.train.seed + seed),
                 param_dim=cfg.data.param_dim,
             )
-        epoch_fn = make_epoch_fn(
+        multi_epoch = make_multi_epoch_fn(
             make_forward_step(self.forward_model, tx, settings), cfg.train.batch_size
         )
 
         best_loss, best_state, bad_epochs = float("inf"), None, 0
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
-        for epoch in range(epochs):
+        epoch = 0
+        stop = False
+        while epoch < epochs and not stop:
+            chunk = min(self.epochs_per_call, epochs - epoch)
             key, sub = jax.random.split(key)
-            self.forward_state, m = epoch_fn(self.forward_state, self.ds, sub)
-            loss = float(m["loss"])
-            self._record(m, "forward/", epoch)
-            if (epoch + 1) % log_every == 0:
-                self._log(f"[forward] epoch {epoch + 1}/{epochs} loss={loss:.6f}")
-            if loss < best_loss - 1e-7:
-                best_loss, bad_epochs = loss, 0
-                if keep_best:
-                    # copy: the next epoch donates this state's buffers
-                    best_state = jax.tree.map(jnp.copy, self.forward_state)
-            else:
-                bad_epochs += 1
-                if early_stop_patience and bad_epochs >= early_stop_patience:
-                    self._log(f"[forward] early stop at epoch {epoch + 1}")
-                    break
+            self.forward_state, ms = multi_epoch(
+                self.forward_state, self.ds, sub, jnp.ones((chunk,), jnp.float32)
+            )
+            rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            improved_in_chunk = False
+            for j in range(chunk):
+                e = epoch + j
+                m = {k: v[j] for k, v in rows.items()}
+                self._record(m, "forward/", e)
+                if (e + 1) % log_every == 0:
+                    self._log(f"[forward] epoch {e + 1}/{epochs} loss={m['loss']:.6f}")
+                if m["loss"] < best_loss - 1e-7:
+                    best_loss, bad_epochs = m["loss"], 0
+                    improved_in_chunk = True
+                else:
+                    bad_epochs += 1
+                    if early_stop_patience and bad_epochs >= early_stop_patience:
+                        self._log(f"[forward] early stop at epoch {e + 1}")
+                        stop = True
+                        break
+            if keep_best and improved_in_chunk:
+                # snapshot at chunk granularity (copy: next call donates)
+                best_state = jax.tree.map(jnp.copy, self.forward_state)
+            epoch += chunk
         if keep_best and best_state is not None:
             self.forward_state = best_state
         return self.train_history
@@ -184,42 +201,57 @@ class Trainer:
             self.generator, self.discriminator, self.forward_model,
             self.g_tx, self.d_tx, settings, self.ds.param_lo, self.ds.param_hi,
         )
-        epoch_fn = make_epoch_fn(step_fn, cfg.train.batch_size, with_scale=True)
+        multi_epoch = make_multi_epoch_fn(step_fn, cfg.train.batch_size, with_scale=True)
 
         best_val, best_state = None, None
         key = jax.random.PRNGKey(cfg.train.seed + 3000)
         t0 = time.time()
-        for epoch in range(epochs):
+        epoch = 0
+        stop = False
+        while epoch < epochs and not stop:
+            chunk = min(self.epochs_per_call, epochs - epoch)
             key, sub = jax.random.split(key)
-            scale = constraint_schedule(epoch) if constraint_schedule else 1.0
-            self.pigan_state, m = epoch_fn(
-                self.pigan_state, self.ds, sub, jnp.float32(scale)
+            scales = jnp.asarray(
+                [
+                    constraint_schedule(epoch + j) if constraint_schedule else 1.0
+                    for j in range(chunk)
+                ],
+                jnp.float32,
             )
-            mf = {k: float(v) for k, v in m.items()}
-            self._record(m, "pigan/", epoch)
-            if (epoch + 1) % log_every == 0:
-                self._log(
-                    f"[pigan] epoch {epoch + 1}/{epochs} "
-                    f"D={mf['d_loss']:.4f} G={mf['g_loss']:.4f} "
-                    f"viol={mf['violation_rate']:.3f} "
-                    f"({(time.time() - t0) / (epoch + 1):.2f}s/ep)"
-                )
-            if snapshot_metric is not None:
-                val = mf[snapshot_metric]
-                better = (
-                    best_val is None
-                    or (snapshot_mode == "min" and val < best_val)
-                    or (snapshot_mode == "max" and val > best_val)
-                )
-                if better:
-                    # copy: the next epoch donates this state's buffers
-                    best_val = val
-                    best_state = jax.tree.map(jnp.copy, self.pigan_state)
+            self.pigan_state, ms = multi_epoch(self.pigan_state, self.ds, sub, scales)
+            rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            chunk_has_best = False
+            for j in range(chunk):
+                e = epoch + j
+                mf = {k: v[j] for k, v in rows.items()}
+                self._record(mf, "pigan/", e)
+                if (e + 1) % log_every == 0:
+                    self._log(
+                        f"[pigan] epoch {e + 1}/{epochs} "
+                        f"D={mf['d_loss']:.4f} G={mf['g_loss']:.4f} "
+                        f"viol={mf['violation_rate']:.3f} "
+                        f"({(time.time() - t0) / (e + 1):.2f}s/ep)"
+                    )
+                if snapshot_metric is not None:
+                    val = mf[snapshot_metric]
+                    better = (
+                        best_val is None
+                        or (snapshot_mode == "min" and val < best_val)
+                        or (snapshot_mode == "max" and val > best_val)
+                    )
+                    if better:
+                        best_val = val
+                        chunk_has_best = True
+                if early_stop is not None and early_stop(mf):
+                    self._log(f"[pigan] early stop at epoch {e + 1}")
+                    stop = True
+                    break
+            if chunk_has_best:
+                # snapshot at chunk granularity (copy: next call donates)
+                best_state = jax.tree.map(jnp.copy, self.pigan_state)
             if checkpoint_manager is not None:
-                checkpoint_manager.maybe_save(epoch + 1, self.pigan_state)
-            if early_stop is not None and early_stop(mf):
-                self._log(f"[pigan] early stop at epoch {epoch + 1}")
-                break
+                checkpoint_manager.maybe_save(epoch + chunk, self.pigan_state)
+            epoch += chunk
         if snapshot_metric is not None and best_state is not None:
             self.pigan_state = best_state
             self._log(f"[pigan] restored best snapshot ({snapshot_metric}={best_val:.4f})")

@@ -1,0 +1,49 @@
+"""Optimization-config overlay tests (training_optimization.py parity)."""
+
+from pigan_thz_tpu import default_config
+from pigan_thz_tpu.config_presets import (
+    apply_optimization_config,
+    get_optimization_config,
+    step_settings_from_optimization,
+)
+
+
+def test_overlay_structure():
+    opt = get_optimization_config()
+    # the ten sections of training_optimization.get_optimization_config
+    assert set(opt) == {
+        "forward_model", "generator", "discriminator", "constraints",
+        "training", "loss_weights", "model_architecture", "optimizer",
+        "evaluation_targets", "monitoring",
+    }
+    # recorded values preserved
+    assert opt["constraints"]["parameter_ranges"]["r1"] == (2.2, 2.8)
+    assert opt["evaluation_targets"]["pigan"]["parameter_r2_target"] == 0.85
+    assert opt["loss_weights"]["reconstruction_loss"] == 10.0
+    assert opt["monitoring"]["wandb_logging"] is False
+
+
+def test_apply_to_typed_config():
+    cfg = apply_optimization_config(default_config())
+    assert cfg.train.lr_d == 1e-4          # discriminator lr from overlay
+    assert cfg.generator.name == "residual"
+    assert cfg.discriminator.use_spectral_norm is True
+    assert cfg.loss.recon == 10.0
+    assert cfg.train.label_smooth_real == 0.9
+    assert cfg.train.detach_forward is False
+
+
+def test_step_settings_translation():
+    st = step_settings_from_optimization()
+    assert st.recon_w == 10.0
+    assert st.constraint_w == 3.0
+    assert st.stability_w == 1.0
+    assert st.detach_forward is False
+
+
+def test_optimized_config_builds_models():
+    from pigan_thz_tpu.models import build_trio
+
+    cfg = apply_optimization_config(default_config())
+    g, d, f = build_trio(cfg)
+    assert g is not None and d is not None and f is not None
