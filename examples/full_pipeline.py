@@ -1,0 +1,162 @@
+"""Resumable full training pipeline (preemption-safe).
+
+Demonstrates the framework's checkpoint/resume capability end-to-end
+(SURVEY §5: "TPU preemption is routine"): every stage persists its state
+after each epoch chunk, and the script resumes from the last completed
+chunk on restart.  Run under any supervisor that restarts on failure, e.g.:
+
+    for i in $(seq 12); do timeout 600 python examples/full_pipeline.py \
+        --workdir /tmp/pipeline && break; done
+
+Stages: forward pretrain (500 ep) -> PI-GAN (500 ep, physics gradients
+through frozen F) -> constraint fine-tune (100 ep, sigmoid squash) ->
+comprehensive evaluation -> final artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pigan_thz_tpu import default_config
+from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
+from pigan_thz_tpu.train.steps import StepSettings
+from pigan_thz_tpu.train.programs import constraint_finetune_phase
+from pigan_thz_tpu.train.state import ModelState
+
+
+def load_progress(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {"fwd_epochs": 0, "gan_epochs": 0, "ft_epochs": 0}
+
+
+def save_progress(path: str, prog: dict) -> None:
+    with open(path, "w") as fh:
+        json.dump(prog, fh)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/pigan_pipeline")
+    ap.add_argument("--fwd-epochs", type=int, default=500)
+    ap.add_argument("--gan-epochs", type=int, default=500)
+    ap.add_argument("--ft-epochs", type=int, default=100)
+    ap.add_argument("--chunk", type=int, default=50)
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    prog_path = os.path.join(args.workdir, "progress.json")
+    prog = load_progress(prog_path)
+    t0 = time.time()
+    print(f"resume state: {prog}", flush=True)
+
+    cfg = default_config()
+    trainer = Trainer(cfg, epochs_per_call=args.chunk)
+
+    # ---- stage 1: forward pretrain (chunk-resumable) -------------------
+    if prog["fwd_epochs"] < args.fwd_epochs:
+        if prog["fwd_epochs"] > 0:
+            # restore partial forward state
+            trainer.pretrain_forward(epochs=0)  # initialize state container
+            variables = ckpt.restore_pytree(
+                args.workdir, "fwd_partial", trainer.forward_state.f.variables
+            )
+            trainer.forward_state = trainer.forward_state.replace(
+                f=ModelState.from_variables(variables)
+            )
+        while prog["fwd_epochs"] < args.fwd_epochs:
+            n = min(args.chunk, args.fwd_epochs - prog["fwd_epochs"])
+            trainer.pretrain_forward(epochs=n, log_every=10**9, seed=prog["fwd_epochs"])
+            prog["fwd_epochs"] += n
+            ckpt.save_pytree(args.workdir, "fwd_partial",
+                             trainer.forward_state.f.variables)
+            save_progress(prog_path, prog)
+            print(f"fwd {prog['fwd_epochs']}/{args.fwd_epochs} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    else:
+        trainer.pretrain_forward(epochs=0)
+        variables = ckpt.restore_pytree(
+            args.workdir, "fwd_partial", trainer.forward_state.f.variables
+        )
+        trainer.forward_state = trainer.forward_state.replace(
+            f=ModelState.from_variables(variables)
+        )
+
+    # ---- stage 2: PI-GAN (manager-checkpointed) ------------------------
+    settings = StepSettings.from_config(cfg, detach_forward=False)
+    mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "gan"),
+                                 max_to_keep=2, save_interval=1)
+    trainer.init_pigan()
+    step_resume = mgr.latest_epoch()
+    if step_resume is not None and prog["gan_epochs"] > 0:
+        _, restored = mgr.restore(trainer.pigan_state)
+        trainer.pigan_state = restored
+    while prog["gan_epochs"] < args.gan_epochs:
+        n = min(args.chunk, args.gan_epochs - prog["gan_epochs"])
+        trainer.train_pigan(epochs=n, log_every=10**9, settings=settings)
+        prog["gan_epochs"] += n
+        mgr.save(prog["gan_epochs"], trainer.pigan_state)
+        save_progress(prog_path, prog)
+        print(f"gan {prog['gan_epochs']}/{args.gan_epochs} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- stage 3: constraint fine-tune ---------------------------------
+    ft_phase = constraint_finetune_phase(epochs=args.ft_epochs)
+    ft_mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "ft"),
+                                    max_to_keep=2, save_interval=1)
+    if prog["ft_epochs"] > 0 and ft_mgr.latest_epoch() is not None:
+        _, restored = ft_mgr.restore(trainer.pigan_state)
+        trainer.pigan_state = restored
+    while prog["ft_epochs"] < args.ft_epochs:
+        n = min(args.chunk, args.ft_epochs - prog["ft_epochs"])
+        trainer.train_pigan(
+            epochs=n, log_every=10**9, settings=ft_phase.gan_settings,
+            snapshot_metric="violation_rate", snapshot_mode="min",
+        )
+        prog["ft_epochs"] += n
+        ft_mgr.save(prog["ft_epochs"], trainer.pigan_state)
+        save_progress(prog_path, prog)
+        print(f"ft {prog['ft_epochs']}/{args.ft_epochs} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    mgr.close()
+    ft_mgr.close()
+
+    # ---- stage 4: evaluate + finals ------------------------------------
+    ev = trainer.evaluate()
+    summary = {
+        "param_r2": ev["pigan_evaluation"]["parameter_prediction"]["r2"],
+        "violation": ev["structural_prediction_evaluation"][
+            "param_range_violation_rate"],
+        "cycle": ev["model_validation"]["cycle_consistency_error_mean"],
+        "plausibility": ev["model_validation"]["physical_plausibility_mean"],
+        "consistency": ev["structural_prediction_evaluation"][
+            "consistency_score_mean"],
+        "d_acc": ev["pigan_evaluation"]["discriminator_performance"][
+            "overall_accuracy"],
+        "stability": ev["model_validation"]["prediction_stability_mean"],
+        "metrics_r2": ev["forward_network_evaluation"]["metrics_prediction"]["r2"],
+        "spectrum_r2": ev["forward_network_evaluation"]["spectrum_prediction"]["r2"],
+        "wall_s": time.time() - t0,
+    }
+    print(json.dumps(summary, indent=2), flush=True)
+    with open(os.path.join(args.workdir, "final_eval.json"), "w") as fh:
+        json.dump(ev, fh, indent=2)
+    trainer.save_final(os.path.join(args.workdir, "saved_models"))
+    with open(os.path.join(args.workdir, "DONE"), "w") as fh:
+        fh.write("ok\n")
+    print("pipeline complete", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

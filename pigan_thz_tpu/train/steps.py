@@ -77,6 +77,17 @@ class StepSettings:
     range_hi: float = 1.0
     d_update_every: int = 1          # D update frequency (emergency_trainer.py:64-83)
     stability_noise: float = 0.01    # unified_trainer.py:260
+    # GAN objective: "bce" (reference, Sigmoid+BCELoss) or "wgan_gp" —
+    # declared in the reference's overlay (training_optimization.py:72-74)
+    # but never implemented there; real here.
+    gan_loss: str = "bce"
+    gp_weight: float = 10.0
+    # D-input instance noise (training_optimization.py:71), 0 = off
+    instance_noise: float = 0.0
+    # data augmentation (training_optimization.py:103-107), 0 = off
+    augment_noise: float = 0.0
+    augment_shift: float = 0.0
+    augment_scale: float = 0.0
 
     @classmethod
     def from_config(cls, cfg: PiGanConfig, **overrides) -> "StepSettings":
@@ -207,7 +218,19 @@ def make_pigan_step(
         b = spectra.shape[0]
         lo = param_lo if param_lo is not None else jnp.full((4,), 2.2)
         hi = param_hi if param_hi is not None else jnp.full((4,), 2.8)
-        rng, k_gd, k_dd, k_gg, k_dg, k_noise = jax.random.split(state.rng, 6)
+        rng, k_gd, k_dd, k_gg, k_dg, k_noise, k_aug, k_in, k_gp = jax.random.split(
+            state.rng, 9
+        )
+
+        if settings.augment_noise or settings.augment_shift or settings.augment_scale:
+            from ..ops.augment import augment_spectra
+
+            spectra = augment_spectra(
+                k_aug, spectra,
+                noise_level=settings.augment_noise,
+                freq_shift=settings.augment_shift,
+                amp_scale=settings.augment_scale,
+            )
 
         def squash(p):
             return jax.nn.sigmoid(p) if settings.sigmoid_squash else p
@@ -220,6 +243,10 @@ def make_pigan_step(
 
         cat_spec = jnp.concatenate([spectra, spectra], axis=0)
         cat_par = jnp.concatenate([params_phys, fake_phys], axis=0)
+        if settings.instance_noise > 0.0:
+            cat_spec = cat_spec + settings.instance_noise * jax.random.normal(
+                k_in, cat_spec.shape
+            )
         labels = jnp.concatenate(
             [
                 jnp.full((b, 1), settings.label_real),
@@ -232,8 +259,36 @@ def make_pigan_step(
             logits, new_extra = _apply(
                 discriminator, state.d, cat_spec, cat_par, train=True, rng=k_dd, params=dp
             )
-            # reference sums two means -> 2x mean over the concat batch
-            loss = 2.0 * L.bce_logits(logits, labels)
+            if settings.gan_loss == "wgan_gp":
+                # Wasserstein critic loss + gradient penalty on interpolated
+                # (spectrum, params) inputs; per-row grads are exact because
+                # each row of D depends only on its own inputs.
+                real_scores, fake_scores = logits[:b], logits[b:]
+                eps = jax.random.uniform(k_gp, (b, 1))
+                interp_par = eps * params_phys + (1.0 - eps) * fake_phys
+
+                def critic_sum(sp, par):
+                    out, _ = _apply(
+                        discriminator, state.d, sp, par, train=True,
+                        rng=k_dd, params=dp,
+                    )
+                    return jnp.sum(out)
+
+                g_spec, g_par = jax.grad(critic_sum, argnums=(0, 1))(
+                    spectra, interp_par
+                )
+                grad_norm = jnp.sqrt(
+                    jnp.sum(g_spec**2, axis=1) + jnp.sum(g_par**2, axis=1) + 1e-12
+                )
+                gp = jnp.mean((grad_norm - 1.0) ** 2)
+                loss = (
+                    jnp.mean(fake_scores)
+                    - jnp.mean(real_scores)
+                    + settings.gp_weight * gp
+                )
+            else:
+                # reference sums two means -> 2x mean over the concat batch
+                loss = 2.0 * L.bce_logits(logits, labels)
             return loss, (new_extra, logits)
 
         (d_loss, (d_extra, d_logits)), d_grads = jax.value_and_grad(
@@ -273,7 +328,10 @@ def make_pigan_step(
             adv_logits, _ = _apply(
                 discriminator, new_d, spectra, pred_phys, train=True, rng=k_dg
             )
-            adv = L.bce_logits(adv_logits, jnp.ones((b, 1)))  # unsmoothed 1.0
+            if settings.gan_loss == "wgan_gp":
+                adv = -jnp.mean(adv_logits)
+            else:
+                adv = L.bce_logits(adv_logits, jnp.ones((b, 1)))  # unsmoothed 1.0
 
             # frozen forward surrogate (eval mode — train_pigan.py:75)
             (recon_spec, pred_met), _ = _apply(
