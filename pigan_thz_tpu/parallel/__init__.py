@@ -1,6 +1,7 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicated
 from .sharding import (
     make_parallel_epoch_fn,
+    make_parallel_multi_epoch_fn,
     param_partition_spec,
     replicate_dataset,
     shard_state,
@@ -13,6 +14,7 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "make_parallel_epoch_fn",
+    "make_parallel_multi_epoch_fn",
     "param_partition_spec",
     "replicate_dataset",
     "replicated",

@@ -96,3 +96,39 @@ def make_parallel_epoch_fn(step_fn, batch_size: int, mesh: Mesh, with_scale: boo
         return state, jax.tree.map(jnp.mean, ms)
 
     return epoch
+
+
+def make_parallel_multi_epoch_fn(
+    step_fn, batch_size: int, mesh: Mesh, with_scale: bool = False
+):
+    """Mesh-parallel variant of train.steps.make_multi_epoch_fn: scans E
+    whole epochs per jit call with the per-step batch constrained to the
+    data axis.  multi_epoch(state, ds, key, scales(E,)) -> (state, (E,...))."""
+    batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_epoch(state, ds: ThzDataset, key: jax.Array, scales: jax.Array):
+        keys = jax.random.split(key, scales.shape[0])
+
+        def epoch_body(st, inputs):
+            ekey, scale = inputs
+            idx = epoch_indices(ekey, ds.spectra.shape[0], batch_size)
+
+            def body(st, ix):
+                batch = gather_batch(ds, ix)
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(b, batch_spec) for b in batch
+                )
+                if with_scale:
+                    st, m = step_fn(st, batch, scale)
+                else:
+                    st, m = step_fn(st, batch)
+                return st, m
+
+            st, ms = jax.lax.scan(body, st, idx)
+            return st, jax.tree.map(jnp.mean, ms)
+
+        state, ms = jax.lax.scan(epoch_body, state, (keys, scales))
+        return state, ms
+
+    return multi_epoch

@@ -54,9 +54,12 @@ class Trainer:
         logger: Optional[RunLogger] = None,
         csv_path: Optional[str] = None,
         epochs_per_call: int = 25,
+        mesh=None,
     ):
         # epochs_per_call > 1 scans whole epochs inside one jit call
         # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
+        # mesh: optional jax.sharding.Mesh -> data-parallel batches +
+        # tensor-parallel wide kernels (parallel/sharding.py rules).
         self.cfg = cfg
         self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
         self.logger = logger
@@ -68,7 +71,30 @@ class Trainer:
         self.pigan_state: Optional[PiGanState] = None
         self.train_history: History = {}
         self.epochs_per_call = max(1, epochs_per_call)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import replicate_dataset
+
+            self.ds = replicate_dataset(self.ds, mesh)
         self._epoch_fns: dict = {}  # cache compiled epoch fns by settings key
+
+    def _make_multi_epoch(self, step_fn, with_scale: bool):
+        if self.mesh is not None:
+            from ..parallel.sharding import make_parallel_multi_epoch_fn
+
+            return make_parallel_multi_epoch_fn(
+                step_fn, self.cfg.train.batch_size, self.mesh, with_scale=with_scale
+            )
+        return make_multi_epoch_fn(
+            step_fn, self.cfg.train.batch_size, with_scale=with_scale
+        )
+
+    def _maybe_shard(self, state):
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_state
+
+            return shard_state(state, self.mesh)
+        return state
 
     # ------------------------------------------------------------------
     def _log(self, msg: str) -> None:
@@ -107,12 +133,14 @@ class Trainer:
                 schedule_alpha=0.0,
             )
         if self.forward_state is None or reset:
-            self.forward_state = init_forward_state(
-                self.forward_model, tx, jax.random.PRNGKey(cfg.train.seed + seed),
-                param_dim=cfg.data.param_dim,
+            self.forward_state = self._maybe_shard(
+                init_forward_state(
+                    self.forward_model, tx, jax.random.PRNGKey(cfg.train.seed + seed),
+                    param_dim=cfg.data.param_dim,
+                )
             )
-        multi_epoch = make_multi_epoch_fn(
-            make_forward_step(self.forward_model, tx, settings), cfg.train.batch_size
+        multi_epoch = self._make_multi_epoch(
+            make_forward_step(self.forward_model, tx, settings), with_scale=False
         )
 
         best_loss, best_state, bad_epochs = float("inf"), None, 0
@@ -158,13 +186,15 @@ class Trainer:
             self.forward_state.f.variables if self.forward_state is not None else None
         )
         if self.pigan_state is None or fresh_gd:
-            self.pigan_state = init_pigan_state(
-                self.generator, self.discriminator, self.forward_model,
-                self.g_tx, self.d_tx,
-                jax.random.PRNGKey(self.cfg.train.seed + 2000 + seed),
-                spectrum_dim=self.ds.spectrum_dim,
-                param_dim=self.cfg.data.param_dim,
-                forward_variables=fwd_vars,
+            self.pigan_state = self._maybe_shard(
+                init_pigan_state(
+                    self.generator, self.discriminator, self.forward_model,
+                    self.g_tx, self.d_tx,
+                    jax.random.PRNGKey(self.cfg.train.seed + 2000 + seed),
+                    spectrum_dim=self.ds.spectrum_dim,
+                    param_dim=self.cfg.data.param_dim,
+                    forward_variables=fwd_vars,
+                )
             )
         elif fwd_vars is not None:
             # refresh frozen F with latest pretrained weights (copied: the
@@ -201,7 +231,7 @@ class Trainer:
             self.generator, self.discriminator, self.forward_model,
             self.g_tx, self.d_tx, settings, self.ds.param_lo, self.ds.param_hi,
         )
-        multi_epoch = make_multi_epoch_fn(step_fn, cfg.train.batch_size, with_scale=True)
+        multi_epoch = self._make_multi_epoch(step_fn, with_scale=True)
 
         best_val, best_state = None, None
         key = jax.random.PRNGKey(cfg.train.seed + 3000)
