@@ -110,8 +110,18 @@ def main() -> int:
         print(f"gan {prog['gan_epochs']}/{args.gan_epochs} "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    # ---- stage 3: constraint fine-tune ---------------------------------
-    ft_phase = constraint_finetune_phase(epochs=args.ft_epochs)
+    # ---- stage 3: constraint repair ------------------------------------
+    # NOTE deliberately NOT the sigmoid-squash fine-tune
+    # (constraint_finetune_phase): training through a sigmoid while
+    # evaluating the raw generator is incoherent — the reference's own
+    # best-R² checkpoint kept a 91.4 % violation rate
+    # (constraint_optimizer.py:38).  This phase uses the
+    # unified-constraint-trainer repair (annealed enhanced constraint on
+    # the raw output) which attacks the [0,1] window coherently.
+    from pigan_thz_tpu.train.programs import constraint_phase, _anneal
+
+    ft_settings = constraint_phase(args.ft_epochs).gan_settings
+    anneal = _anneal(0.5, 2.0, args.ft_epochs)
     ft_mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "ft"),
                                     max_to_keep=2, save_interval=1)
     if prog["ft_epochs"] > 0 and ft_mgr.latest_epoch() is not None:
@@ -119,8 +129,10 @@ def main() -> int:
         trainer.pigan_state = restored
     while prog["ft_epochs"] < args.ft_epochs:
         n = min(args.chunk, args.ft_epochs - prog["ft_epochs"])
+        base = prog["ft_epochs"]
         trainer.train_pigan(
-            epochs=n, log_every=10**9, settings=ft_phase.gan_settings,
+            epochs=n, log_every=10**9, settings=ft_settings,
+            constraint_schedule=lambda e, base=base: anneal(base + e),
             snapshot_metric="violation_rate", snapshot_mode="min",
         )
         prog["ft_epochs"] += n

@@ -155,13 +155,14 @@ def cmd_evaluate(args) -> int:
 
     trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
+    window = (-1.0, 1.0) if args.violation_window == "sane" else (0.0, 1.0)
     if args.suite != "all":
         # per-suite frontends, parity with the reference's four eval CLI
         # wrappers (evaluate_fwd_model / evaluate_pigan /
         # evaluate_structural_prediction / evaluate_model_validation)
         import jax
 
-        ev = trainer.evaluator()
+        ev = trainer.evaluator(violation_window=window)
         suite_fns = {
             "forward": lambda: ev.forward_network(trainer.ds),
             "pigan": lambda: ev.pigan(trainer.ds),
@@ -176,7 +177,7 @@ def cmd_evaluate(args) -> int:
             with open(args.json, "w") as fh:
                 json.dump(res, fh, indent=2)
         return 0
-    results = trainer.evaluate()
+    results = trainer.evaluate(violation_window=window)
     results["evaluation_time"] = 0.0
     report = generate_summary_report(
         results, save_path=os.path.join(args.models, "unified_evaluation_report.txt")
@@ -297,6 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--suite", default="all",
                    choices=["all", "forward", "pigan", "structural", "validation"],
                    help="run one suite only (parity with the per-suite CLIs)")
+    g.add_argument("--violation-window", default="parity",
+                   choices=["parity", "sane"],
+                   help="parity: reference's [0,1] window on tanh outputs; "
+                        "sane: [-1,1] convention-consistent window")
     g.add_argument("--json", default=None, help="also dump results JSON")
     g.add_argument("--plot", action="store_true")
     g.set_defaults(fn=cmd_evaluate)

@@ -46,7 +46,16 @@ class Evaluator:
         d_variables,
         f_variables,
         noise_sigma: float = 0.01,
+        violation_window: tuple[float, float] = (0.0, 1.0),
     ):
+        """violation_window: the range-violation measurement window.
+
+        Default (0, 1) reproduces the reference quirk of judging the
+        generator's tanh output (range [-1, 1]) against a [0, 1] box
+        (unified_evaluator.py:380, loss.py:104-127) — which is why the
+        reference records 87-91 % violation on well-trained models.  Pass
+        (-1, 1) for the convention-consistent measurement.
+        """
         self.generator = generator
         self.discriminator = discriminator
         self.forward_model = forward_model
@@ -54,6 +63,7 @@ class Evaluator:
         self.d_vars = d_variables
         self.f_vars = f_variables
         self.noise_sigma = noise_sigma
+        v_lo, v_hi = violation_window
 
         generator_ = generator
         discriminator_ = discriminator
@@ -103,7 +113,7 @@ class Evaluator:
         def structural_prediction(gv, fv, ds: ThzDataset) -> Dict[str, Any]:
             pred_norm = _g(gv, ds.spectra)
             violations = jnp.sum(
-                (pred_norm < 0.0) | (pred_norm > 1.0), axis=1
+                (pred_norm < v_lo) | (pred_norm > v_hi), axis=1
             ).astype(jnp.float32)
             recon_spec, _ = _f(fv, pred_norm)
             err = jnp.mean((ds.spectra - recon_spec) ** 2, axis=1)

@@ -314,16 +314,21 @@ class Trainer:
     # ------------------------------------------------------------------
     # Evaluation / artifacts
     # ------------------------------------------------------------------
-    def evaluator(self) -> Evaluator:
+    def evaluator(self, violation_window: tuple = (0.0, 1.0)) -> Evaluator:
         assert self.pigan_state is not None, "train or init_pigan first"
         st = self.pigan_state
         return Evaluator(
             self.generator, self.discriminator, self.forward_model,
             st.g.variables, st.d.variables, st.f.variables,
+            violation_window=violation_window,
         )
 
-    def evaluate(self, key: jax.Array | None = None) -> Dict:
-        return self.evaluator().run_comprehensive_evaluation(self.ds, key)
+    def evaluate(
+        self, key: jax.Array | None = None, violation_window: tuple = (0.0, 1.0)
+    ) -> Dict:
+        return self.evaluator(violation_window).run_comprehensive_evaluation(
+            self.ds, key
+        )
 
     def save_final(self, directory: str) -> None:
         assert self.pigan_state is not None
