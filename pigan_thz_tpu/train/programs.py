@@ -38,6 +38,11 @@ class Phase:
     forward_settings: ForwardStepSettings = field(default_factory=ForwardStepSettings)
     gan_settings: Optional[StepSettings] = None
     lr: Optional[float] = None                     # forward-phase LR override
+    # per-phase GAN optimizer policies (unified_constraint_trainer.py:196-214)
+    lr_g: Optional[float] = None
+    lr_d: Optional[float] = None
+    schedule_g: Optional[str] = None               # cosine|linear|step|constant
+    schedule_d: Optional[str] = None
     constraint_schedule: Optional[Callable[[int], float]] = None
     snapshot_metric: Optional[str] = None
     snapshot_mode: str = "min"
@@ -90,6 +95,10 @@ def run_program(trainer: Trainer, phases: List[Phase], log_every: int = 10) -> P
                 snapshot_metric=phase.snapshot_metric,
                 snapshot_mode=phase.snapshot_mode,
                 early_stop=phase.early_stop,
+                lr_g=phase.lr_g,
+                lr_d=phase.lr_d,
+                schedule_g=phase.schedule_g,
+                schedule_d=phase.schedule_d,
             )
         else:
             raise ValueError(f"unknown phase kind: {phase.kind!r}")
@@ -186,6 +195,7 @@ def emergency_phases(
                 adv_w=0.1, recon_w=10.0, physics_spec_w=2.0, cycle_w=1.0,
                 d_update_every=2, detach_forward=False,
             ),
+            lr_d=5e-5,  # emergency_trainer.py:64-83: reduced D learning rate
         ),
     ]
 

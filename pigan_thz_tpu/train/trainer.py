@@ -217,19 +217,49 @@ class Trainer:
         snapshot_mode: str = "min",
         early_stop: Optional[Callable[[Dict[str, float]], bool]] = None,
         checkpoint_manager: Optional[ckpt.CheckpointManager] = None,
+        lr_g: Optional[float] = None,
+        lr_d: Optional[float] = None,
+        schedule_g: Optional[str] = None,
+        schedule_d: Optional[str] = None,
     ) -> History:
         """Run GAN epochs with optional constraint annealing
         (unified_constraint_trainer.py:515-529), best-snapshot restore
-        (:645-674) and metric-based early stop (:662-665)."""
+        (:645-674), metric-based early stop (:662-665), and per-phase
+        optimizer policy overrides — the constraint trainer's per-mode
+        LR + Cosine/Linear/Step scheduler pairings (:196-214).  Overriding
+        an optimizer resets its Adam moments (a fresh phase, matching the
+        reference's re-created optimizers per mode)."""
         cfg = self.cfg
         epochs = epochs or cfg.train.num_epochs
         settings = settings or StepSettings.from_config(cfg)
         if self.pigan_state is None:
             self.init_pigan()
 
+        g_tx, d_tx = self.g_tx, self.d_tx
+        if lr_g is not None or schedule_g is not None:
+            g_tx = build_optimizer(
+                lr=lr_g if lr_g is not None else cfg.train.lr_g,
+                total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
+                schedule=schedule_g or "cosine", b1=0.5,
+                grad_clip=cfg.train.grad_clip,
+            )
+            self.pigan_state = self.pigan_state.replace(
+                g_opt=g_tx.init(self.pigan_state.g.params)
+            )
+        if lr_d is not None or schedule_d is not None:
+            d_tx = build_optimizer(
+                lr=lr_d if lr_d is not None else cfg.train.lr_d,
+                total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
+                schedule=schedule_d or "step", b1=0.5,
+                grad_clip=cfg.train.grad_clip,
+            )
+            self.pigan_state = self.pigan_state.replace(
+                d_opt=d_tx.init(self.pigan_state.d.params)
+            )
+
         step_fn = make_pigan_step(
             self.generator, self.discriminator, self.forward_model,
-            self.g_tx, self.d_tx, settings, self.ds.param_lo, self.ds.param_hi,
+            g_tx, d_tx, settings, self.ds.param_lo, self.ds.param_hi,
         )
         multi_epoch = self._make_multi_epoch(step_fn, with_scale=True)
 
