@@ -19,9 +19,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 import jax
+
+# Persistent compilation cache: first-time compiles through the remote
+# tunnel take minutes and occasionally stall; cached runs start instantly.
+# (The config API takes effect reliably where the env vars do not.)
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_STEPS_PER_SEC = 2.0  # reference CPU upper bound
 

@@ -46,3 +46,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: call once per process before building the mesh.
+
+    After this, `jax.devices()` spans all hosts and `make_mesh` lays the
+    same (data, model) axes over ICI within a slice and DCN across slices —
+    no code changes anywhere else (the scaling-book recipe).  Arguments are
+    optional because TPU pod environments auto-populate them.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

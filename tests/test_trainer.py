@@ -112,3 +112,23 @@ def test_constraint_finetune_reduces_violation(cfg, small_ds):
         "param_range_violation_rate"
     ]
     assert after <= before
+
+
+def test_per_phase_optimizer_override(cfg, small_ds):
+    """Per-mode LR/scheduler policies (unified_constraint_trainer.py:196-214)."""
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=100, lr_d=5e-5, schedule_g="linear")
+    assert np.isfinite(t.train_history["pigan/g_loss"][-1])
+
+
+def test_violation_window_modes(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds)
+    t.init_pigan()
+    parity = t.evaluate()["structural_prediction_evaluation"][
+        "param_range_violation_rate"]
+    sane = t.evaluate(violation_window=(-1.0, 1.0))[
+        "structural_prediction_evaluation"]["param_range_violation_rate"]
+    # tanh outputs never leave [-1,1]; the parity window reports more
+    assert sane == 0.0
+    assert parity >= sane
