@@ -32,6 +32,8 @@ from .config import PiGanConfig, apply_overrides, default_config
 def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                      help="config override, e.g. --set train.num_epochs=200")
+    sub.add_argument("--config", default=None, metavar="YAML",
+                     help="YAML config file (applied before --set overrides)")
     sub.add_argument("--csv", default=None, help="dataset CSV path (else synthetic)")
     sub.add_argument("--workdir", default="runs", help="output directory")
     sub.add_argument("--seed", type=int, default=None)
@@ -39,6 +41,10 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
 
 def _make_cfg(args) -> PiGanConfig:
     cfg = default_config()
+    if args.config:
+        from .config import from_yaml
+
+        cfg = from_yaml(args.config, cfg)
     if args.seed is not None:
         cfg = apply_overrides(cfg, [f"train.seed={args.seed}", f"data.seed={args.seed}"])
     cfg = apply_overrides(cfg, args.set)

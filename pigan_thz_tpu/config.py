@@ -260,3 +260,45 @@ def apply_overrides(cfg: PiGanConfig, overrides: Sequence[str]) -> PiGanConfig:
 
 def default_config() -> PiGanConfig:
     return PiGanConfig()
+
+
+def _to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def _flatten(d: Mapping[str, Any], prefix: str = ""):
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            yield from _flatten(v, key + ".")
+        else:
+            yield key, v
+
+
+def to_yaml(cfg: PiGanConfig, path: str) -> None:
+    """Write the full config as YAML (the config.yaml the reference README
+    promises but never ships, README.md:55)."""
+    import yaml
+
+    with open(path, "w") as fh:
+        yaml.safe_dump(_to_dict(cfg), fh, sort_keys=False)
+
+
+def from_yaml(path: str, base: PiGanConfig | None = None) -> PiGanConfig:
+    """Load a YAML config (full or partial) over `base`/defaults.  Nested
+    keys map to the dataclass tree; unknown keys raise."""
+    import yaml
+
+    with open(path) as fh:
+        data = yaml.safe_load(fh) or {}
+    cfg = base or default_config()
+    overrides = []
+    for key, value in _flatten(data):
+        if isinstance(value, list):
+            value = ",".join(str(v) for v in value)
+        overrides.append(f"{key}={value}")
+    return apply_overrides(cfg, overrides)

@@ -1,3 +1,4 @@
+from .inverse import DesignResult, InverseDesigner
 from .screening import (
     METRIC_INDEX,
     ScreeningConfig,
@@ -5,4 +6,11 @@ from .screening import (
     screen_designs,
 )
 
-__all__ = ["METRIC_INDEX", "ScreeningConfig", "ScreeningResult", "screen_designs"]
+__all__ = [
+    "DesignResult",
+    "InverseDesigner",
+    "METRIC_INDEX",
+    "ScreeningConfig",
+    "ScreeningResult",
+    "screen_designs",
+]

@@ -184,6 +184,29 @@ def init_ensemble_states(
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def evaluate_ensemble(generator, forward_model, states: PiGanState, ds: ThzDataset):
+    """Per-member quality metrics, vmapped over the ensemble axis:
+    returns dict of (N,) arrays — param R², spectrum reconstruction MSE via
+    F∘G, violation rate (parity window), cycle error.  Closes the λ-ablation
+    loop: sweep with make_ensemble_epoch_fn, rank with this."""
+    from ..ops.metrics import r2_score
+
+    def one(g_state: ModelState, f_state: ModelState):
+        pred_norm = generator.apply(g_state.variables, ds.spectra, train=False)
+        pred_phys = denormalize_params(pred_norm, ds.param_lo, ds.param_hi)
+        out = forward_model.apply(f_state.variables, pred_norm, train=False)
+        recon = out[0]
+        err = jnp.mean((ds.spectra - recon) ** 2)
+        return {
+            "param_r2": r2_score(ds.params, pred_phys),
+            "recon_mse": err,
+            "violation_rate": L.violation_rate(pred_norm, 0.0, 1.0),
+            "cycle_error": err,
+        }
+
+    return jax.jit(jax.vmap(one))(states.g, states.f)
+
+
 def make_ensemble_epoch_fn(step_fn, batch_size: int):
     """epoch(states, ds, key, weights(N,7)) -> (states, metrics(N,...)).
 
