@@ -24,7 +24,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 
 from pigan_thz_tpu import default_config
 from pigan_thz_tpu.train import Trainer, checkpoint as ckpt

@@ -230,8 +230,6 @@ def cmd_screen(args) -> int:
         f, fv, ds.frequencies, ds.param_lo, ds.param_hi,
         jax.random.PRNGKey(cfg.train.seed), sc,
     )
-    import numpy as np
-
     rows = []
     for i in range(args.top_k):
         rows.append({

@@ -17,7 +17,6 @@ Reference parity notes (file:line cite the reference repo):
 from __future__ import annotations
 
 import dataclasses
-import os
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Sequence
 

@@ -20,7 +20,6 @@ Suites and their reference counterparts:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -15,7 +15,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

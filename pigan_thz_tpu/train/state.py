@@ -15,11 +15,9 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..config import PiGanConfig
-from .schedules import build_optimizer, from_config
-from ..config import OptimizerConfig
+from .schedules import build_optimizer
 
 
 @struct.dataclass

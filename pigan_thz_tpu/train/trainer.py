@@ -13,7 +13,6 @@ exactly the split XLA wants.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Callable, Dict, List, Optional
 
