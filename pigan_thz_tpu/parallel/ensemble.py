@@ -184,6 +184,23 @@ def init_ensemble_states(
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def shard_ensemble(states: PiGanState, mesh) -> PiGanState:
+    """Shard the leading ensemble axis over the mesh data axis: N members
+    split across chips, each running its own GAN update locally (no
+    cross-chip traffic inside the vmapped step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import DATA_AXIS
+
+    def rule(x):
+        spec = [None] * x.ndim
+        if x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            spec[0] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(lambda x: jax.device_put(x, rule(x)), states)
+
+
 def evaluate_ensemble(generator, forward_model, states: PiGanState, ds: ThzDataset):
     """Per-member quality metrics, vmapped over the ensemble axis:
     returns dict of (N,) arrays — param R², spectrum reconstruction MSE via

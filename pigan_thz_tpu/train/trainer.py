@@ -54,6 +54,7 @@ class Trainer:
         csv_path: Optional[str] = None,
         epochs_per_call: int = 25,
         mesh=None,
+        nan_guard: bool = True,
     ):
         # epochs_per_call > 1 scans whole epochs inside one jit call
         # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
@@ -70,6 +71,8 @@ class Trainer:
         self.pigan_state: Optional[PiGanState] = None
         self.train_history: History = {}
         self.epochs_per_call = max(1, epochs_per_call)
+        self.nan_guard = nan_guard  # fail fast on divergence (SURVEY §5:
+        # the reference only checks NaN inside one constraint loss)
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -102,7 +105,13 @@ class Trainer:
 
     def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
         for k, v in metrics.items():
-            self.train_history.setdefault(f"{prefix}{k}", []).append(float(v))
+            val = float(v)
+            if self.nan_guard and val != val:
+                raise FloatingPointError(
+                    f"non-finite {prefix}{k} at epoch {epoch} — training "
+                    "diverged (disable with Trainer(nan_guard=False))"
+                )
+            self.train_history.setdefault(f"{prefix}{k}", []).append(val)
         if self.logger:
             self.logger.add_scalars(
                 {k: float(v) for k, v in metrics.items()}, epoch, prefix
