@@ -88,17 +88,28 @@ def cmd_train(args) -> int:
     from .train.steps import StepSettings
 
     settings = StepSettings.from_config(cfg, detach_forward=not args.fixed_physics)
+    mgr = None
+    if args.checkpoint_dir:
+        from .train import checkpoint as ckpt_mod
+
+        mgr = ckpt_mod.CheckpointManager(
+            args.checkpoint_dir, save_interval=cfg.train.save_interval
+        )
     if args.mode == "forward_only":
         trainer.pretrain_forward(epochs=args.epochs)
     elif args.mode == "pigan_only":
         if args.forward_model:
             _load_pretrained_forward(trainer, args.forward_model)
         trainer.init_pigan()
-        trainer.train_pigan(epochs=args.epochs, settings=settings)
+        trainer.train_pigan(epochs=args.epochs, settings=settings,
+                            checkpoint_manager=mgr)
     else:
         trainer.pretrain_forward(epochs=args.forward_epochs)
         trainer.init_pigan()
-        trainer.train_pigan(epochs=args.epochs, settings=settings)
+        trainer.train_pigan(epochs=args.epochs, settings=settings,
+                            checkpoint_manager=mgr)
+    if mgr is not None:
+        mgr.close()
     out = args.out or os.path.join(cfg.workdir, "saved_models")
     trainer.save_final(out)
     logger.info(f"saved final models under {out}")
@@ -288,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "no_grad behaviour)")
     g.add_argument("--out", default=None)
     g.add_argument("--plot", action="store_true")
+    g.add_argument("--checkpoint-dir", default=None,
+                   help="periodic full-state checkpoints every "
+                        "train.save_interval epochs (resume-capable)")
     g.set_defaults(fn=cmd_train)
 
     g = sub.add_parser("program", help="run a multi-phase training program")

@@ -74,10 +74,23 @@ def screen_designs(
     param_hi: jax.Array,
     key: jax.Array,
     cfg: ScreeningConfig = ScreeningConfig(),
+    mesh=None,
 ) -> ScreeningResult:
-    """Run the full screen on device; returns the global top-k designs."""
+    """Run the full screen on device; returns the global top-k designs.
+
+    With `mesh`, each chunk's candidate batch is sharded over the data axis
+    (surrogate weights replicated) — on a v5e-8 slice the same program
+    screens 8 chunks' worth of candidates per step, with only the final
+    top-k reduction crossing chips (BASELINE config #5)."""
     n_chunks = -(-cfg.num_candidates // cfg.chunk_size)
     spectrum_dim = frequencies.shape[0]
+    batch_constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        batch_constraint = NamedSharding(mesh, P(DATA_AXIS))
 
     @partial(jax.jit, static_argnums=())
     def run(key):
@@ -86,6 +99,10 @@ def screen_designs(
             params_norm = jax.random.uniform(
                 k, (cfg.chunk_size, param_lo.shape[0]), minval=-1.0, maxval=1.0
             )
+            if batch_constraint is not None:
+                params_norm = jax.lax.with_sharding_constraint(
+                    params_norm, batch_constraint
+                )
             if cfg.use_pallas:
                 from ..ops.pallas_kernels import forward_surrogate_fused
 
