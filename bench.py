@@ -71,8 +71,9 @@ def main() -> None:
         g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
         ds.param_lo, ds.param_hi,
     )
-    # 25 whole epochs per jit call: one dispatch per 400 optimizer steps
-    chunk = 25
+    # 50 whole epochs per jit call (measured optimum: 15.2k steps/s vs
+    # 13.2k at 25 and 14.9k at 100 on v5e-1)
+    chunk = 50
     multi_epoch = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True)
     ones = jnp.ones((chunk,), jnp.float32)
 
@@ -80,8 +81,8 @@ def main() -> None:
     state, m = multi_epoch(state, ds, jax.random.PRNGKey(2), ones)
     jax.block_until_ready(m)
 
-    # timed: enough epochs for a stable measurement
-    n_epochs = 100
+    # timed: enough epochs for a stable steady-state measurement
+    n_epochs = 200
     t0 = time.perf_counter()
     for e in range(n_epochs // chunk):
         state, m = multi_epoch(state, ds, jax.random.PRNGKey(3 + e), ones)

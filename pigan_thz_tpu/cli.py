@@ -95,24 +95,31 @@ def cmd_train(args) -> int:
         mgr = ckpt_mod.CheckpointManager(
             args.checkpoint_dir, save_interval=cfg.train.save_interval
         )
+    out = args.out or os.path.join(cfg.workdir, "saved_models")
     if args.mode == "forward_only":
-        trainer.pretrain_forward(epochs=args.epochs)
-    elif args.mode == "pigan_only":
-        if args.forward_model:
-            _load_pretrained_forward(trainer, args.forward_model)
-        trainer.init_pigan()
-        trainer.train_pigan(epochs=args.epochs, settings=settings,
-                            checkpoint_manager=mgr)
+        trainer.pretrain_forward(epochs=args.epochs, checkpoint_manager=mgr)
+        from .train import checkpoint as ckpt_mod2
+
+        ckpt_mod2.save_pytree(
+            out, ckpt_mod2.FORWARD_MODEL_PRETRAINED,
+            trainer.forward_state.f.variables,
+        )
+        logger.info(f"saved pretrained forward model under {out}")
     else:
-        trainer.pretrain_forward(epochs=args.forward_epochs)
+        if args.mode == "pigan_only":
+            if args.forward_model:
+                _load_pretrained_forward(trainer, args.forward_model)
+        else:
+            # full mode checkpoints the GAN stage only: one manager holds one
+            # state type (ForwardState and PiGanState have different trees)
+            trainer.pretrain_forward(epochs=args.forward_epochs)
         trainer.init_pigan()
         trainer.train_pigan(epochs=args.epochs, settings=settings,
                             checkpoint_manager=mgr)
+        trainer.save_final(out)
+        logger.info(f"saved final models under {out}")
     if mgr is not None:
         mgr.close()
-    out = args.out or os.path.join(cfg.workdir, "saved_models")
-    trainer.save_final(out)
-    logger.info(f"saved final models under {out}")
     if args.plot:
         from .utils.viz import plot_training_curves
 
@@ -237,9 +244,15 @@ def cmd_screen(args) -> int:
         objective=args.objective, chunk_size=args.chunk_size,
         use_pallas=args.pallas,
     )
+    mesh = None
+    if args.mesh_data > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=1,
+                         devices=jax.devices()[: args.mesh_data])
     res = screen_designs(
         f, fv, ds.frequencies, ds.param_lo, ds.param_hi,
-        jax.random.PRNGKey(cfg.train.seed), sc,
+        jax.random.PRNGKey(cfg.train.seed), sc, mesh=mesh,
     )
     rows = []
     for i in range(args.top_k):
@@ -332,6 +345,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--chunk-size", type=int, default=8192)
     g.add_argument("--objective", default="FoM1")
     g.add_argument("--pallas", action="store_true")
+    g.add_argument("--mesh-data", type=int, default=1,
+                   help="shard candidate batches over N devices")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_screen)
 

@@ -129,10 +129,18 @@ def build_dataset(
     params: jax.Array,
     metrics: jax.Array,
     cfg: DataConfig,
+    frequencies: jax.Array | None = None,
 ) -> ThzDataset:
+    """`frequencies` overrides the config linspace — CSV loaders pass the
+    actual Freq_* header values so peak analysis works on any grid."""
     lo = jnp.full((cfg.param_dim,), cfg.param_min, dtype=jnp.float32)
     hi = jnp.full((cfg.param_dim,), cfg.param_max, dtype=jnp.float32)
     mlo, mhi = metric_ranges_from_data(metrics)
+    freq = (
+        jnp.asarray(frequencies, jnp.float32)
+        if frequencies is not None
+        else cfg.frequencies
+    )
     return ThzDataset(
         spectra=jnp.asarray(spectra, jnp.float32),
         params=jnp.asarray(params, jnp.float32),
@@ -143,7 +151,7 @@ def build_dataset(
         param_hi=hi,
         metric_lo=mlo,
         metric_hi=mhi,
-        frequencies=cfg.frequencies,
+        frequencies=freq,
     )
 
 
@@ -161,7 +169,13 @@ def synthetic_dataset(cfg: DataConfig, key: jax.Array | None = None) -> ThzDatas
 
 
 def _spectrum_columns(freqs: np.ndarray) -> list[str]:
-    return [f"Freq_{f:.2f}" for f in freqs]
+    """Reference format is 2 decimals (data_loader.py:135); raise precision
+    automatically when a finer grid would produce duplicate labels."""
+    for decimals in range(2, 8):
+        cols = [f"Freq_{f:.{decimals}f}" for f in freqs]
+        if len(set(cols)) == len(cols):
+            return cols
+    raise ValueError("cannot produce unique Freq_* labels for this grid")
 
 
 def load_csv(path: str, cfg: DataConfig) -> ThzDataset:
@@ -197,7 +211,8 @@ def load_csv(path: str, cfg: DataConfig) -> ThzDataset:
     spectra = df[spec_cols].to_numpy(dtype=np.float32)
     params = df[list(PARAM_NAMES)].to_numpy(dtype=np.float32)
     metrics = df[list(METRIC_NAMES)].to_numpy(dtype=np.float32)
-    return build_dataset(spectra, params, metrics, cfg)
+    freqs = np.array([float(c.split("_", 1)[1]) for c in spec_cols], np.float32)
+    return build_dataset(spectra, params, metrics, cfg, frequencies=freqs)
 
 
 def save_csv(ds: ThzDataset, path: str) -> None:

@@ -119,7 +119,8 @@ def load_csv_native(path: str, cfg):
         from ..config import DataConfig
 
         cfg = DataConfig(**{**cfg.__dict__, "spectrum_dim": len(spec_cols)})
-    return build_dataset(spectra, params, metrics, cfg)
+    freqs = np.array([float(c.split("_", 1)[1]) for c in spec_cols], np.float32)
+    return build_dataset(spectra, params, metrics, cfg, frequencies=freqs)
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,11 @@ def screen_designs(
     n_chunks = -(-cfg.num_candidates // cfg.chunk_size)
     spectrum_dim = frequencies.shape[0]
     batch_constraint = None
+    if mesh is not None and cfg.use_pallas:
+        raise ValueError(
+            "use_pallas and mesh sharding are mutually exclusive: pallas_call "
+            "has no SPMD partitioning rule for the sharded candidate batch"
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -17,8 +17,8 @@ Training keeps the standard XLA path (fusion there is already
 near-roofline at these sizes, and the backward pass would need a custom
 VJP for no measured win).
 
-Numerics match flax exactly in fp32 (LayerNorm epsilon 1e-5 first, like
-flax.linen.LayerNorm; LeakyReLU slope 0.2).
+Numerics match the flax path in fp32 (LayerNorm epsilon 1e-6 = flax default;
+LeakyReLU slope 0.2) up to matmul precision ordering.
 """
 
 from __future__ import annotations
@@ -40,8 +40,20 @@ def _round_up(x: int, m: int) -> int:
 def extract_forward_mlp_weights(variables: Any, num_blocks: int = 5):
     """Flatten a ForwardMLP variables dict into per-layer (W, b, scale, bias)
     lists plus the head (W, b).  Layout follows models.forward_model.ForwardMLP
-    (MLPBlock_i -> Dense_0 + LayerNorm_0, head Dense_0)."""
+    (MLPBlock_i -> Dense_0 + LayerNorm_0, head Dense_0).
+
+    Validates the architecture: enhanced forward models (branched / physics /
+    uncertainty) contain extra or differently-named modules whose weights
+    would otherwise be silently mis-wired into a wrong chain."""
     p = variables["params"]
+    expected = {f"MLPBlock_{i}" for i in range(num_blocks)} | {"Dense_0"}
+    actual = set(p.keys())
+    if actual != expected:
+        raise ValueError(
+            "fused kernel supports the baseline ForwardMLP only; got modules "
+            f"{sorted(actual)} (expected {sorted(expected)}) — use the XLA "
+            "path for enhanced forward models"
+        )
     layers = []
     for i in range(num_blocks):
         blk = p[f"MLPBlock_{i}"]
@@ -57,7 +69,7 @@ def fused_mlp_forward(
     layers: Sequence[tuple],
     head: tuple,
     leaky_slope: float = 0.2,
-    ln_eps: float = 1e-5,
+    ln_eps: float = 1e-6,
     tile_b: int = 256,
     interpret: bool = False,
 ) -> jax.Array:

@@ -80,21 +80,31 @@ class CheckpointManager:
 
     def __init__(self, directory: str, max_to_keep: int = 3, save_interval: int = 50):
         self.directory = os.path.abspath(directory)
+        self.save_interval = max(1, save_interval)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            save_interval_steps=save_interval,
             create=True,
         )
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.directory, TRAIN_STATE), options=options
         )
+        self._last_saved: int | None = None
 
     def maybe_save(self, epoch: int, state) -> bool:
+        """Save when an interval boundary has been CROSSED since the last
+        save — robust to callers that only observe chunked epoch counts
+        (epoch may jump by epochs_per_call, never landing on an exact
+        multiple of save_interval)."""
+        prev = self._last_saved if self._last_saved is not None else 0
+        if epoch // self.save_interval <= prev // self.save_interval and prev != 0:
+            return False
+        if epoch < self.save_interval:
+            return False
         # copy: saves are async and training loops donate the live state
-        if self._mgr.should_save(epoch):
-            state = jax.tree.map(jnp.copy, state)
-        saved = self._mgr.save(epoch, args=ocp.args.StandardSave(state))
-        return bool(saved)
+        state = jax.tree.map(jnp.copy, state)
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state), force=True)
+        self._last_saved = epoch
+        return True
 
     def save(self, epoch: int, state) -> None:
         self._mgr.save(epoch, args=ocp.args.StandardSave(state), force=True)

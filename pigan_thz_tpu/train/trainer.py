@@ -13,6 +13,7 @@ exactly the split XLA wants.
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -62,6 +63,15 @@ class Trainer:
         # tensor-parallel wide kernels (parallel/sharding.py rules).
         self.cfg = cfg
         self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
+        if self.ds.spectrum_dim != cfg.data.spectrum_dim:
+            # a CSV with a different Freq_* column count adapts the whole
+            # config, so models are built against the real spectrum width
+            import dataclasses as _dc
+
+            cfg = cfg.replace(
+                data=_dc.replace(cfg.data, spectrum_dim=self.ds.spectrum_dim)
+            )
+            self.cfg = cfg
         self.logger = logger
         self.generator, self.discriminator, self.forward_model = build_trio(cfg)
         self.steps_per_epoch = max(1, self.ds.num_samples // cfg.train.batch_size)
@@ -78,18 +88,27 @@ class Trainer:
             from ..parallel.sharding import replicate_dataset
 
             self.ds = replicate_dataset(self.ds, mesh)
-        self._epoch_fns: dict = {}  # cache compiled epoch fns by settings key
+        # cache of jit-wrapped multi-epoch fns keyed by (kind, settings,
+        # optimizer overrides) — re-running a phase with identical settings
+        # (e.g. repeated program phases) reuses the traced/compiled program
+        self._epoch_fns: dict = {}
 
-    def _make_multi_epoch(self, step_fn, with_scale: bool):
+    def _make_multi_epoch(self, step_fn, with_scale: bool, cache_key=None):
+        if cache_key is not None and cache_key in self._epoch_fns:
+            return self._epoch_fns[cache_key]
         if self.mesh is not None:
             from ..parallel.sharding import make_parallel_multi_epoch_fn
 
-            return make_parallel_multi_epoch_fn(
+            fn = make_parallel_multi_epoch_fn(
                 step_fn, self.cfg.train.batch_size, self.mesh, with_scale=with_scale
             )
-        return make_multi_epoch_fn(
-            step_fn, self.cfg.train.batch_size, with_scale=with_scale
-        )
+        else:
+            fn = make_multi_epoch_fn(
+                step_fn, self.cfg.train.batch_size, with_scale=with_scale
+            )
+        if cache_key is not None:
+            self._epoch_fns[cache_key] = fn
+        return fn
 
     def _maybe_shard(self, state):
         if self.mesh is not None:
@@ -106,7 +125,7 @@ class Trainer:
     def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
         for k, v in metrics.items():
             val = float(v)
-            if self.nan_guard and val != val:
+            if self.nan_guard and not math.isfinite(val):
                 raise FloatingPointError(
                     f"non-finite {prefix}{k} at epoch {epoch} — training "
                     "diverged (disable with Trainer(nan_guard=False))"
@@ -130,6 +149,7 @@ class Trainer:
         early_stop_patience: Optional[int] = None,
         keep_best: bool = False,
         reset: bool = False,
+        checkpoint_manager: Optional[ckpt.CheckpointManager] = None,
     ) -> History:
         cfg = self.cfg
         epochs = epochs or cfg.train.fwd_pretrain_epochs
@@ -148,7 +168,9 @@ class Trainer:
                 )
             )
         multi_epoch = self._make_multi_epoch(
-            make_forward_step(self.forward_model, tx, settings), with_scale=False
+            make_forward_step(self.forward_model, tx, settings),
+            with_scale=False,
+            cache_key=("fwd", settings, lr, epochs if lr is not None else None),
         )
 
         best_loss, best_state, bad_epochs = float("inf"), None, 0
@@ -181,6 +203,8 @@ class Trainer:
             if keep_best and improved_in_chunk:
                 # snapshot at chunk granularity (copy: next call donates)
                 best_state = jax.tree.map(jnp.copy, self.forward_state)
+            if checkpoint_manager is not None:
+                checkpoint_manager.maybe_save(epoch + chunk, self.forward_state)
             epoch += chunk
         if keep_best and best_state is not None:
             self.forward_state = best_state
@@ -269,7 +293,14 @@ class Trainer:
             self.generator, self.discriminator, self.forward_model,
             g_tx, d_tx, settings, self.ds.param_lo, self.ds.param_hi,
         )
-        multi_epoch = self._make_multi_epoch(step_fn, with_scale=True)
+        override_key = (
+            (lr_g, lr_d, schedule_g, schedule_d, epochs)
+            if any(x is not None for x in (lr_g, lr_d, schedule_g, schedule_d))
+            else None
+        )
+        multi_epoch = self._make_multi_epoch(
+            step_fn, with_scale=True, cache_key=("gan", settings, override_key)
+        )
 
         best_val, best_state = None, None
         key = jax.random.PRNGKey(cfg.train.seed + 3000)
