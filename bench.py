@@ -5,9 +5,10 @@ Baseline: the reference trains on CPU at ~1.3-2 steps/s (16 batches of 64 in
 logs/PIGAN_train_20250711-215855/PIGAN_train.log — see BASELINE.md).  We use
 the generous end of that range (2.0 steps/s) as the denominator.
 
-The benchmark reproduces the reference workload shape exactly — 1000-sample
-dataset, batch 64, 16 optimizer steps per epoch, full alternating D+G update
-with all physics losses — and times whole jitted epoch-scans after warmup.
+The benchmark reproduces the reference workload shape — 1000-sample dataset,
+batch 64, 15 full-batch optimizer steps per epoch (the ragged 16th partial
+batch is dropped for a static step shape), full alternating D+G update with
+all physics losses — and times whole jitted epoch-scans after warmup.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -62,17 +62,22 @@ def main() -> int:
     cfg = default_config()
     trainer = Trainer(cfg, epochs_per_call=args.chunk)
 
+    def restore_forward(trainer) -> None:
+        """Load the partial forward weights saved at the last chunk.
+        (Optimizer moments are reinitialized on resume — documented cost of
+        the weights-only forward checkpoint.)"""
+        trainer.pretrain_forward(epochs=0)  # epochs=0 = init state only
+        variables = ckpt.restore_pytree(
+            args.workdir, "fwd_partial", trainer.forward_state.f.variables
+        )
+        trainer.forward_state = trainer.forward_state.replace(
+            f=ModelState.from_variables(variables)
+        )
+
     # ---- stage 1: forward pretrain (chunk-resumable) -------------------
     if prog["fwd_epochs"] < args.fwd_epochs:
         if prog["fwd_epochs"] > 0:
-            # restore partial forward state
-            trainer.pretrain_forward(epochs=0)  # initialize state container
-            variables = ckpt.restore_pytree(
-                args.workdir, "fwd_partial", trainer.forward_state.f.variables
-            )
-            trainer.forward_state = trainer.forward_state.replace(
-                f=ModelState.from_variables(variables)
-            )
+            restore_forward(trainer)
         while prog["fwd_epochs"] < args.fwd_epochs:
             n = min(args.chunk, args.fwd_epochs - prog["fwd_epochs"])
             trainer.pretrain_forward(epochs=n, log_every=10**9, seed=prog["fwd_epochs"])
@@ -83,13 +88,7 @@ def main() -> int:
             print(f"fwd {prog['fwd_epochs']}/{args.fwd_epochs} "
                   f"({time.time()-t0:.0f}s)", flush=True)
     else:
-        trainer.pretrain_forward(epochs=0)
-        variables = ckpt.restore_pytree(
-            args.workdir, "fwd_partial", trainer.forward_state.f.variables
-        )
-        trainer.forward_state = trainer.forward_state.replace(
-            f=ModelState.from_variables(variables)
-        )
+        restore_forward(trainer)
 
     # ---- stage 2: PI-GAN (manager-checkpointed) ------------------------
     settings = StepSettings.from_config(cfg, detach_forward=False)
@@ -102,7 +101,8 @@ def main() -> int:
         trainer.pigan_state = restored
     while prog["gan_epochs"] < args.gan_epochs:
         n = min(args.chunk, args.gan_epochs - prog["gan_epochs"])
-        trainer.train_pigan(epochs=n, log_every=10**9, settings=settings)
+        trainer.train_pigan(epochs=n, log_every=10**9, settings=settings,
+                            seed=prog["gan_epochs"])
         prog["gan_epochs"] += n
         mgr.save(prog["gan_epochs"], trainer.pigan_state)
         save_progress(prog_path, prog)
@@ -133,6 +133,7 @@ def main() -> int:
             epochs=n, log_every=10**9, settings=ft_settings,
             constraint_schedule=lambda e, base=base: anneal(base + e),
             snapshot_metric="violation_rate", snapshot_mode="min",
+            seed=10_000 + prog["ft_epochs"],
         )
         prog["ft_epochs"] += n
         ft_mgr.save(prog["ft_epochs"], trainer.pigan_state)

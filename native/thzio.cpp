@@ -90,13 +90,20 @@ inline float scan_float(const char* p, const char* end, const char** next) {
     }
   }
   if (digits == 0) {  // not a plain number (empty, "nan", "inf", ...)
+    // strtof needs NUL termination; the mmap may end exactly at a page
+    // boundary, so copy the (short) token into a bounded local buffer.
+    char buf[64];
+    size_t n = static_cast<size_t>(end - s);
+    if (n > sizeof(buf) - 1) n = sizeof(buf) - 1;
+    memcpy(buf, s, n);
+    buf[n] = '\0';
     char* e = nullptr;
-    float v = strtof(s, &e);
-    if (e == s) {
+    float v = strtof(buf, &e);
+    if (e == buf) {
       *next = s;
       return NAN;
     }
-    *next = e;
+    *next = s + (e - buf);
     return v;
   }
   int exp = -frac;
@@ -135,19 +142,34 @@ inline float scan_float(const char* p, const char* end, const char** next) {
 }
 
 // Parse one CSV line of floats into row[0..ncols); returns parsed count.
+// One field per comma: an empty field ("a,,b" or a trailing comma) yields
+// NaN in its own column, matching pandas (empty -> NaN, no column shift).
 size_t parse_row(const char* p, const char* end, float* row, size_t ncols) {
   size_t c = 0;
-  while (p < end && c < ncols) {
+  while (c < ncols) {
+    while (p < end && *p == ' ') ++p;
+    if (p >= end || *p == '\n' || *p == '\r') {
+      break;  // line ended; caller pads remaining columns
+    }
+    if (*p == ',') {  // empty field
+      row[c++] = NAN;
+      ++p;
+      continue;
+    }
     const char* next = nullptr;
     float v = scan_float(p, end, &next);
-    if (next == p) {  // unparseable field -> NaN, skip to delimiter
+    if (next == p) {  // unparseable token -> NaN, skip to delimiter
       v = NAN;
       while (next < end && *next != ',' && *next != '\n' && *next != '\r') ++next;
     }
     row[c++] = v;
     p = next;
-    while (p < end && (*p == ',' || *p == ' ')) ++p;
-    if (p < end && (*p == '\n' || *p == '\r')) break;
+    while (p < end && *p == ' ') ++p;
+    if (p < end && *p == ',') {
+      ++p;  // exactly one delimiter
+    } else if (p >= end || *p == '\n' || *p == '\r') {
+      break;
+    }
   }
   return c;
 }
@@ -289,7 +311,7 @@ static PyObject* thzio_write_cache(PyObject*, PyObject* args) {
   ok &= fwrite(&cols, sizeof(cols), 1, f) == 1;
   size_t n = static_cast<size_t>(rows) * cols;
   ok &= n == 0 || fwrite(PyArray_DATA(arr), sizeof(float), n, f) == n;
-  fclose(f);
+  ok &= fclose(f) == 0;  // buffered data may only hit disk here (ENOSPC)
   Py_END_ALLOW_THREADS
   Py_DECREF(arr);
   if (!ok) {

@@ -152,7 +152,9 @@ class Trainer:
         checkpoint_manager: Optional[ckpt.CheckpointManager] = None,
     ) -> History:
         cfg = self.cfg
-        epochs = epochs or cfg.train.fwd_pretrain_epochs
+        # NOTE explicit None check: epochs=0 legitimately means
+        # "initialize state only" (used by resumable pipelines)
+        epochs = cfg.train.fwd_pretrain_epochs if epochs is None else epochs
         tx = self.f_tx
         if lr is not None:
             tx = build_optimizer(
@@ -253,6 +255,7 @@ class Trainer:
         lr_d: Optional[float] = None,
         schedule_g: Optional[str] = None,
         schedule_d: Optional[str] = None,
+        seed: int = 0,
     ) -> History:
         """Run GAN epochs with optional constraint annealing
         (unified_constraint_trainer.py:515-529), best-snapshot restore
@@ -262,7 +265,7 @@ class Trainer:
         an optimizer resets its Adam moments (a fresh phase, matching the
         reference's re-created optimizers per mode)."""
         cfg = self.cfg
-        epochs = epochs or cfg.train.num_epochs
+        epochs = cfg.train.num_epochs if epochs is None else epochs
         settings = settings or StepSettings.from_config(cfg)
         if self.pigan_state is None:
             self.init_pigan()
@@ -303,7 +306,10 @@ class Trainer:
         )
 
         best_val, best_state = None, None
-        key = jax.random.PRNGKey(cfg.train.seed + 3000)
+        # `seed` lets resumable callers vary the shuffle/noise key stream per
+        # chunk of epochs (pass the epoch offset), so N chunked calls do not
+        # replay N identical key sequences
+        key = jax.random.PRNGKey(cfg.train.seed + 3000 + seed)
         t0 = time.time()
         epoch = 0
         stop = False

@@ -92,3 +92,29 @@ def test_parse_csv_fallback_works(tmp_path, small_ds):
     header, data = parse_csv(path)
     assert len(header) == data.shape[1]
     assert data.shape[0] == small_ds.num_samples
+
+
+@needs_native
+def test_mid_row_empty_field_no_column_shift(tmp_path):
+    """'1.0,,3.0,4.0' must parse to [1, NaN, 3, 4] like pandas — an empty
+    mid-row field may NOT shift subsequent values left."""
+    path = str(tmp_path / "mid.csv")
+    with open(path, "w") as fh:
+        fh.write("a,b,c,d\n1.0,,3.0,4.0\n,2.0,,\n")
+    header, data = parse_csv(path)
+    np.testing.assert_allclose(data[0, [0, 2, 3]], [1.0, 3.0, 4.0])
+    assert np.isnan(data[0, 1])
+    assert np.isnan(data[1, 0]) and np.isnan(data[1, 2]) and np.isnan(data[1, 3])
+    np.testing.assert_allclose(data[1, 1], 2.0)
+
+
+@needs_native
+def test_no_trailing_newline_nan_token(tmp_path):
+    """File ending in a fallback token with no trailing newline must not
+    read past the mapping (strtof bounded-buffer path)."""
+    path = str(tmp_path / "tail.csv")
+    with open(path, "w") as fh:
+        fh.write("a,b\n1.5,nan")  # no trailing newline
+    header, data = parse_csv(path)
+    np.testing.assert_allclose(data[0, 0], 1.5)
+    assert np.isnan(data[0, 1])
