@@ -139,6 +139,127 @@ def fused_mlp_forward(
     return out[:b]
 
 
+def fold_batchnorm(W, b, scale, bias, mean, var, eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm into the preceding Dense:
+    BN(xW+b) = (xW+b-mean)/sqrt(var+eps)*scale+bias = x(W*s) + (b-mean)*s+bias
+    with s = scale/sqrt(var+eps).  Exact for inference (running stats)."""
+    s = scale / jnp.sqrt(var + eps)
+    return W * s[None, :], (b - mean) * s + bias
+
+
+def extract_generator_weights(variables: Any, num_hidden: int = 2):
+    """MLPGenerator (Dense->BatchNorm->ReLU blocks + Dense head, tanh) ->
+    BatchNorm-folded [(W, b)] chain.  Validates the layout like the forward
+    extractor."""
+    p = variables["params"]
+    stats = variables.get("batch_stats")
+    if stats is None:
+        raise ValueError("generator variables lack batch_stats (need BN stats)")
+    expected = {f"MLPBlock_{i}" for i in range(num_hidden)} | {"Dense_0"}
+    if set(p.keys()) != expected:
+        raise ValueError(
+            f"fused generator supports the baseline MLPGenerator only; got "
+            f"{sorted(p.keys())}"
+        )
+    layers = []
+    for i in range(num_hidden):
+        blk = p[f"MLPBlock_{i}"]
+        dense = blk["Dense_0"]
+        bn = blk["NormAct_0"]["BatchNorm_0"]
+        bn_stats = stats[f"MLPBlock_{i}"]["NormAct_0"]["BatchNorm_0"]
+        W, b = fold_batchnorm(
+            dense["kernel"], dense["bias"], bn["scale"], bn["bias"],
+            bn_stats["mean"], bn_stats["var"],
+        )
+        layers.append((W, b))
+    head = (p["Dense_0"]["kernel"], p["Dense_0"]["bias"])
+    return layers, head
+
+
+def fused_dense_chain(
+    x: jax.Array,
+    layers: Sequence[tuple],
+    head: tuple,
+    hidden_act: str = "relu",
+    final_act: str = "tanh",
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused plain dense chain (no norm — fold it first): used for the
+    generator's serving path.  Same VMEM-resident weight scheme as
+    fused_mlp_forward."""
+    b, d_in = x.shape
+    d_out = head[0].shape[1]
+    b_pad = _round_up(max(b, 1), tile_b)
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
+
+    flat = []
+    for W, bb in layers:
+        flat += [W, bb]
+    flat += [head[0], head[1]]
+    n_layers = len(layers)
+
+    def act(h, name):
+        if name == "relu":
+            return jnp.maximum(h, 0.0)
+        if name == "tanh":
+            return jnp.tanh(h)
+        if name == "leaky_relu":
+            return jnp.where(h >= 0.0, h, 0.2 * h)
+        return h
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:-1]
+        out_ref = refs[-1]
+        h = x_ref[:].astype(jnp.float32)
+        for i in range(n_layers):
+            W = w_refs[2 * i][:]
+            bb = w_refs[2 * i + 1][:]
+            h = jnp.dot(h, W, preferred_element_type=jnp.float32) + bb[None, :]
+            h = act(h, hidden_act)
+        W, bb = w_refs[2 * n_layers][:], w_refs[2 * n_layers + 1][:]
+        h = jnp.dot(h, W, preferred_element_type=jnp.float32) + bb[None, :]
+        out_ref[:] = act(h, final_act)
+
+    grid = (b_pad // tile_b,)
+    in_specs = [
+        pl.BlockSpec((tile_b, d_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for w in flat
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_b, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d_out), jnp.float32),
+        interpret=interpret,
+    )(x, *flat)
+    return out[:b]
+
+
+@partial(jax.jit, static_argnames=("num_hidden", "tile_b", "interpret"))
+def generator_fused(
+    variables: Any,
+    spectra: jax.Array,
+    num_hidden: int = 2,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fused replacement for `MLPGenerator.apply(..., train=False)`:
+    spectra (B, S) -> normalized params (B, 4), with BatchNorm folded into
+    the dense weights."""
+    layers, head = extract_generator_weights(variables, num_hidden)
+    return fused_dense_chain(
+        spectra, layers, head, hidden_act="relu", final_act="tanh",
+        tile_b=tile_b, interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnames=("spectrum_dim", "num_blocks", "tile_b", "interpret"))
 def forward_surrogate_fused(
     variables: Any,

@@ -80,3 +80,34 @@ def test_fused_generic_chain():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_generator_fused_bn_folding():
+    """Fused generator with BatchNorm folded must match flax eval mode
+    exactly, including non-trivial running stats."""
+    from pigan_thz_tpu.config import GeneratorConfig
+    from pigan_thz_tpu.models import build_generator
+    from pigan_thz_tpu.ops.pallas_kernels import generator_fused
+
+    g = build_generator(GeneratorConfig())
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (100, 250))
+    gv = dict(g.init(k, x, train=False))
+    gv["batch_stats"] = jax.tree.map(
+        lambda a: a + 0.1 * jax.random.normal(k, a.shape) ** 2, gv["batch_stats"]
+    )
+    ref = g.apply(gv, x, train=False)
+    got = generator_fused(gv, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_generator_fused_rejects_wrong_arch():
+    from pigan_thz_tpu.config import GeneratorConfig
+    from pigan_thz_tpu.models import build_generator
+    from pigan_thz_tpu.ops.pallas_kernels import extract_generator_weights
+
+    g = build_generator(GeneratorConfig(norm="layer"))
+    k = jax.random.PRNGKey(0)
+    gv = g.init(k, jnp.zeros((2, 250)), train=False)
+    with pytest.raises(ValueError):
+        extract_generator_weights(gv)  # no batch_stats -> not the BN model
