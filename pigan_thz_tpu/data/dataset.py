@@ -247,6 +247,32 @@ def load_or_synthesize(cfg: DataConfig, csv_path: str | None = None) -> ThzDatas
     return synthetic_dataset(cfg)
 
 
+def split_dataset(
+    ds: ThzDataset, val_frac: float = 0.2, key: jax.Array | None = None
+) -> tuple[ThzDataset, ThzDataset]:
+    """Shuffled train/validation split (the overlay's validation_split knob,
+    training_optimization.py:114 — declared there, never used; the reference
+    evaluates on its training CSV).  Normalization statistics stay those of
+    the FULL dataset so both splits share the same scales."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = ds.num_samples
+    n_val = max(1, int(round(n * val_frac)))
+    perm = jax.random.permutation(key, n)
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    def take(idx):
+        return ds._replace(
+            spectra=ds.spectra[idx],
+            params=ds.params[idx],
+            params_norm=ds.params_norm[idx],
+            metrics=ds.metrics[idx],
+            metrics_norm=ds.metrics_norm[idx],
+        )
+
+    return take(train_idx), take(val_idx)
+
+
 # ---------------------------------------------------------------------------
 # Batching (index-shuffled, jit-friendly)
 # ---------------------------------------------------------------------------

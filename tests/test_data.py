@@ -140,3 +140,18 @@ def test_gather_batch(small_ds):
     spec, par, parn, met, metn = gather_batch(small_ds, idx)
     assert spec.shape == (8, small_ds.spectrum_dim)
     assert parn.shape == (8, 4)
+
+
+def test_split_dataset(small_ds):
+    from pigan_thz_tpu.data import split_dataset
+    import jax
+
+    train, val = split_dataset(small_ds, val_frac=0.25, key=jax.random.PRNGKey(3))
+    assert val.num_samples == round(small_ds.num_samples * 0.25)
+    assert train.num_samples + val.num_samples == small_ds.num_samples
+    # shared normalization statistics
+    np.testing.assert_array_equal(np.asarray(train.metric_lo), np.asarray(val.metric_lo))
+    # disjoint rows: no spectrum appears in both splits
+    tr = {tuple(np.round(r, 5)) for r in np.asarray(train.spectra[:, :8])}
+    va = {tuple(np.round(r, 5)) for r in np.asarray(val.spectra[:, :8])}
+    assert not (tr & va)

@@ -106,3 +106,17 @@ def test_graft_entry_contract():
     jax.block_until_ready(out)
     assert out[0].shape == (8, 4)
     ge.dryrun_multichip(8)
+
+
+def test_mesh_trainer_end_to_end(cfg, small_ds):
+    """Trainer(mesh=...) must run dp+tp SPMD through pretrain + GAN."""
+    from pigan_thz_tpu.train import Trainer
+
+    mesh = make_mesh(data=4, model=2)
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, mesh=mesh)
+    t.pretrain_forward(epochs=2, log_every=100)
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=100)
+    assert np.isfinite(t.train_history["pigan/g_loss"][-1])
+    wide = t.pigan_state.f.params["MLPBlock_2"]["Dense_0"]["kernel"]
+    assert MODEL_AXIS in str(wide.sharding.spec)
