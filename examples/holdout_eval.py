@@ -1,0 +1,104 @@
+"""Held-out evaluation protocol (reproduces the RESULTS.md table).
+
+Train on an 800-sample split, evaluate all four suites on the 200 unseen
+cells — the honest protocol the reference lacks (it evaluates on its
+training CSV).  Also prints the statistical ceilings implied by the noise
+level: with draw-to-draw R² c, the best possible model score against a
+noisy target is (1+c)/2.
+
+    python examples/holdout_eval.py --gan-epochs 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from pigan_thz_tpu import default_config
+from pigan_thz_tpu.data import split_dataset, synthetic_dataset
+from pigan_thz_tpu.data.synthetic import dip_centers, sample_params, synthesize_spectra
+from pigan_thz_tpu.data.dataset import metric_ranges_from_data, normalize_metrics
+from pigan_thz_tpu.ops.metrics import r2_score
+from pigan_thz_tpu.ops.peaks import batched_peak_metrics
+from pigan_thz_tpu.train import Trainer
+from pigan_thz_tpu.train.steps import StepSettings
+
+
+def noise_ceilings(cfg) -> dict:
+    k = jax.random.PRNGKey(0)
+    params = sample_params(k, cfg.data.num_samples, cfg.data)
+    freq = cfg.data.frequencies
+    c1, c2 = dip_centers(params)
+    m, s = [], []
+    for i in (1, 2):
+        spec = synthesize_spectra(freq, params, jax.random.PRNGKey(i),
+                                  cfg.data.noise_level)
+        s.append(spec)
+        m.append(batched_peak_metrics(freq, spec, fallback_f1=c1, fallback_f2=c2))
+    lo, hi = metric_ranges_from_data(m[0])
+    c_spec = float(r2_score(s[0], s[1]))
+    c_met = float(r2_score(normalize_metrics(m[0], lo, hi),
+                           normalize_metrics(m[1], lo, hi)))
+    return {
+        "draw_to_draw_spectrum": round(c_spec, 4),
+        "draw_to_draw_metrics": round(c_met, 4),
+        "model_ceiling_spectrum": round((1 + c_spec) / 2, 4),
+        "model_ceiling_metrics": round((1 + c_met) / 2, 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gan-epochs", type=int, default=1000)
+    ap.add_argument("--fwd-epochs", type=int, default=500)
+    ap.add_argument("--val-frac", type=float, default=0.2)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    cfg = default_config()
+    full = synthetic_dataset(cfg.data)
+    train_ds, val_ds = split_dataset(full, val_frac=args.val_frac,
+                                     key=jax.random.PRNGKey(9))
+    trainer = Trainer(cfg, ds=train_ds, epochs_per_call=50)
+    trainer.pretrain_forward(epochs=args.fwd_epochs, log_every=10**9)
+    trainer.init_pigan()
+    trainer.train_pigan(
+        epochs=args.gan_epochs, log_every=10**9,
+        settings=StepSettings.from_config(cfg, detach_forward=False),
+    )
+
+    def row(ev):
+        return {
+            "param_r2": round(ev["pigan_evaluation"]["parameter_prediction"]["r2"], 4),
+            "spectrum_r2": round(
+                ev["forward_network_evaluation"]["spectrum_prediction"]["r2"], 4),
+            "metrics_r2": round(
+                ev["forward_network_evaluation"]["metrics_prediction"]["r2"], 4),
+            "cycle": round(ev["model_validation"]["cycle_consistency_error_mean"], 6),
+        }
+
+    out = {
+        "ceilings": noise_ceilings(cfg),
+        "train": row(trainer.evaluate()),
+        "heldout": row(trainer.evaluator().run_comprehensive_evaluation(val_ds)),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
