@@ -99,7 +99,7 @@ def make_parallel_epoch_fn(step_fn, batch_size: int, mesh: Mesh, with_scale: boo
 
 
 def make_parallel_multi_epoch_fn(
-    step_fn, batch_size: int, mesh: Mesh, with_scale: bool = False
+    step_fn, batch_size: int, mesh: Mesh, with_scale: bool = False, unroll: int = 3
 ):
     """Mesh-parallel variant of train.steps.make_multi_epoch_fn: scans E
     whole epochs per jit call with the per-step batch constrained to the
@@ -125,7 +125,7 @@ def make_parallel_multi_epoch_fn(
                     st, m = step_fn(st, batch)
                 return st, m
 
-            st, ms = jax.lax.scan(body, st, idx)
+            st, ms = jax.lax.scan(body, st, idx, unroll=unroll)
             return st, jax.tree.map(jnp.mean, ms)
 
         state, ms = jax.lax.scan(epoch_body, state, (keys, scales))

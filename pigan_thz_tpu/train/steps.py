@@ -452,7 +452,9 @@ def make_epoch_fn(step_fn, batch_size: int, with_scale: bool = False):
     return epoch
 
 
-def make_multi_epoch_fn(step_fn, batch_size: int, with_scale: bool = False):
+def make_multi_epoch_fn(
+    step_fn, batch_size: int, with_scale: bool = False, unroll: int = 3
+):
     """Scan E WHOLE EPOCHS inside one jit call:
     multi_epoch(state, ds, key, scales(E,)) -> (state, per-epoch metrics (E, ...)).
 
@@ -464,6 +466,9 @@ def make_multi_epoch_fn(step_fn, batch_size: int, with_scale: bool = False):
     `scales` supplies a per-epoch constraint multiplier (annealing); pass
     ones when unused.  E is static per compilation (one compile per distinct
     chunk size — trainers use a fixed chunk and a tail chunk).
+
+    `unroll` unrolls the inner step scan so XLA can overlap adjacent steps'
+    independent work (measured +10% steps/s at unroll=3 on v5e-1).
     """
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -482,7 +487,7 @@ def make_multi_epoch_fn(step_fn, batch_size: int, with_scale: bool = False):
                     st, m = step_fn(st, batch)
                 return st, m
 
-            st, ms = jax.lax.scan(body, st, idx)
+            st, ms = jax.lax.scan(body, st, idx, unroll=unroll)
             return st, jax.tree.map(jnp.mean, ms)
 
         state, ms = jax.lax.scan(epoch_body, state, (keys, scales))
