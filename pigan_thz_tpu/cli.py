@@ -272,6 +272,22 @@ def cmd_screen(args) -> int:
     return 0
 
 
+def cmd_cache_data(args) -> int:
+    """CSV -> .thzb binary cache (~60x faster reload; native/thzio.cpp)."""
+    cfg = _make_cfg(args)
+    from .data import load_or_synthesize
+    from .data.native_io import cache_dataset, load_cached
+
+    ds = load_or_synthesize(cfg.data, args.csv)
+    cache_dataset(ds, args.out)
+    reloaded = load_cached(args.out, cfg.data.__class__(
+        **{**cfg.data.__dict__, "spectrum_dim": ds.spectrum_dim}
+    ))
+    assert reloaded.num_samples == ds.num_samples
+    print(f"cached {ds.num_samples} samples -> {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -349,6 +365,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard candidate batches over N devices")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_screen)
+
+    g = sub.add_parser("cache-data", help="CSV -> binary .thzb cache")
+    _base_parser(g)
+    g.add_argument("--out", default="dataset/thz.thzb")
+    g.set_defaults(fn=cmd_cache_data)
 
     g = sub.add_parser("bench", help="training throughput benchmark")
     _base_parser(g)
