@@ -48,7 +48,6 @@ class InverseDesigner:
         ds: ThzDataset,
         refine_lr: float = 0.02,
         maxwell_w: float = 0.1,
-        range_w: float = 1.0,
     ):
         self.ds = ds
         g_vars = g_variables
@@ -69,11 +68,12 @@ class InverseDesigner:
                 tx = optax.adam(refine_lr)
 
                 def loss_fn(p):
-                    spec, _ = fwd(jnp.tanh(p))  # keep refined params in [-1,1]
+                    # optimizing in atanh-space already confines the refined
+                    # params to (-1, 1); no separate range penalty is needed
+                    spec, _ = fwd(jnp.tanh(p))
                     return (
                         L.mse(spec, spectra)
                         + maxwell_w * L.maxwell_smoothness_loss(spec)
-                        + range_w * L.param_range_loss(jnp.tanh(p), -1.0, 1.0)
                     )
 
                 # optimize in atanh-space so tanh keeps iterates in-domain

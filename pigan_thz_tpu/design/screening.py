@@ -29,9 +29,10 @@ import jax.numpy as jnp
 from ..data.dataset import denormalize_params
 from ..ops.peaks import batched_peak_metrics
 
-# metric layout from ops.peaks.spectrum_metrics
-METRIC_INDEX = {"f1": 0, "f2": 1, "Q1": 2, "FoM1": 3, "S1": 4,
-                "Q2": 5, "FoM2": 6, "S2": 7}
+# metric layout from ops.peaks.spectrum_metrics == config.METRIC_NAMES order
+from ..config import METRIC_NAMES
+
+METRIC_INDEX = {name: i for i, name in enumerate(METRIC_NAMES)}
 
 
 class ScreeningResult(NamedTuple):

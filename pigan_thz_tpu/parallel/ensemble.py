@@ -50,7 +50,10 @@ def weight_vector(
 
 @dataclass(frozen=True)
 class EnsembleSettings:
-    detach_forward: bool = False
+    # True = reference-parity loss surface (physics losses carry no gradient
+    # into G, matching train_pigan.py:156 and StepSettings' default); set
+    # False for the recommended gradients-through-frozen-F mode.
+    detach_forward: bool = True
     label_real: float = 0.9
     label_fake: float = 0.1
     range_lo: float = 0.0
@@ -69,17 +72,7 @@ def make_ensemble_pigan_step(
     D+G update with runtime loss weights.  vmap over (state, weights) gives
     the ensemble."""
 
-    def apply(module, mstate: ModelState, *args, train, rng=None, params=None):
-        variables = {"params": params if params is not None else mstate.params,
-                     **mstate.extra}
-        rngs = {"dropout": rng} if rng is not None else None
-        mutable = list(mstate.extra.keys()) if train else []
-        if train and mutable:
-            out, new_extra = module.apply(
-                variables, *args, train=train, rngs=rngs, mutable=mutable
-            )
-            return out, dict(new_extra)
-        return module.apply(variables, *args, train=train, rngs=rngs), mstate.extra
+    from ..train.steps import _apply as apply  # shared flax-apply semantics
 
     def step(state: PiGanState, batch, weights: jax.Array):
         spectra, params_phys, params_norm, _, metrics_norm = batch[:5]
@@ -214,11 +207,13 @@ def evaluate_ensemble(generator, forward_model, states: PiGanState, ds: ThzDatas
         out = forward_model.apply(f_state.variables, pred_norm, train=False)
         recon = out[0]
         err = jnp.mean((ds.spectra - recon) ** 2)
+        # trainer-style cycle: G(F(G(s))) vs G(s)
+        cycled = generator.apply(g_state.variables, recon, train=False)
         return {
             "param_r2": r2_score(ds.params, pred_phys),
             "recon_mse": err,
             "violation_rate": L.violation_rate(pred_norm, 0.0, 1.0),
-            "cycle_error": err,
+            "cycle_error": jnp.mean((cycled - pred_norm) ** 2),
         }
 
     return jax.jit(jax.vmap(one))(states.g, states.f)

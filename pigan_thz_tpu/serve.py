@@ -23,6 +23,11 @@ from jax import export as jex
 from .data.dataset import ThzDataset, denormalize_params
 
 
+# Export for every major backend so the artifact is deployable anywhere,
+# not just on the exporting machine's platform.
+_PLATFORMS = ("cpu", "cuda", "tpu")
+
+
 def _save(exported, path: str) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as fh:
@@ -40,7 +45,7 @@ def export_generator(
         return denormalize_params(pn, ds.param_lo, ds.param_hi)
 
     spec = jax.ShapeDtypeStruct((batch_size, ds.spectrum_dim), jnp.float32)
-    return _save(jex.export(jax.jit(fn))(spec), path)
+    return _save(jex.export(jax.jit(fn), platforms=_PLATFORMS)(spec), path)
 
 
 def export_forward_surrogate(
@@ -53,7 +58,7 @@ def export_forward_surrogate(
         return out[0], out[1]
 
     spec = jax.ShapeDtypeStruct((batch_size, ds.params_norm.shape[1]), jnp.float32)
-    return _save(jex.export(jax.jit(fn))(spec), path)
+    return _save(jex.export(jax.jit(fn), platforms=_PLATFORMS)(spec), path)
 
 
 def export_inverse_design(
@@ -68,7 +73,7 @@ def export_inverse_design(
         return denormalize_params(pn, ds.param_lo, ds.param_hi), out[0], out[1]
 
     spec = jax.ShapeDtypeStruct((batch_size, ds.spectrum_dim), jnp.float32)
-    return _save(jex.export(jax.jit(fn))(spec), path)
+    return _save(jex.export(jax.jit(fn), platforms=_PLATFORMS)(spec), path)
 
 
 def load_exported(path: str):

@@ -66,7 +66,9 @@ def run_program(trainer: Trainer, phases: List[Phase], log_every: int = 10) -> P
     latest_eval: Optional[EvalResults] = None
     for phase in phases:
         if phase.gate is not None:
-            if trainer.pigan_state is not None:
+            # re-evaluate only if a phase has run since the last evaluation
+            # (consecutive skipped gates reuse the cached results)
+            if trainer.pigan_state is not None and latest_eval is None:
                 latest_eval = trainer.evaluate()
             if latest_eval is None or not phase.gate(latest_eval):
                 skipped.append(phase.name)
@@ -103,6 +105,7 @@ def run_program(trainer: Trainer, phases: List[Phase], log_every: int = 10) -> P
         else:
             raise ValueError(f"unknown phase kind: {phase.kind!r}")
         run_.append(phase.name)
+        latest_eval = None  # state changed; next gate re-evaluates
     final_eval = trainer.evaluate() if trainer.pigan_state is not None else {}
     return ProgramResult(phases_run=run_, phases_skipped=skipped, final_eval=final_eval)
 

@@ -291,23 +291,39 @@ def make_pigan_step(
                 loss = 2.0 * L.bce_logits(logits, labels)
             return loss, (new_extra, logits)
 
-        (d_loss, (d_extra, d_logits)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.d.params)
+        def d_update_branch(_):
+            (loss, (extra, logits)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.d.params)
+            updates, new_opt = d_tx.update(grads, state.d_opt, state.d.params)
+            return (
+                optax.apply_updates(state.d.params, updates), new_opt,
+                extra, loss, logits,
+            )
 
-        def do_d_update(_):
-            updates, new_opt = d_tx.update(d_grads, state.d_opt, state.d.params)
-            return optax.apply_updates(state.d.params, updates), new_opt, d_extra
-
-        def skip_d_update(_):
-            return state.d.params, state.d_opt, state.d.extra
+        def d_skip_branch(_):
+            # forward-only: on skipped steps the D backward (and the WGAN-GP
+            # inner gradient) must not be paid; the reported d_loss omits the
+            # GP term here (metrics-only difference)
+            logits, extra = _apply(
+                discriminator, state.d, cat_spec, cat_par,
+                train=True, rng=k_dd,
+            )
+            if settings.gan_loss == "wgan_gp":
+                loss = jnp.mean(logits[b:]) - jnp.mean(logits[:b])
+            else:
+                loss = 2.0 * L.bce_logits(logits, labels)
+            return state.d.params, state.d_opt, extra, loss, logits
 
         if settings.d_update_every > 1:
-            new_d_params, new_d_opt, new_d_extra = jax.lax.cond(
-                state.step % settings.d_update_every == 0, do_d_update, skip_d_update, None
+            new_d_params, new_d_opt, new_d_extra, d_loss, d_logits = jax.lax.cond(
+                state.step % settings.d_update_every == 0,
+                d_update_branch, d_skip_branch, None,
             )
         else:
-            new_d_params, new_d_opt, new_d_extra = do_d_update(None)
+            new_d_params, new_d_opt, new_d_extra, d_loss, d_logits = (
+                d_update_branch(None)
+            )
         new_d = ModelState(params=new_d_params, extra=new_d_extra)
 
         # D accuracy at threshold 0.5 (unified_evaluator.py:315-317)

@@ -169,6 +169,13 @@ class Trainer:
                     param_dim=cfg.data.param_dim,
                 )
             )
+        elif lr is not None:
+            # fresh optimizer state for the new LR/schedule: the override's
+            # cosine horizon is `epochs`, so resuming the old Adam count
+            # would start the schedule mid-decay (or clamped at zero)
+            self.forward_state = self.forward_state.replace(
+                opt=tx.init(self.forward_state.f.params)
+            )
         multi_epoch = self._make_multi_epoch(
             make_forward_step(self.forward_model, tx, settings),
             with_scale=False,
