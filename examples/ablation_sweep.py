@@ -73,7 +73,8 @@ def main() -> int:
         forward_variables=fs.f.variables,
     )
     step = make_ensemble_pigan_step(
-        g, d, f, g_tx, d_tx, EnsembleSettings(), ds.param_lo, ds.param_hi
+        g, d, f, g_tx, d_tx, EnsembleSettings(detach_forward=False),
+        ds.param_lo, ds.param_hi
     )
     epoch = make_ensemble_epoch_fn(step, cfg.train.batch_size)
 
