@@ -206,14 +206,26 @@ def make_pigan_step(
     settings: StepSettings,
     param_lo: jax.Array | None = None,
     param_hi: jax.Array | None = None,
+    runtime_weights: bool = False,
 ) -> Callable[..., tuple[PiGanState, Dict[str, jax.Array]]]:
     """Build step(state, batch, constraint_scale=1.0) -> (state, metrics).
 
     `constraint_scale` is a *dynamic* scalar multiplying the constraint loss
     — the annealing knob of unified_constraint_trainer.py:515-529.
+
+    With `runtime_weights=True` the step signature becomes
+    step(state, batch, weights(7,)) where `weights` supplies the seven core
+    G-loss weights [adv, recon, physics_spec, physics_metrics, maxwell, lc,
+    range] as DYNAMIC values (vmap-able over an ensemble axis — the λ-sweep
+    of parallel/ensemble.py) instead of the compile-time StepSettings values.
     """
 
-    def step(state: PiGanState, batch: Batch, constraint_scale: jax.Array = 1.0):
+    def _step(
+        state: PiGanState,
+        batch: Batch,
+        constraint_scale: jax.Array = 1.0,
+        loss_weights: jax.Array | None = None,
+    ):
         spectra, params_phys, params_norm, _, metrics_norm = batch[:5]
         b = spectra.shape[0]
         lo = param_lo if param_lo is not None else jnp.full((4,), 2.2)
@@ -230,6 +242,19 @@ def make_pigan_step(
                 noise_level=settings.augment_noise,
                 freq_shift=settings.augment_shift,
                 amp_scale=settings.augment_scale,
+            )
+
+        if loss_weights is None:
+            w_adv, w_recon, w_pspec, w_pmet, w_maxwell, w_lc, w_range = (
+                settings.adv_w, settings.recon_w, settings.physics_spec_w,
+                settings.physics_metrics_w, settings.maxwell_w, settings.lc_w,
+                settings.range_w,
+            )
+        else:
+            w_adv, w_recon, w_pspec, w_pmet, w_maxwell, w_lc, w_range = (
+                loss_weights[0], loss_weights[1], loss_weights[2],
+                loss_weights[3], loss_weights[4], loss_weights[5],
+                loss_weights[6],
             )
 
         def squash(p):
@@ -365,13 +390,13 @@ def make_pigan_step(
             kl_l = L.bnn_kl_loss()
 
             total = (
-                settings.adv_w * adv
-                + settings.recon_w * recon_l
-                + settings.physics_spec_w * recon_l   # double-count parity
-                + settings.physics_metrics_w * met_l
-                + settings.maxwell_w * maxwell_l
-                + settings.lc_w * lc_l
-                + settings.range_w * range_l
+                w_adv * adv
+                + w_recon * recon_l
+                + w_pspec * recon_l   # double-count parity
+                + w_pmet * met_l
+                + w_maxwell * maxwell_l
+                + w_lc * lc_l
+                + w_range * range_l
                 + settings.kl_w * kl_l
             )
 
@@ -432,6 +457,16 @@ def make_pigan_step(
         )
         metrics = {"d_loss": d_loss, "g_loss": g_loss, "d_accuracy": d_acc, **aux}
         return new_state, metrics
+
+    if runtime_weights:
+
+        def step(state: PiGanState, batch: Batch, weights: jax.Array):
+            return _step(state, batch, 1.0, weights)
+
+    else:
+
+        def step(state: PiGanState, batch: Batch, constraint_scale: jax.Array = 1.0):
+            return _step(state, batch, constraint_scale)
 
     return step
 

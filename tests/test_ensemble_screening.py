@@ -59,6 +59,33 @@ def test_ensemble_step_counts(trio, small_ds, cfg):
     np.testing.assert_array_equal(np.asarray(states.step), steps)
 
 
+def test_runtime_weights_match_static_step(trio, small_ds):
+    """make_pigan_step(runtime_weights=True) with the default weight vector
+    must produce bit-identical updates to the compile-time-weights step —
+    the ensemble path is the SAME implementation, not a drifting copy."""
+    from pigan_thz_tpu.data.dataset import gather_batch
+    from pigan_thz_tpu.train import init_pigan_state
+    from pigan_thz_tpu.train.steps import StepSettings, make_pigan_step
+
+    g, d, f, g_tx, d_tx, _ = trio
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(3))
+    batch = gather_batch(small_ds, jnp.arange(16))
+
+    static_step = make_pigan_step(
+        g, d, f, g_tx, d_tx, StepSettings(),
+        small_ds.param_lo, small_ds.param_hi,
+    )
+    dyn_step = make_pigan_step(
+        g, d, f, g_tx, d_tx, StepSettings(),
+        small_ds.param_lo, small_ds.param_hi, runtime_weights=True,
+    )
+    s1, m1 = jax.jit(static_step)(state, batch)
+    s2, m2 = jax.jit(dyn_step)(state, batch, weight_vector())
+    jax.tree.map(np.testing.assert_array_equal, s1.g.params, s2.g.params)
+    jax.tree.map(np.testing.assert_array_equal, s1.d.params, s2.d.params)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(m2["g_loss"]), rtol=1e-6)
+
+
 def test_screening_returns_sorted_topk(trio, small_ds):
     g, d, f, g_tx, d_tx, _ = trio
     fv = f.init(
