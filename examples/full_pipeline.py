@@ -28,8 +28,7 @@ import jax
 from pigan_thz_tpu import default_config
 from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
 from pigan_thz_tpu.train.steps import StepSettings
-from pigan_thz_tpu.train.programs import constraint_finetune_phase
-from pigan_thz_tpu.train.state import ModelState
+from pigan_thz_tpu.train.programs import constraint_finetune_phase  # noqa: F401 (documented alternative)
 
 
 def load_progress(path: str) -> dict:
@@ -62,49 +61,40 @@ def main() -> int:
     cfg = default_config()
     trainer = Trainer(cfg, epochs_per_call=args.chunk)
 
-    def restore_forward(trainer) -> None:
-        """Load the partial forward weights saved at the last chunk.
-        (Optimizer moments are reinitialized on resume — documented cost of
-        the weights-only forward checkpoint.)"""
-        trainer.pretrain_forward(epochs=0)  # epochs=0 = init state only
-        variables = ckpt.restore_pytree(
-            args.workdir, "fwd_partial", trainer.forward_state.f.variables
-        )
-        trainer.forward_state = trainer.forward_state.replace(
-            f=ModelState.from_variables(variables)
-        )
-
     # ---- stage 1: forward pretrain (chunk-resumable) -------------------
-    if prog["fwd_epochs"] < args.fwd_epochs:
-        if prog["fwd_epochs"] > 0:
-            restore_forward(trainer)
-        while prog["fwd_epochs"] < args.fwd_epochs:
-            n = min(args.chunk, args.fwd_epochs - prog["fwd_epochs"])
-            trainer.pretrain_forward(epochs=n, log_every=10**9, seed=prog["fwd_epochs"])
-            prog["fwd_epochs"] += n
-            ckpt.save_pytree(args.workdir, "fwd_partial",
-                             trainer.forward_state.f.variables)
-            save_progress(prog_path, prog)
-            print(f"fwd {prog['fwd_epochs']}/{args.fwd_epochs} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-    else:
-        restore_forward(trainer)
+    # The full ForwardState (weights + Adam moments + PRNG + step) and the
+    # train history ride in every checkpoint, so a kill/resume continues the
+    # uninterrupted loss curve exactly (no re-warming optimizer moments).
+    fwd_mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "fwd"),
+                                     max_to_keep=2, save_interval=1)
+    if prog["fwd_epochs"] > 0:
+        trainer.pretrain_forward(epochs=0)  # epochs=0 = init state only
+        trainer.resume_from(fwd_mgr, "forward")
+    while prog["fwd_epochs"] < args.fwd_epochs:
+        n = min(args.chunk, args.fwd_epochs - prog["fwd_epochs"])
+        trainer.pretrain_forward(epochs=n, log_every=10**9, seed=prog["fwd_epochs"])
+        prog["fwd_epochs"] += n
+        fwd_mgr.save(prog["fwd_epochs"], trainer.forward_state,
+                     history=trainer.train_history, config=cfg)
+        save_progress(prog_path, prog)
+        print(f"fwd {prog['fwd_epochs']}/{args.fwd_epochs} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    fwd_mgr.close()
 
     # ---- stage 2: PI-GAN (manager-checkpointed) ------------------------
     settings = StepSettings.from_config(cfg, detach_forward=False)
     mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "gan"),
                                  max_to_keep=2, save_interval=1)
     trainer.init_pigan()
-    step_resume = mgr.latest_epoch()
-    if step_resume is not None and prog["gan_epochs"] > 0:
-        _, restored = mgr.restore(trainer.pigan_state)
-        trainer.pigan_state = restored
+    if prog["gan_epochs"] > 0:
+        trainer.resume_from(mgr, "pigan")
     while prog["gan_epochs"] < args.gan_epochs:
         n = min(args.chunk, args.gan_epochs - prog["gan_epochs"])
         trainer.train_pigan(epochs=n, log_every=10**9, settings=settings,
                             seed=prog["gan_epochs"])
         prog["gan_epochs"] += n
-        mgr.save(prog["gan_epochs"], trainer.pigan_state)
+        mgr.save(prog["gan_epochs"], trainer.pigan_state,
+                 history=trainer.train_history, config=cfg)
         save_progress(prog_path, prog)
         print(f"gan {prog['gan_epochs']}/{args.gan_epochs} "
               f"({time.time()-t0:.0f}s)", flush=True)
@@ -123,9 +113,8 @@ def main() -> int:
     anneal = _anneal(0.5, 2.0, args.ft_epochs)
     ft_mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "ft"),
                                     max_to_keep=2, save_interval=1)
-    if prog["ft_epochs"] > 0 and ft_mgr.latest_epoch() is not None:
-        _, restored = ft_mgr.restore(trainer.pigan_state)
-        trainer.pigan_state = restored
+    if prog["ft_epochs"] > 0:
+        trainer.resume_from(ft_mgr, "pigan")
     while prog["ft_epochs"] < args.ft_epochs:
         n = min(args.chunk, args.ft_epochs - prog["ft_epochs"])
         base = prog["ft_epochs"]
@@ -136,7 +125,8 @@ def main() -> int:
             seed=10_000 + prog["ft_epochs"],
         )
         prog["ft_epochs"] += n
-        ft_mgr.save(prog["ft_epochs"], trainer.pigan_state)
+        ft_mgr.save(prog["ft_epochs"], trainer.pigan_state,
+                    history=trainer.train_history, config=cfg)
         save_progress(prog_path, prog)
         print(f"ft {prog['ft_epochs']}/{args.ft_epochs} "
               f"({time.time()-t0:.0f}s)", flush=True)

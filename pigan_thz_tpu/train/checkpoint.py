@@ -70,12 +70,30 @@ def load_final_trio(directory: str, g_template, d_template, f_template):
     return g, d, f
 
 
+def _config_meta(config) -> Any:
+    """JSON-able view of a PiGanConfig (or pass dicts through untouched)."""
+    if config is None:
+        return None
+    if isinstance(config, dict):
+        return config
+    from ..config import _to_dict
+
+    return _to_dict(config)
+
+
 class CheckpointManager:
     """Periodic full-state checkpoints with retention, plus named finals.
 
     TPU preemption is routine; the manager makes `resume-from-latest` a
     one-liner, upgrading the reference's epoch-interval torch.save pattern
     (train_pigan.py:283-295) to real preemption recovery (SURVEY §5).
+
+    Payload parity with the reference's full checkpoint
+    (unified_constraint_trainer.py:1114-1138): each step saves the whole
+    train-state pytree (models + optimizer moments + PRNG + step; schedules
+    are functions of the step count, so "scheduler state" rides along) PLUS
+    a JSON item carrying the train history, the config snapshot, and the
+    epoch — so a resume continues the loss curve, not just the weights.
     """
 
     def __init__(self, directory: str, max_to_keep: int = 3, save_interval: int = 50):
@@ -90,7 +108,18 @@ class CheckpointManager:
         )
         self._last_saved: int | None = None
 
-    def maybe_save(self, epoch: int, state) -> bool:
+    def _save_args(self, epoch: int, state, history=None, config=None):
+        meta = {
+            "epoch": epoch,
+            "history": history if history is not None else {},
+            "config": _config_meta(config),
+        }
+        return ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            meta=ocp.args.JsonSave(meta),
+        )
+
+    def maybe_save(self, epoch: int, state, history=None, config=None) -> bool:
         """Save when an interval boundary has been CROSSED since the last
         save — robust to callers that only observe chunked epoch counts
         (epoch may jump by epochs_per_call, never landing on an exact
@@ -102,24 +131,42 @@ class CheckpointManager:
             return False
         # copy: saves are async and training loops donate the live state
         state = jax.tree.map(jnp.copy, state)
-        self._mgr.save(epoch, args=ocp.args.StandardSave(state), force=True)
+        self._mgr.save(
+            epoch, args=self._save_args(epoch, state, history, config), force=True
+        )
         self._last_saved = epoch
         return True
 
-    def save(self, epoch: int, state) -> None:
-        self._mgr.save(epoch, args=ocp.args.StandardSave(state), force=True)
+    def save(self, epoch: int, state, history=None, config=None) -> None:
+        self._mgr.save(
+            epoch, args=self._save_args(epoch, state, history, config), force=True
+        )
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()
 
     def restore(self, state_template, epoch: int | None = None):
+        """Returns (epoch, state) — see `restore_with_meta` for the full
+        payload."""
+        step, state, _ = self.restore_with_meta(state_template, epoch)
+        return step, state
+
+    def restore_with_meta(self, state_template, epoch: int | None = None):
+        """Returns (epoch, state, meta) where meta carries
+        {'epoch', 'history', 'config'} as saved."""
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
-            return None, None
+            return None, None, None
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
-        return step, restored
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(target),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return step, restored["state"], restored["meta"]
 
     def close(self) -> None:
         self._mgr.wait_until_finished()

@@ -213,7 +213,10 @@ class Trainer:
                 # snapshot at chunk granularity (copy: next call donates)
                 best_state = jax.tree.map(jnp.copy, self.forward_state)
             if checkpoint_manager is not None:
-                checkpoint_manager.maybe_save(epoch + chunk, self.forward_state)
+                checkpoint_manager.maybe_save(
+                    epoch + chunk, self.forward_state,
+                    history=self.train_history, config=self.cfg,
+                )
             epoch += chunk
         if keep_best and best_state is not None:
             self.forward_state = best_state
@@ -362,12 +365,50 @@ class Trainer:
                 # snapshot at chunk granularity (copy: next call donates)
                 best_state = jax.tree.map(jnp.copy, self.pigan_state)
             if checkpoint_manager is not None:
-                checkpoint_manager.maybe_save(epoch + chunk, self.pigan_state)
+                checkpoint_manager.maybe_save(
+                    epoch + chunk, self.pigan_state,
+                    history=self.train_history, config=self.cfg,
+                )
             epoch += chunk
         if snapshot_metric is not None and best_state is not None:
             self.pigan_state = best_state
             self._log(f"[pigan] restored best snapshot ({snapshot_metric}={best_val:.4f})")
         return self.train_history
+
+    # ------------------------------------------------------------------
+    # Resume (payload parity: unified_constraint_trainer.py:1140-1176 —
+    # epoch + models + optimizer moments + history + config all come back)
+    # ------------------------------------------------------------------
+    def resume_from(
+        self, manager: ckpt.CheckpointManager, which: str = "pigan",
+        epoch: int | None = None,
+    ) -> Optional[int]:
+        """Restore the latest (or a specific) checkpoint from `manager` into
+        this trainer — full train state (weights, optimizer moments, PRNG,
+        step) AND the train history, so the loss curve continues rather than
+        restarting.  Returns the restored epoch, or None if the manager is
+        empty."""
+        if which == "pigan":
+            if self.pigan_state is None:
+                self.init_pigan()
+            step, state, meta = manager.restore_with_meta(self.pigan_state, epoch)
+            if step is None:
+                return None
+            self.pigan_state = state
+        elif which == "forward":
+            if self.forward_state is None:
+                self.pretrain_forward(epochs=0)
+            step, state, meta = manager.restore_with_meta(self.forward_state, epoch)
+            if step is None:
+                return None
+            self.forward_state = state
+        else:
+            raise ValueError(f"unknown target: {which!r}")
+        if meta and meta.get("history"):
+            self.train_history = {
+                k: [float(x) for x in v] for k, v in meta["history"].items()
+            }
+        return step
 
     # ------------------------------------------------------------------
     # Full pipeline (unified_trainer.train_full_pipeline :422-455)

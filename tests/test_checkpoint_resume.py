@@ -1,0 +1,88 @@
+"""Checkpoint payload parity: kill/resume reproduces the uninterrupted run.
+
+The reference's full checkpoint carries epoch + models + optimizers +
+schedulers + train history + config (unified_constraint_trainer.py:1114-1176).
+Here that is the whole state pytree plus a JSON meta item; these tests prove
+a mid-stage kill/resume continues the EXACT loss curve (optimizer moments and
+PRNG included), not just the weights.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
+from pigan_thz_tpu.train.steps import StepSettings
+
+
+def _trees_equal(a, b):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+
+
+def test_forward_kill_resume_reproduces_curve(cfg, small_ds, tmp_path):
+    # uninterrupted: two chunked calls on one trainer (pipeline seeding)
+    t_ref = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t_ref.pretrain_forward(epochs=2, seed=0, log_every=10**9)
+    t_ref.pretrain_forward(epochs=2, seed=2, log_every=10**9)
+
+    # interrupted: chunk 1 -> save -> FRESH trainer -> resume -> chunk 2
+    mgr = ckpt.CheckpointManager(str(tmp_path / "fwd"), save_interval=1)
+    t1 = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t1.pretrain_forward(epochs=2, seed=0, log_every=10**9)
+    mgr.save(2, t1.forward_state, history=t1.train_history, config=cfg)
+
+    t2 = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t2.pretrain_forward(epochs=0)
+    assert t2.resume_from(mgr, "forward") == 2
+    # history restored: the curve continues, not restarts
+    assert t2.train_history["forward/loss"] == t1.train_history["forward/loss"]
+    t2.pretrain_forward(epochs=2, seed=2, log_every=10**9)
+    mgr.close()
+
+    assert t2.train_history["forward/loss"] == t_ref.train_history["forward/loss"]
+    _trees_equal(t2.forward_state.f.params, t_ref.forward_state.f.params)
+    # optimizer moments came back too (not reinitialized)
+    _trees_equal(t2.forward_state.opt, t_ref.forward_state.opt)
+
+
+@pytest.mark.slow
+def test_pigan_kill_resume_reproduces_curve(cfg, small_ds, tmp_path):
+    settings = StepSettings.from_config(cfg, detach_forward=False)
+
+    t_ref = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t_ref.init_pigan()
+    t_ref.train_pigan(epochs=2, settings=settings, seed=0, log_every=10**9)
+    t_ref.train_pigan(epochs=2, settings=settings, seed=2, log_every=10**9)
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "gan"), save_interval=1)
+    t1 = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t1.init_pigan()
+    t1.train_pigan(epochs=2, settings=settings, seed=0, log_every=10**9)
+    mgr.save(2, t1.pigan_state, history=t1.train_history, config=cfg)
+
+    t2 = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    assert t2.resume_from(mgr, "pigan") == 2
+    t2.train_pigan(epochs=2, settings=settings, seed=2, log_every=10**9)
+    mgr.close()
+
+    assert t2.train_history["pigan/g_loss"] == t_ref.train_history["pigan/g_loss"]
+    assert t2.train_history["pigan/d_loss"] == t_ref.train_history["pigan/d_loss"]
+    _trees_equal(t2.pigan_state.g.params, t_ref.pigan_state.g.params)
+    _trees_equal(t2.pigan_state.g_opt, t_ref.pigan_state.g_opt)
+
+
+def test_checkpoint_meta_roundtrip(cfg, small_ds, tmp_path):
+    """Config snapshot and epoch survive the JSON roundtrip."""
+    mgr = ckpt.CheckpointManager(str(tmp_path / "m"), save_interval=1)
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=1)
+    t.pretrain_forward(epochs=1, log_every=10**9)
+    mgr.save(7, t.forward_state, history=t.train_history, config=cfg)
+    step, state, meta = mgr.restore_with_meta(t.forward_state)
+    mgr.close()
+    assert step == 7 and meta["epoch"] == 7
+    assert meta["config"]["data"]["spectrum_dim"] == cfg.data.spectrum_dim
+    assert meta["config"]["train"]["batch_size"] == cfg.train.batch_size
+    assert len(meta["history"]["forward/loss"]) == 1
