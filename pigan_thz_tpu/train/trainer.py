@@ -462,14 +462,32 @@ class Trainer:
             )
 
     def load_final(self, directory: str) -> None:
+        """Load final artifacts — Orbax-native, or reference-trained torch
+        ``.pth`` files (interop.py: a user's existing unified_evaluator
+        saved_models directory works here unchanged)."""
         if self.pigan_state is None:
             self.init_pigan()
         st = self.pigan_state
-        g, d, f = ckpt.load_final_trio(
-            directory, st.g.variables, st.d.variables, st.f.variables
-        )
         from .state import ModelState
 
+        from .. import interop
+
+        if interop.has_torch_artifacts(directory):
+            g, d, f = interop.load_reference_models(
+                directory, st.g.variables, st.d.variables, st.f.variables
+            )
+            missing = [n for n, v in
+                       zip(("generator", "discriminator", "forward_model"),
+                           (g, d, f)) if v is None]
+            if missing:
+                raise FileNotFoundError(
+                    f"torch artifacts in {directory} are incomplete: "
+                    f"missing {missing}"
+                )
+        else:
+            g, d, f = ckpt.load_final_trio(
+                directory, st.g.variables, st.d.variables, st.f.variables
+            )
         self.pigan_state = st.replace(
             g=ModelState.from_variables(g),
             d=ModelState.from_variables(d),
