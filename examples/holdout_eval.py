@@ -29,35 +29,14 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from pigan_thz_tpu import default_config
 from pigan_thz_tpu.data import split_dataset, synthetic_dataset
-from pigan_thz_tpu.data.synthetic import dip_centers, sample_params, synthesize_spectra
-from pigan_thz_tpu.data.dataset import metric_ranges_from_data, normalize_metrics
-from pigan_thz_tpu.ops.metrics import r2_score
-from pigan_thz_tpu.ops.peaks import batched_peak_metrics
+from pigan_thz_tpu.evaluate import noise_ceilings as _lib_noise_ceilings
 from pigan_thz_tpu.train import Trainer
 from pigan_thz_tpu.train.steps import StepSettings
 
 
 def noise_ceilings(cfg) -> dict:
-    k = jax.random.PRNGKey(0)
-    params = sample_params(k, cfg.data.num_samples, cfg.data)
-    freq = cfg.data.frequencies
-    c1, c2 = dip_centers(params)
-    m, s = [], []
-    for i in (1, 2):
-        spec = synthesize_spectra(freq, params, jax.random.PRNGKey(i),
-                                  cfg.data.noise_level)
-        s.append(spec)
-        m.append(batched_peak_metrics(freq, spec, fallback_f1=c1, fallback_f2=c2))
-    lo, hi = metric_ranges_from_data(m[0])
-    c_spec = float(r2_score(s[0], s[1]))
-    c_met = float(r2_score(normalize_metrics(m[0], lo, hi),
-                           normalize_metrics(m[1], lo, hi)))
-    return {
-        "draw_to_draw_spectrum": round(c_spec, 4),
-        "draw_to_draw_metrics": round(c_met, 4),
-        "model_ceiling_spectrum": round((1 + c_spec) / 2, 4),
-        "model_ceiling_metrics": round((1 + c_met) / 2, 4),
-    }
+    # library implementation (evaluate/ceilings.py); this example reports it
+    return {k: round(v, 4) for k, v in _lib_noise_ceilings(cfg.data).items()}
 
 
 def main() -> int:

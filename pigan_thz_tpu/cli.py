@@ -174,16 +174,25 @@ def cmd_program(args) -> int:
 
 def cmd_evaluate(args) -> int:
     cfg = _make_cfg(args)
-    from .evaluate import generate_summary_report
+    import time as _time
+
+    from .evaluate import (
+        SUITE_RUBRICS,
+        generate_summary_report,
+        noise_ceilings,
+        oracle_validation,
+    )
     from .train.trainer import Trainer
 
     trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
     window = (-1.0, 1.0) if args.violation_window == "sane" else (0.0, 1.0)
+    synthetic_data = args.csv is None  # oracle/ceilings only valid then
     if args.suite != "all":
         # per-suite frontends, parity with the reference's four eval CLI
         # wrappers (evaluate_fwd_model / evaluate_pigan /
-        # evaluate_structural_prediction / evaluate_model_validation)
+        # evaluate_structural_prediction / evaluate_model_validation):
+        # graded console rubric + dedicated multi-panel figure
         import jax
 
         ev = trainer.evaluator(violation_window=window)
@@ -196,24 +205,55 @@ def cmd_evaluate(args) -> int:
             ),
         }
         res = jax.tree.map(float, suite_fns[args.suite]())
-        print(json.dumps(res, indent=2))
+        print(SUITE_RUBRICS[args.suite](res))
         if args.json:
             with open(args.json, "w") as fh:
                 json.dump(res, fh, indent=2)
+        if args.plot:
+            from .utils import eval_viz
+
+            fname, builder = eval_viz.SUITE_FIGURES[args.suite]
+            arrays = ev.sample_arrays(trainer.ds)
+            path = builder(res, arrays, os.path.join(args.models, fname))
+            print(f"\nfigure saved: {path}")
         return 0
+    t0 = _time.time()
     results = trainer.evaluate(violation_window=window)
-    results["evaluation_time"] = 0.0
+    ev = trainer.evaluator(violation_window=window)
+    ceilings = oracle = None
+    if synthetic_data:
+        ceilings = noise_ceilings(trainer.cfg.data)
+        oracle = oracle_validation(ev, trainer.ds)
+        results["noise_ceilings"] = ceilings
+        results["oracle_validation"] = oracle
+    results["evaluation_time"] = _time.time() - t0
     report = generate_summary_report(
-        results, save_path=os.path.join(args.models, "unified_evaluation_report.txt")
+        results,
+        save_path=os.path.join(args.models, "unified_evaluation_report.txt"),
+        ceilings=ceilings,
+        oracle=oracle,
     )
     print(report)
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(results, fh, indent=2)
     if args.plot:
-        from .utils.viz import plot_evaluation_summary
+        from .utils import eval_viz
 
-        plot_evaluation_summary(results, os.path.join(args.models, "evaluation_summary.png"))
+        arrays = ev.sample_arrays(trainer.ds)
+        suite_results = {
+            "forward": results["forward_network_evaluation"],
+            "pigan": results["pigan_evaluation"],
+            "structural": results["structural_prediction_evaluation"],
+            "validation": results["model_validation"],
+        }
+        for suite, (fname, builder) in eval_viz.SUITE_FIGURES.items():
+            builder(suite_results[suite], arrays, os.path.join(args.models, fname))
+        eval_viz.plot_comprehensive_summary(
+            results, os.path.join(args.models, "evaluation_summary.png"),
+            ceilings=ceilings,
+        )
+        print(f"figures saved under {args.models}")
     return 0
 
 

@@ -148,10 +148,51 @@ class Evaluator:
                 "physical_plausibility_std": jnp.std(plausibility),
             }
 
+        @jax.jit
+        def sample_arrays(gv, dv, fv, ds: ThzDataset, key: jax.Array):
+            """Per-sample diagnostic arrays for the EvaluationVisualizer-parity
+            figures (visualization.py:49-983 panels need distributions, not
+            just the suite means)."""
+            pred_norm = _g(gv, ds.spectra)
+            pred_phys = denormalize_params(pred_norm, ds.param_lo, ds.param_hi)
+            real_scores = jax.nn.sigmoid(_d(dv, ds.spectra, ds.params))[:, 0]
+            fake_scores = jax.nn.sigmoid(_d(dv, ds.spectra, pred_phys))[:, 0]
+
+            fwd_spec, fwd_met_norm = _f(fv, ds.params_norm)
+            spec_err = jnp.mean((ds.spectra - fwd_spec) ** 2, axis=1)
+
+            recon_spec, _ = _f(fv, pred_norm)
+            recon_err = jnp.mean((ds.spectra - recon_spec) ** 2, axis=1)
+            consistency = 1.0 / (1.0 + recon_err)
+            violations = jnp.sum(
+                (pred_norm < v_lo) | (pred_norm > v_hi), axis=1
+            ).astype(jnp.float32)
+
+            noisy = ds.spectra + sigma * jax.random.normal(key, ds.spectra.shape)
+            stability = jnp.mean((pred_norm - _g(gv, noisy)) ** 2, axis=1)
+            plausibility = jnp.mean(jax.nn.sigmoid(pred_norm * 10.0 - 5.0), axis=1)
+            return {
+                "pred_norm": pred_norm,
+                "pred_phys": pred_phys,
+                "real_params": ds.params,
+                "real_scores": real_scores,
+                "fake_scores": fake_scores,
+                "fwd_pred_spectra": fwd_spec,
+                "spectrum_err": spec_err,
+                "recon_spectra": recon_spec,
+                "recon_err": recon_err,
+                "consistency": consistency,
+                "violations": violations,
+                "cycle_err": recon_err,
+                "stability": stability,
+                "plausibility": plausibility,
+            }
+
         self._forward_network = forward_network
         self._pigan = pigan
         self._structural = structural_prediction
         self._validation = model_validation
+        self._sample_arrays = sample_arrays
 
     # -- suites (public, mirror unified_evaluator method names) ----------
     def forward_network(self, ds: ThzDataset) -> Dict[str, Any]:
@@ -165,6 +206,20 @@ class Evaluator:
 
     def model_validation(self, ds: ThzDataset, key: jax.Array) -> Dict[str, Any]:
         return self._validation(self.g_vars, self.f_vars, ds, key)
+
+    def sample_arrays(self, ds: ThzDataset, key: jax.Array | None = None):
+        """Per-sample diagnostic arrays (host numpy) for figure builders."""
+        import numpy as np
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = self._sample_arrays(
+            self.g_vars, self.d_vars, self.f_vars, ds, key
+        )
+        arrays = {k: np.asarray(v) for k, v in out.items()}
+        arrays["frequencies"] = np.asarray(ds.frequencies)
+        arrays["spectra"] = np.asarray(ds.spectra)
+        return arrays
 
     # -- orchestrator (run_comprehensive_evaluation :492-533) ------------
     def run_comprehensive_evaluation(

@@ -1,0 +1,152 @@
+"""Round-2 evaluation surface: per-suite figures, rubrics, ceilings, oracle.
+
+Covers VERDICT.md round-1 items 2 (evaluation-viz surface + per-suite
+rubrics) and 3 (self-verifying noise-ceiling / clean-oracle target story).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.evaluate import (
+    SUITE_RUBRICS,
+    generate_summary_report,
+    noise_ceilings,
+    oracle_validation,
+)
+from pigan_thz_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(cfg, small_ds):
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=5)
+    t.pretrain_forward(epochs=5, log_every=10**9)
+    t.init_pigan()
+    t.train_pigan(epochs=5, log_every=10**9)
+    return t
+
+
+@pytest.fixture(scope="module")
+def full_results(trained):
+    return trained.evaluate()
+
+
+def test_noise_ceilings_match_results_md(cfg):
+    """At the default noise level the ceilings sit near the recorded
+    RESULTS.md values (~0.50 spectrum / ~0.78 metrics)."""
+    c = noise_ceilings(cfg.data)
+    assert 0.4 < c["spectrum_r2_ceiling"] < 0.6
+    assert 0.6 < c["metrics_r2_ceiling"] < 0.95
+    assert c["spectrum_r2_ceiling"] == pytest.approx(
+        (1 + c["draw_to_draw_spectrum_r2"]) / 2
+    )
+    # both ceilings are BELOW the reference's 0.9 target -> the report can
+    # prove the target statistically unreachable
+    assert c["spectrum_r2_ceiling"] < 0.9
+
+
+def test_oracle_validation_keys_finite(trained, small_ds):
+    o = oracle_validation(trained.evaluator(), small_ds)
+    for k in ("surrogate_spectrum_r2_vs_truth", "surrogate_spectrum_r2_vs_noisy",
+              "cycle_error_vs_truth", "cycle_error_vs_noisy"):
+        assert np.isfinite(o[k]), k
+    # scoring vs clean truth can only help the cycle error direction-wise
+    # after real training; on a 5-epoch model we only assert both positive
+    assert o["cycle_error_vs_truth"] > 0 and o["cycle_error_vs_noisy"] > 0
+
+
+def test_report_targets_section(full_results, cfg, trained, small_ds):
+    c = noise_ceilings(cfg.data)
+    o = oracle_validation(trained.evaluator(), small_ds)
+    report = generate_summary_report(full_results, ceilings=c, oracle=o)
+    assert "TARGETS vs ACHIEVABLE CEILINGS" in report
+    assert "ceiling" in report
+    assert "cycle error (truth)" in report
+    assert "D balance 51%" in report  # the D-equilibrium argument
+    assert "6. OVERALL ASSESSMENT" in report
+    # without ceilings the legacy numbering is preserved
+    legacy = generate_summary_report(full_results)
+    assert "5. OVERALL ASSESSMENT" in legacy
+    assert "TARGETS vs ACHIEVABLE" not in legacy
+
+
+def test_rubrics_grade_and_mention_metrics(trained, small_ds, full_results):
+    suite_results = {
+        "forward": full_results["forward_network_evaluation"],
+        "pigan": full_results["pigan_evaluation"],
+        "structural": full_results["structural_prediction_evaluation"],
+        "validation": full_results["model_validation"],
+    }
+    grades = ("EXCELLENT", "GOOD", "MODERATE", "POOR")
+    for suite, fn in SUITE_RUBRICS.items():
+        text = fn(suite_results[suite])
+        assert any(g in text for g in grades), suite
+        assert any(tok in text for tok in ("[OK]", "[!]", "[X]")), suite
+
+
+def test_five_figure_builders_write_pngs(trained, small_ds, full_results, tmp_path):
+    pytest.importorskip("matplotlib")
+    from pigan_thz_tpu.utils import eval_viz
+
+    ev = trained.evaluator()
+    arrays = ev.sample_arrays(small_ds)
+    suite_results = {
+        "forward": full_results["forward_network_evaluation"],
+        "pigan": full_results["pigan_evaluation"],
+        "structural": full_results["structural_prediction_evaluation"],
+        "validation": full_results["model_validation"],
+    }
+    written = []
+    for suite, (fname, builder) in eval_viz.SUITE_FIGURES.items():
+        written.append(builder(suite_results[suite], arrays,
+                               str(tmp_path / fname)))
+    written.append(eval_viz.plot_comprehensive_summary(
+        full_results, str(tmp_path / "summary.png"),
+        ceilings=noise_ceilings(trained.cfg.data),
+    ))
+    assert len(written) == 5
+    for p in written:
+        assert os.path.exists(p) and os.path.getsize(p) > 10_000, p
+
+
+def test_cli_per_suite_rubric_and_plot(trained, tmp_path, capsys, monkeypatch):
+    pytest.importorskip("matplotlib")
+    models = tmp_path / "saved_models"
+    trained.save_final(str(models))
+    from pigan_thz_tpu.cli import main
+
+    rc = main([
+        "evaluate", "--models", str(models), "--suite", "pigan", "--plot",
+        "--set", f"data.num_samples={trained.ds.num_samples}",
+        "--json", str(tmp_path / "pigan.json"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PI-GAN Evaluation" in out and "RATING" not in out  # rubric text
+    assert any(g in out for g in ("EXCELLENT", "GOOD", "MODERATE", "POOR"))
+    assert os.path.exists(models / "pigan_evaluation.png")
+    assert json.load(open(tmp_path / "pigan.json"))["parameter_prediction"]
+
+
+@pytest.mark.slow
+def test_cli_full_evaluate_with_ceilings_and_plots(trained, tmp_path, capsys):
+    pytest.importorskip("matplotlib")
+    models = tmp_path / "saved_models_full"
+    trained.save_final(str(models))
+    from pigan_thz_tpu.cli import main
+
+    rc = main([
+        "evaluate", "--models", str(models), "--plot",
+        "--set", f"data.num_samples={trained.ds.num_samples}",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "TARGETS vs ACHIEVABLE CEILINGS" in out
+    for fname in ("forward_network_evaluation.png", "pigan_evaluation.png",
+                  "structural_prediction_evaluation.png",
+                  "model_validation_evaluation.png", "evaluation_summary.png",
+                  "unified_evaluation_report.txt"):
+        assert os.path.exists(models / fname), fname
