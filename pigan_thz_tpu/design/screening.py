@@ -50,8 +50,10 @@ class ScreeningConfig:
     objective: str = "FoM1"      # any METRIC_INDEX key or "FoM1+FoM2"
     min_prominence: float = 1.0
     # Use the Pallas fused-MLP kernel for the surrogate (baseline ForwardMLP
-    # only; ~1.5x over the XLA path at screening batch sizes — see
-    # ops/pallas_kernels.py).  Same default-precision envelope as XLA.
+    # only).  Measured per-chunk at 8192 on v5e-1: 1.78 ms Pallas vs 1.76 ms
+    # XLA — the chunk is dominated by the peak-analysis VPU work, so this is
+    # a numerics-verified option, not a speedup (RESULTS.md "Serving
+    # measurements"); the XLA default stands.
     use_pallas: bool = False
 
 

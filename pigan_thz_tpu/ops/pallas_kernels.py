@@ -10,12 +10,18 @@ fused kernel therefore:
 - runs the full chain (dot -> LayerNorm -> LeakyReLU -> ... -> split head)
   with zero HBM round-trips between layers.
 
-This targets the big-batch inference paths — inverse-design screening
-(design/screening.py ranks 1e6+ candidates) and full-dataset evaluation —
-where XLA would otherwise stream inter-layer activations through HBM.
-Training keeps the standard XLA path (fusion there is already
-near-roofline at these sizes, and the backward pass would need a custom
-VJP for no measured win).
+Status after round-2 measurement (RESULTS.md "Serving measurements"): on
+device-side streaming benchmarks over DISTINCT batches, the XLA path runs
+this chain at ~36 TF/s fp32 — near roofline — and these kernels measure at
+parity with it (serving cycle 1.51 vs 1.36 ms at B=8192; screening chunk
+1.78 vs 1.76 ms).  Round 1's "1.53x isolated win" was an artifact of
+host-driven microbenchmarks through the TPU relay (identical-argument RPCs
+are not a sound timing signal there).  The kernels stay as a
+numerics-verified alternative path (serve.py / screening `use_pallas`) and
+as the repo's reference Pallas implementation; the measured serving win is
+bf16 on the XLA path instead (serve.py `compute_dtype`).  Training keeps
+the standard XLA path (fusion there is already near-roofline at these
+sizes, and the backward pass would need a custom VJP for no measured win).
 
 Numerics match the flax path in fp32 (LayerNorm epsilon 1e-6 = flax default;
 LeakyReLU slope 0.2) up to matmul precision ordering.

@@ -69,3 +69,47 @@ def test_export_wrong_batch_errors(models, small_ds, tmp_path):
     fn = load_exported(path)
     with pytest.raises(Exception):
         fn(small_ds.spectra[:4])  # shape mismatch must not silently pass
+
+
+def test_make_inverse_design_fn_pallas_matches_xla(models, small_ds):
+    """The fused TPU serving path (interpret mode on CPU) must reproduce the
+    XLA path numerically — same contract the measured 1.37x speedup rides."""
+    from pigan_thz_tpu.serve import make_inverse_design_fn
+
+    g, f, gv, fv = models
+    xla_fn = make_inverse_design_fn(g, f, gv, fv, small_ds)
+    pl_fn = make_inverse_design_fn(
+        g, f, gv, fv, small_ds, use_pallas=True, pallas_interpret=True
+    )
+    x = small_ds.spectra[:16]
+    for a, b in zip(xla_fn(x), pl_fn(x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_export_is_tpu_only(models, small_ds, tmp_path):
+    """use_pallas exports must target the tpu platform exclusively (Mosaic
+    custom calls have no CPU/CUDA lowering)."""
+    from pigan_thz_tpu.serve import _platforms
+
+    assert _platforms(True) == ("tpu",)
+    assert _platforms(False) == ("cpu", "cuda", "tpu")
+
+
+def test_make_inverse_design_fn_bf16_close_to_fp32(models, small_ds):
+    """bf16 serving path: fp32 outputs, small numeric delta (the measured
+    2.06x serving win at B=65536 on v5e-1)."""
+    from pigan_thz_tpu.serve import make_inverse_design_fn
+
+    g, f, gv, fv = models
+    fp32 = make_inverse_design_fn(g, f, gv, fv, small_ds)
+    bf16 = make_inverse_design_fn(g, f, gv, fv, small_ds,
+                                  compute_dtype=jnp.bfloat16)
+    x = small_ds.spectra[:32]
+    a, b = fp32(x), bf16(x)
+    for u, v in zip(a, b):
+        assert v.dtype == jnp.float32
+    # params in [-1,1]-derived physical units: bf16 error well under 0.01
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=0.01)
+    # spectra ~ -12 dB scale: sub-0.2 dB agreement
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=0.2)
