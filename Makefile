@@ -5,8 +5,9 @@
 test:
 	python -m pytest tests/ -q
 
+# unit tier: ~2.5 min (end-to-end training tests are marked slow)
 test-fast:
-	python -m pytest tests/ -x -q -k "not trainer and not cli"
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

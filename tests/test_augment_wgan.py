@@ -15,6 +15,8 @@ from pigan_thz_tpu.train import (
     make_pigan_step,
 )
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 def test_augment_shapes_and_clamp():
     k = jax.random.PRNGKey(0)

@@ -14,6 +14,8 @@ import pytest
 from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
 from pigan_thz_tpu.train.steps import StepSettings
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 def _trees_equal(a, b):
     jax.tree.map(

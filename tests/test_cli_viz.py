@@ -15,6 +15,7 @@ def workdir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("cli"))
 
 
+@pytest.mark.slow
 def test_cli_generate_train_evaluate_screen(workdir):
     csv = os.path.join(workdir, "thz.csv")
     assert main(["generate-data", "--out", csv, "--set", "data.num_samples=96"]) == 0
@@ -57,6 +58,7 @@ def test_cli_bad_override_errors(workdir):
               "--set", "train.nope=1"])
 
 
+@pytest.mark.slow
 def test_viz_functions(workdir, small_ds, cfg):
     import jax
 

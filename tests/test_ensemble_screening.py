@@ -24,6 +24,7 @@ def trio(cfg):
     return g, d, f, g_tx, d_tx, f_tx
 
 
+@pytest.mark.slow
 def test_ensemble_members_diverge_with_weights(trio, small_ds, cfg):
     """Same data, same seeds-per-member, different λ -> different params."""
     g, d, f, g_tx, d_tx, _ = trio
@@ -46,6 +47,7 @@ def test_ensemble_members_diverge_with_weights(trio, small_ds, cfg):
     assert float(m["g_loss"][0]) != float(m["g_loss"][1])
 
 
+@pytest.mark.slow
 def test_ensemble_step_counts(trio, small_ds, cfg):
     g, d, f, g_tx, d_tx, _ = trio
     states = init_ensemble_states(g, d, f, g_tx, d_tx, 2, jax.random.PRNGKey(0))
@@ -59,6 +61,7 @@ def test_ensemble_step_counts(trio, small_ds, cfg):
     np.testing.assert_array_equal(np.asarray(states.step), steps)
 
 
+@pytest.mark.slow
 def test_runtime_weights_match_static_step(trio, small_ds):
     """make_pigan_step(runtime_weights=True) with the default weight vector
     must produce bit-identical updates to the compile-time-weights step —

@@ -19,6 +19,8 @@ from pigan_thz_tpu.evaluate import (
 )
 from pigan_thz_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 @pytest.fixture(scope="module")
 def trained(cfg, small_ds):

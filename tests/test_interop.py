@@ -127,6 +127,7 @@ def test_flax_to_torch_round_trip(torch_trio):
         np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
 
 
+@pytest.mark.slow
 def test_load_reference_models_dir(torch_trio, flax_trio, cfg, tmp_path):
     """The unified_evaluator saved_models contract: *_final.pth trio on disk
     loads into a Trainer and evaluates."""

@@ -22,6 +22,8 @@ from pigan_thz_tpu.train import (
     make_optimizers,
 )
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 @pytest.fixture(scope="module")
 def trained(cfg, small_ds):

@@ -48,6 +48,7 @@ def test_param_partition_rule():
     assert param_partition_spec(None, odd, 2, 512) == P()
 
 
+@pytest.mark.slow
 def test_parallel_epoch_matches_shapes_and_runs(cfg, small_ds):
     g, d, f = build_trio(cfg)
     g_tx, d_tx, _ = make_optimizers(cfg, 4)
@@ -91,6 +92,7 @@ def test_dp_only_mesh_epoch(cfg, small_ds):
     assert np.isfinite(float(m["g_loss"]))
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import importlib.util
     import os
@@ -108,6 +110,7 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_mesh_trainer_end_to_end(cfg, small_ds):
     """Trainer(mesh=...) must run dp+tp SPMD through pretrain + GAN."""
     from pigan_thz_tpu.train import Trainer

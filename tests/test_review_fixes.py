@@ -18,6 +18,8 @@ from pigan_thz_tpu.ops.pallas_kernels import extract_forward_mlp_weights
 from pigan_thz_tpu.parallel import make_mesh
 from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 def test_cli_forward_only_saves_artifact(tmp_path):
     """forward_only used to crash in save_final (no pigan_state)."""

@@ -41,6 +41,7 @@ def test_forward_pretrain_converges(system, small_ds, cfg):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_forward_step_settings_variants(system, small_ds, cfg):
     g, d, f, g_tx, d_tx, f_tx = system
     batch = gather_batch(small_ds, jnp.arange(cfg.train.batch_size))
@@ -79,6 +80,7 @@ def test_pigan_step_runs_and_updates_both(system, small_ds, cfg):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_detach_forward_blocks_physics_gradients(system, small_ds, cfg):
     """Parity check for the reference's no_grad quirk (train_pigan.py:156):
     with detach_forward=True and only the F-mediated losses enabled (recon,
@@ -108,6 +110,7 @@ def test_detach_forward_blocks_physics_gradients(system, small_ds, cfg):
     assert g_update_norm(False) > 0.0
 
 
+@pytest.mark.slow
 def test_all_trainer_mode_settings(system, small_ds, cfg):
     """Every reference trainer variant maps to a StepSettings; each must
     produce finite losses in one fused step."""
@@ -163,6 +166,7 @@ def test_epoch_determinism(system, small_ds, cfg):
     assert run() == run()
 
 
+@pytest.mark.slow
 def test_gan_losses_decrease_over_epochs(system, small_ds, cfg):
     """End-to-end sanity: after forward pretrain, a few GAN epochs reduce the
     spectrum reconstruction loss."""

@@ -19,6 +19,8 @@ from pigan_thz_tpu.train.programs import (
 )
 from pigan_thz_tpu.train.steps import ForwardStepSettings, StepSettings
 
+pytestmark = pytest.mark.slow  # end-to-end training tier
+
 
 @pytest.fixture(scope="module")
 def trainer(cfg, small_ds):

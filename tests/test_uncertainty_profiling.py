@@ -1,5 +1,7 @@
 """MC-dropout uncertainty + profiling utility tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,8 @@ from pigan_thz_tpu.models import (
     sample_predictions,
 )
 from pigan_thz_tpu.utils import StepTimer
+
+pytestmark = pytest.mark.slow  # end-to-end training tier
 
 
 def test_mc_dropout_uncertainty_nonzero():
