@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import DataConfig
 from ..data.dataset import ThzDataset, metric_ranges_from_data, normalize_metrics
 from ..data.synthetic import dip_centers, sample_params, synthesize_spectra
-from ..ops.metrics import r2_score
+from ..ops.metrics import r2_pooled, r2_score
 from ..ops.peaks import batched_peak_metrics
 
 
@@ -62,6 +62,12 @@ def noise_ceilings(data_cfg: DataConfig, key: jax.Array | None = None) -> Dict[s
         "draw_to_draw_metrics_r2": c_met,
         "spectrum_r2_ceiling": (1.0 + c_spec) / 2.0,
         "metrics_r2_ceiling": (1.0 + c_met) / 2.0,
+        # E||noisy - recon||^2 >= sigma^2 for ANY model (the additive noise
+        # is independent of the reconstruction): the cycle-error target of
+        # 0.005 is unreachable against noisy targets whenever sigma^2 > 0.005
+        # (round-1's measured 0.0101 at sigma=0.1 sits exactly at this floor;
+        # against the clean oracle the same model scores 0.00058).
+        "cycle_error_floor": float(data_cfg.noise_level) ** 2,
         "noise_level": float(data_cfg.noise_level),
     }
 
@@ -83,9 +89,14 @@ def oracle_validation(evaluator, ds: ThzDataset) -> Dict[str, Any]:
         surrogate_spec = _f(ds.params_norm)
         pred_norm = evaluator.generator.apply(gv, ds.spectra, train=False)
         recon = _f(pred_norm)
+        # POOLED R2 vs truth: clean spectra have near-zero variance in the
+        # flat regions, so per-column averaging (the reference evaluator's
+        # convention for noisy targets) degenerates to huge negatives on a
+        # clean target; pooled over all elements is the meaningful score
+        # (this is the RESULTS.md "pooled R2 0.9961" methodology).
         return {
-            "surrogate_spectrum_r2_vs_truth": r2_score(clean, surrogate_spec),
-            "surrogate_spectrum_r2_vs_noisy": r2_score(ds.spectra, surrogate_spec),
+            "surrogate_spectrum_r2_vs_truth": r2_pooled(clean, surrogate_spec),
+            "surrogate_spectrum_r2_vs_noisy": r2_pooled(ds.spectra, surrogate_spec),
             "cycle_error_vs_truth": jnp.mean((clean - recon) ** 2),
             "cycle_error_vs_noisy": jnp.mean((ds.spectra - recon) ** 2),
         }

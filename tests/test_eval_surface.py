@@ -48,6 +48,10 @@ def test_noise_ceilings_match_results_md(cfg):
     # both ceilings are BELOW the reference's 0.9 target -> the report can
     # prove the target statistically unreachable
     assert c["spectrum_r2_ceiling"] < 0.9
+    # cycle-error floor vs noisy targets: sigma^2 (0.01 at default noise) —
+    # above the reference's 0.005 target, so only the oracle score can meet it
+    assert c["cycle_error_floor"] == pytest.approx(cfg.data.noise_level**2)
+    assert c["cycle_error_floor"] > 0.005
 
 
 def test_oracle_validation_keys_finite(trained, small_ds):
@@ -69,6 +73,8 @@ def test_report_targets_section(full_results, cfg, trained, small_ds):
     assert "cycle error (truth)" in report
     assert "D balance 51%" in report  # the D-equilibrium argument
     assert "6. OVERALL ASSESSMENT" in report
+    assert "CEILING-ADJUSTED RATING" in report
+    assert "AT FLOOR" in report or "TARGET MET" in report
     # without ceilings the legacy numbering is preserved
     legacy = generate_summary_report(full_results)
     assert "5. OVERALL ASSESSMENT" in legacy
