@@ -62,9 +62,32 @@ bool map_file(const char* path, MappedFile* out) {
   return true;
 }
 
+// SWAR 8-digit block parse (the fast_float / Lemire technique): load 8
+// bytes little-endian, verify all are ASCII digits, and reduce them to
+// their decimal value in three multiply steps instead of eight
+// multiply-add iterations.
+inline bool is_eight_digits(uint64_t val) {
+  return ((val & 0xF0F0F0F0F0F0F0F0ULL) |
+          (((val + 0x0606060606060606ULL) & 0xF0F0F0F0F0F0F0F0ULL) >> 4)) ==
+         0x3333333333333333ULL;
+}
+
+inline uint32_t parse_eight_digits(uint64_t val) {
+  const uint64_t mask = 0x000000FF000000FFULL;
+  const uint64_t mul1 = 0x000F424000000064ULL;  // 100 + (1000000 << 32)
+  const uint64_t mul2 = 0x0000271000000001ULL;  // 1 + (10000 << 32)
+  val -= 0x3030303030303030ULL;
+  val = (val * 10) + (val >> 8);  // pairs
+  val = (((val & mask) * mul1) + (((val >> 16) & mask) * mul2)) >> 32;
+  return static_cast<uint32_t>(val);
+}
+
 // Fast float scanner for the common "[-]ddd.ddd[e±dd]" CSV case; falls back
-// to strtof for anything unusual (inf, nan, hex).  ~5x faster than strtof,
-// which is locale-aware and dominates parse time otherwise.
+// to strtof for anything unusual (inf, nan, hex).  Mantissa digits are
+// accumulated in a uint64 (integer ALU ops, SWAR blocks of 8 where
+// available) instead of a double multiply-add chain; exact for <= 19
+// digits, beyond which a double accumulator takes over (already past
+// float32 precision anyway).
 inline float scan_float(const char* p, const char* end, const char** next) {
   const char* s = p;
   bool neg = false;
@@ -72,21 +95,47 @@ inline float scan_float(const char* p, const char* end, const char** next) {
     neg = (*p == '-');
     ++p;
   }
-  double mant = 0.0;
+  uint64_t imant = 0;
   int digits = 0;
+  while (end - p >= 8 && digits <= 11) {
+    uint64_t chunk;
+    memcpy(&chunk, p, 8);
+    if (!is_eight_digits(chunk)) break;
+    imant = imant * 100000000ULL + parse_eight_digits(chunk);
+    p += 8;
+    digits += 8;
+  }
   while (p < end && *p >= '0' && *p <= '9') {
-    mant = mant * 10.0 + (*p - '0');
+    imant = imant * 10 + static_cast<uint64_t>(*p - '0');
     ++p;
     ++digits;
   }
   int frac = 0;
   if (p < end && *p == '.') {
     ++p;
+    while (end - p >= 8 && digits <= 11) {
+      uint64_t chunk;
+      memcpy(&chunk, p, 8);
+      if (!is_eight_digits(chunk)) break;
+      imant = imant * 100000000ULL + parse_eight_digits(chunk);
+      p += 8;
+      digits += 8;
+      frac += 8;
+    }
     while (p < end && *p >= '0' && *p <= '9') {
-      mant = mant * 10.0 + (*p - '0');
+      imant = imant * 10 + static_cast<uint64_t>(*p - '0');
       ++p;
       ++digits;
       ++frac;
+    }
+  }
+  double mant = static_cast<double>(imant);
+  if (digits > 19) {
+    // uint64 overflowed: re-scan in double (rare — scientific data rows
+    // carry far fewer significant digits than 19)
+    mant = 0.0;
+    for (const char* q = s; q < p; ++q) {
+      if (*q >= '0' && *q <= '9') mant = mant * 10.0 + (*q - '0');
     }
   }
   if (digits == 0) {  // not a plain number (empty, "nan", "inf", ...)
@@ -182,18 +231,22 @@ struct CsvIndex {
 };
 
 void index_csv(const MappedFile& mf, CsvIndex* idx) {
+  // memchr rides the libc SIMD newline scan (~10x a byte loop)
   const char* p = mf.data;
   const char* end = mf.data + mf.size;
   idx->header_begin = p;
-  while (p < end && *p != '\n') ++p;
-  idx->header_end = p;
-  if (p < end) ++p;
+  const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+  idx->header_end = nl ? nl : end;
+  p = nl ? nl + 1 : end;
+  idx->rows.reserve(mf.size / 64);  // crude lower-ish bound on row count
   while (p < end) {
     if (*p != '\n' && *p != '\r') {
       idx->rows.push_back(p);
-      while (p < end && *p != '\n') ++p;
+      nl = static_cast<const char*>(memchr(p, '\n', end - p));
+      p = nl ? nl + 1 : end;
+    } else {
+      ++p;
     }
-    if (p < end) ++p;
   }
   idx->end = end;
 }
