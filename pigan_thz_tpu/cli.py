@@ -15,6 +15,7 @@ Commands:
                                                            constraint_optimizer.py)
   evaluate          run the four suites + report          (unified_evaluator.py)
   screen            batched inverse-design screening      (new capability)
+  export            StableHLO serving artifacts           (new capability)
   bench             training-throughput benchmark
 """
 
@@ -328,6 +329,45 @@ def cmd_cache_data(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize trained models as StableHLO serving artifacts (serve.py)."""
+    cfg = _make_cfg(args)
+    import jax.numpy as jnp
+
+    from . import serve
+    from .train.trainer import Trainer
+
+    trainer = Trainer(cfg, csv_path=args.csv)
+    trainer.load_final(args.models)
+    st = trainer.pigan_state
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    os.makedirs(args.out, exist_ok=True)
+    written = []
+    if args.artifact in ("designer", "all"):
+        written.append(serve.export_inverse_design(
+            trainer.generator, trainer.forward_model, st.g.variables,
+            st.f.variables, trainer.ds,
+            os.path.join(args.out, "designer.stablehlo"),
+            batch_size=args.batch_size, use_pallas=args.pallas,
+            compute_dtype=dtype,
+        ))
+    if args.artifact in ("generator", "all"):
+        written.append(serve.export_generator(
+            trainer.generator, st.g.variables, trainer.ds,
+            os.path.join(args.out, "generator.stablehlo"),
+            batch_size=args.batch_size,
+        ))
+    if args.artifact in ("surrogate", "all"):
+        written.append(serve.export_forward_surrogate(
+            trainer.forward_model, st.f.variables, trainer.ds,
+            os.path.join(args.out, "surrogate.stablehlo"),
+            batch_size=args.batch_size, use_pallas=args.pallas,
+        ))
+    for path in written:
+        print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+    return 0
+
+
 def cmd_bench(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -405,6 +445,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard candidate batches over N devices")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_screen)
+
+    g = sub.add_parser("export", help="StableHLO serving artifacts")
+    _base_parser(g)
+    g.add_argument("--models", required=True, help="saved_models directory")
+    g.add_argument("--artifact", default="all",
+                   choices=["all", "designer", "generator", "surrogate"])
+    g.add_argument("--out", default="exported")
+    g.add_argument("--batch-size", type=int, default=8192)
+    g.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="bfloat16 = measured 2.06x serving throughput at large batch")
+    g.add_argument("--pallas", action="store_true",
+                   help="fused-kernel TPU-only artifact (baseline trio only)")
+    g.set_defaults(fn=cmd_export)
 
     g = sub.add_parser("cache-data", help="CSV -> binary .thzb cache")
     _base_parser(g)

@@ -113,3 +113,42 @@ def test_make_inverse_design_fn_bf16_close_to_fp32(models, small_ds):
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=0.01)
     # spectra ~ -12 dB scale: sub-0.2 dB agreement
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=0.2)
+
+
+def test_cli_export_artifacts(models, small_ds, tmp_path):
+    """CLI export writes loadable artifacts for all three surfaces."""
+    import os
+
+    from pigan_thz_tpu.cli import main
+    from pigan_thz_tpu.serve import load_exported
+    from pigan_thz_tpu.train import Trainer, checkpoint as ckpt
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.config import DataConfig
+
+    g, f, gv, fv = models
+    saved = tmp_path / "saved_models"
+    # write finals via the normal contract (D vars from a fresh init)
+    from pigan_thz_tpu.models import build_trio
+
+    cfg = default_config().replace(data=DataConfig(num_samples=256))
+    _, d, _ = build_trio(cfg)
+    dv = d.init(jax.random.PRNGKey(0), small_ds.spectra[:2],
+                small_ds.params[:2], train=False)
+    ckpt.save_pytree(str(saved), ckpt.GENERATOR_FINAL, gv)
+    ckpt.save_pytree(str(saved), ckpt.DISCRIMINATOR_FINAL, dv)
+    ckpt.save_pytree(str(saved), ckpt.FORWARD_MODEL_FINAL, fv)
+
+    out = tmp_path / "exported"
+    rc = main([
+        "export", "--models", str(saved), "--out", str(out),
+        "--artifact", "all", "--batch-size", "8",
+        "--set", "data.num_samples=256",
+    ])
+    assert rc == 0
+    for name in ("designer.stablehlo", "generator.stablehlo",
+                 "surrogate.stablehlo"):
+        path = out / name
+        assert path.exists() and path.stat().st_size > 100_000, name
+    fn = load_exported(str(out / "designer.stablehlo"))
+    params, spec, met = fn(small_ds.spectra[:8])
+    assert params.shape == (8, 4) and met.shape == (8, 8)
