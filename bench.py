@@ -103,5 +103,43 @@ def main() -> None:
     )
 
 
+def _run_supervised() -> int:
+    """Run the measurement in a killable subprocess with retries.
+
+    The TPU relay tunnel occasionally drops an RPC, leaving the client
+    frozen on a futex forever (CLAUDE.md "Environment gotchas").  The driver
+    runs bench.py unattended, so the top-level process supervises: on stall
+    it kills the child and retries — the persistent compile cache makes a
+    retry start warm, so a post-compile retry finishes in well under a
+    minute."""
+    import subprocess
+
+    for attempt, budget in enumerate((900, 700, 500)):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print(
+                f"bench attempt {attempt + 1} stalled after {budget}s "
+                "(tunnel RPC drop?); retrying",
+                file=sys.stderr,
+            )
+            continue
+        sys.stdout.write(out)
+        if proc.returncode == 0 and '"metric"' in out:
+            return 0
+        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode})",
+              file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        raise SystemExit(_run_supervised())

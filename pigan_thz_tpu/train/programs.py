@@ -18,7 +18,6 @@ Phase kinds:
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 

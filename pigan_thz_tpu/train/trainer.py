@@ -37,7 +37,6 @@ from .state import (
 from .steps import (
     ForwardStepSettings,
     StepSettings,
-    make_epoch_fn,
     make_forward_step,
     make_multi_epoch_fn,
     make_pigan_step,
