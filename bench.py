@@ -72,10 +72,14 @@ def main() -> None:
         g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
         ds.param_lo, ds.param_hi,
     )
-    # 50 whole epochs per jit call (measured optimum: 15.2k steps/s vs
-    # 13.2k at 25 and 14.9k at 100 on v5e-1)
-    chunk = 50
-    multi_epoch = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+    # 100 whole epochs per jit call with the 15-step inner epoch fully
+    # unrolled (round-2 sweep on v5e-1: 19.1k steps/s median vs 17.1k for
+    # the round-1 chunk=50/unroll=3 optimum; chunk 200 and partial unrolls
+    # measured worse)
+    chunk = 100
+    multi_epoch = make_multi_epoch_fn(
+        step, cfg.train.batch_size, with_scale=True, unroll=steps_per_epoch
+    )
     ones = jnp.ones((chunk,), jnp.float32)
 
     # warmup (compile + first execution)
