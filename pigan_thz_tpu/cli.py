@@ -15,6 +15,7 @@ Commands:
                                                            constraint_optimizer.py)
   evaluate          run the four suites + report          (unified_evaluator.py)
   screen            batched inverse-design screening      (new capability)
+  design            targeted inverse design + refinement  (new capability)
   export            StableHLO serving artifacts           (new capability)
   bench             training-throughput benchmark
 """
@@ -329,6 +330,55 @@ def cmd_cache_data(args) -> int:
     return 0
 
 
+def cmd_design(args) -> int:
+    """Inverse design for specific target spectra: G prediction + surrogate
+    verification, optional gradient refinement and MC-dropout uncertainty."""
+    cfg = _make_cfg(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .design import InverseDesigner
+    from .train.trainer import Trainer
+
+    trainer = Trainer(cfg, csv_path=args.csv)
+    trainer.load_final(args.models)
+    st = trainer.pigan_state
+    designer = InverseDesigner(
+        trainer.generator, trainer.forward_model,
+        st.g.variables, st.f.variables, trainer.ds,
+    )
+    if args.target_file:
+        raw = (np.load(args.target_file) if args.target_file.endswith(".npy")
+               else np.loadtxt(args.target_file, delimiter=","))
+        spectra = jnp.asarray(raw, jnp.float32).reshape(-1, trainer.ds.spectrum_dim)
+    else:
+        idx = jnp.asarray(args.target_index or [0])
+        spectra = trainer.ds.spectra[idx]
+
+    res = designer.design(spectra, refine_steps=args.refine_steps)
+    rows = []
+    names = ("r1", "r2", "w", "g")
+    for i in range(spectra.shape[0]):
+        rows.append({
+            **{n: float(res.params[i, j]) for j, n in enumerate(names)},
+            "spectrum_mse": float(res.spectrum_mse[i]),
+        })
+    if args.uncertainty:
+        _, spec_std, _, met_std = designer.uncertainty(
+            spectra, jax.random.PRNGKey(cfg.train.seed)
+        )
+        for i, row in enumerate(rows):
+            row["spectrum_std_mean"] = float(jnp.mean(spec_std[i]))
+            row["metrics_std_mean"] = float(jnp.mean(met_std[i]))
+    out = {"refine_steps": args.refine_steps, "designs": rows}
+    print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+    return 0
+
+
 def cmd_export(args) -> int:
     """Serialize trained models as StableHLO serving artifacts (serve.py)."""
     cfg = _make_cfg(args)
@@ -445,6 +495,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard candidate batches over N devices")
     g.add_argument("--out", default=None)
     g.set_defaults(fn=cmd_screen)
+
+    g = sub.add_parser("design", help="inverse design for target spectra")
+    _base_parser(g)
+    g.add_argument("--models", required=True, help="saved_models directory")
+    g.add_argument("--target-index", type=int, action="append", default=None,
+                   help="dataset row(s) to use as targets (repeatable)")
+    g.add_argument("--target-file", default=None,
+                   help=".npy or CSV file of target spectra (rows of S points)")
+    g.add_argument("--refine-steps", type=int, default=0,
+                   help="surrogate-gradient refinement steps (0 = G only)")
+    g.add_argument("--uncertainty", action="store_true",
+                   help="MC-dropout spread of the surrogate verification")
+    g.add_argument("--out", default=None, help="also write results JSON here")
+    g.set_defaults(fn=cmd_design)
 
     g = sub.add_parser("export", help="StableHLO serving artifacts")
     _base_parser(g)

@@ -86,3 +86,42 @@ def test_viz_functions(workdir, small_ds, cfg):
     p4 = plot_evaluation_summary(res, os.path.join(workdir, "summary.png"))
     for p in (p1, p2, p3, p4):
         assert os.path.exists(p) and os.path.getsize(p) > 10_000
+
+
+def test_cli_design_refine_improves_match(tmp_path, cfg, small_ds, capsys):
+    """CLI design: G-only vs refined — refinement must not worsen the
+    surrogate match; JSON written with physical params."""
+    import json as _json
+
+    import jax
+
+    from pigan_thz_tpu.cli import main
+    from pigan_thz_tpu.train import Trainer
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t.pretrain_forward(epochs=2, log_every=10**9)
+    t.init_pigan()
+    models = tmp_path / "saved_models"
+    t.save_final(str(models))
+
+    rc = main([
+        "design", "--models", str(models), "--target-index", "0",
+        "--target-index", "1", "--refine-steps", "0",
+        "--set", f"data.num_samples={small_ds.num_samples}",
+        "--out", str(tmp_path / "plain.json"),
+    ])
+    assert rc == 0
+    rc = main([
+        "design", "--models", str(models), "--target-index", "0",
+        "--target-index", "1", "--refine-steps", "50", "--uncertainty",
+        "--set", f"data.num_samples={small_ds.num_samples}",
+        "--out", str(tmp_path / "refined.json"),
+    ])
+    assert rc == 0
+    plain = _json.load(open(tmp_path / "plain.json"))
+    refined = _json.load(open(tmp_path / "refined.json"))
+    assert len(plain["designs"]) == 2
+    for a, b in zip(plain["designs"], refined["designs"]):
+        assert b["spectrum_mse"] <= a["spectrum_mse"] + 1e-6
+        assert 2.2 <= b["r1"] <= 2.8 and 2.2 <= b["g"] <= 2.8
+        assert "spectrum_std_mean" in b
