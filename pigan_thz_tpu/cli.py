@@ -73,6 +73,10 @@ def cmd_generate_data(args) -> int:
 
 def cmd_pretrain_forward(args) -> int:
     cfg = _make_cfg(args)
+    if args.epochs is not None:
+        # keep the cosine horizon tied to the actual run length, like the
+        # reference's CosineAnnealingLR(T_max=num_epochs)
+        cfg = apply_overrides(cfg, [f"train.fwd_pretrain_epochs={args.epochs}"])
     trainer, logger = _make_trainer(cfg, args, "fwd_pretrain")
     trainer.pretrain_forward(epochs=args.epochs, lr=args.lr)
     out = args.out or os.path.join(cfg.workdir, "saved_models")
@@ -86,6 +90,19 @@ def cmd_pretrain_forward(args) -> int:
 
 def cmd_train(args) -> int:
     cfg = _make_cfg(args)
+    # Tie LR-schedule horizons to the requested run lengths (the reference
+    # passes the actual num_epochs as CosineAnnealingLR T_max,
+    # train_pigan.py:61; leaving the default horizon silently caps quality —
+    # measured -0.015 param R2 at long budgets, RESULTS.md "Seed-search").
+    horizon_overrides = []
+    if args.epochs is not None:
+        key = ("train.fwd_pretrain_epochs" if args.mode == "forward_only"
+               else "train.num_epochs")
+        horizon_overrides.append(f"{key}={args.epochs}")
+    if args.forward_epochs is not None:
+        horizon_overrides.append(f"train.fwd_pretrain_epochs={args.forward_epochs}")
+    if horizon_overrides:
+        cfg = apply_overrides(cfg, horizon_overrides)
     trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}")
     from .train.steps import StepSettings
 

@@ -272,7 +272,15 @@ class Trainer:
         optimizer policy overrides — the constraint trainer's per-mode
         LR + Cosine/Linear/Step scheduler pairings (:196-214).  Overriding
         an optimizer resets its Adam moments (a fresh phase, matching the
-        reference's re-created optimizers per mode)."""
+        reference's re-created optimizers per mode).
+
+        NOTE the LR-schedule horizon comes from ``cfg.train.num_epochs``
+        (set at Trainer construction), NOT from this call's ``epochs`` —
+        chunk-resumable callers invoke this repeatedly and the horizon must
+        span the TOTAL budget.  For long runs set
+        ``train.num_epochs=<total>`` in the config (the CLI does this from
+        ``--epochs``); a mismatched horizon silently costs quality
+        (measured -0.015 param R2; RESULTS.md "Seed-search")."""
         cfg = self.cfg
         epochs = cfg.train.num_epochs if epochs is None else epochs
         settings = settings or StepSettings.from_config(cfg)

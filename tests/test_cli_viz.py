@@ -125,3 +125,24 @@ def test_cli_design_refine_improves_match(tmp_path, cfg, small_ds, capsys):
         assert b["spectrum_mse"] <= a["spectrum_mse"] + 1e-6
         assert 2.2 <= b["r1"] <= 2.8 and 2.2 <= b["g"] <= 2.8
         assert "spectrum_std_mean" in b
+
+
+def test_cli_epochs_sets_schedule_horizon(monkeypatch):
+    """--epochs must set the LR-schedule horizon (reference ties
+    CosineAnnealingLR T_max to the run length, train_pigan.py:61)."""
+    import pigan_thz_tpu.cli as cli
+
+    captured = {}
+
+    def fake_make_trainer(cfg, args, name):
+        captured["cfg"] = cfg
+        raise RuntimeError("stop-after-config")
+
+    monkeypatch.setattr(cli, "_make_trainer", fake_make_trainer)
+    with pytest.raises(RuntimeError, match="stop-after-config"):
+        cli.main(["train", "--mode", "pigan_only", "--epochs", "1234"])
+    assert captured["cfg"].train.num_epochs == 1234
+
+    with pytest.raises(RuntimeError, match="stop-after-config"):
+        cli.main(["train", "--mode", "forward_only", "--epochs", "77"])
+    assert captured["cfg"].train.fwd_pretrain_epochs == 77
