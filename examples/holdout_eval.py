@@ -47,7 +47,15 @@ def main() -> int:
     args = ap.parse_args()
 
     t0 = time.time()
+    import dataclasses as _dc
+
     cfg = default_config()
+    # LR-schedule horizons tied to the actual budgets (RESULTS.md
+    # "Seed-search": a mismatched cosine horizon silently caps quality)
+    cfg = cfg.replace(train=_dc.replace(
+        cfg.train, num_epochs=args.gan_epochs,
+        fwd_pretrain_epochs=args.fwd_epochs,
+    ))
     full = synthetic_dataset(cfg.data)
     train_ds, val_ds = split_dataset(full, val_frac=args.val_frac,
                                      key=jax.random.PRNGKey(9))

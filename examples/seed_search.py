@@ -47,7 +47,7 @@ from pigan_thz_tpu.parallel.ensemble import (
     EnsembleSettings,
     evaluate_ensemble,
     init_ensemble_states,
-    make_ensemble_epoch_fn,
+    make_ensemble_multi_epoch_fn,
     make_ensemble_pigan_step,
     weight_vector,
 )
@@ -91,16 +91,18 @@ def main() -> int:
         g, d, f, g_tx, d_tx, EnsembleSettings(detach_forward=False),
         train_ds.param_lo, train_ds.param_hi,
     )
-    epoch = make_ensemble_epoch_fn(step, cfg.train.batch_size)
+    multi_epoch = make_ensemble_multi_epoch_fn(step, cfg.train.batch_size)
 
     best = {"r2": -float("inf"), "epoch": 0, "member": -1}
     key = jax.random.PRNGKey(11)
     e = 0
     while e < args.epochs:
-        for _ in range(min(args.eval_every, args.epochs - e)):
-            key, sub = jax.random.split(key)
-            states, _ = epoch(states, train_ds, sub, weights)
-        e += min(args.eval_every, args.epochs - e) or args.eval_every
+        chunk = min(args.eval_every, args.epochs - e)
+        key, sub = jax.random.split(key)
+        # one jit call per chunk (vs one RPC per epoch) — the remote-tunnel
+        # reliability + dispatch-cost rationale of make_multi_epoch_fn
+        states, _ = multi_epoch(states, train_ds, sub, weights, chunk)
+        e += chunk
         tr = evaluate_ensemble(g, f, states, train_ds)
         row = {"epoch": e,
                "train_r2": [round(float(x), 4) for x in tr["param_r2"]]}

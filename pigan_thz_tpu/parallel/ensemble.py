@@ -171,3 +171,36 @@ def make_ensemble_epoch_fn(step_fn, batch_size: int):
         return states, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
 
     return epoch
+
+
+def make_ensemble_multi_epoch_fn(step_fn, batch_size: int, unroll: int = 1):
+    """Scan E whole ensemble epochs inside ONE jit call (the ensemble
+    counterpart of train.steps.make_multi_epoch_fn — same dispatch-count and
+    remote-tunnel-reliability rationale):
+
+        multi_epoch(states, ds, key, num_epochs) -> (states, metrics(E, N, ...))
+
+    E is static per compilation (pass a fixed chunk size)."""
+    vstep = jax.vmap(step_fn, in_axes=(0, None, 0))
+
+    @partial(jax.jit, static_argnames=("num_epochs",), donate_argnums=(0,))
+    def multi_epoch(
+        states: PiGanState, ds: ThzDataset, key: jax.Array,
+        weights: jax.Array, num_epochs: int,
+    ):
+        keys = jax.random.split(key, num_epochs)
+
+        def epoch_body(st, ekey):
+            idx = epoch_indices(ekey, ds.spectra.shape[0], batch_size)
+
+            def body(st, ix):
+                st, m = vstep(st, gather_batch(ds, ix), weights)
+                return st, m
+
+            st, ms = jax.lax.scan(body, st, idx, unroll=unroll)
+            return st, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        states, ms = jax.lax.scan(epoch_body, states, keys)
+        return states, ms
+
+    return multi_epoch

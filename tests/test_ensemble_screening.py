@@ -127,3 +127,25 @@ def test_screening_objective_consistency(trio, small_ds):
     col = np.asarray(res.metrics)[:, METRIC_INDEX["Q1"]]
     finite = np.isfinite(scores)
     np.testing.assert_allclose(scores[finite], col[finite], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_ensemble_multi_epoch_fn(trio, small_ds, cfg):
+    """E ensemble epochs in one jit call: per-epoch metrics stacked, step
+    counts advanced E*steps_per_epoch."""
+    from pigan_thz_tpu.parallel.ensemble import make_ensemble_multi_epoch_fn
+
+    g, d, f, g_tx, d_tx, _ = trio
+    n, e = 2, 3
+    states = init_ensemble_states(g, d, f, g_tx, d_tx, n, jax.random.PRNGKey(0))
+    weights = jnp.stack([weight_vector()] * n)
+    step = make_ensemble_pigan_step(
+        g, d, f, g_tx, d_tx, EnsembleSettings(),
+        small_ds.param_lo, small_ds.param_hi,
+    )
+    multi = make_ensemble_multi_epoch_fn(step, cfg.train.batch_size)
+    states, ms = multi(states, small_ds, jax.random.PRNGKey(1), weights, e)
+    assert ms["g_loss"].shape == (e, n)
+    assert np.isfinite(np.asarray(ms["g_loss"])).all()
+    spe = small_ds.num_samples // cfg.train.batch_size
+    np.testing.assert_array_equal(np.asarray(states.step), e * spe)
