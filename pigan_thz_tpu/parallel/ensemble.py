@@ -67,6 +67,7 @@ def make_ensemble_pigan_step(
     settings: EnsembleSettings,
     param_lo: jax.Array,
     param_hi: jax.Array,
+    step_settings=None,
 ):
     """step(state, batch, weights(7,)) -> (state, metrics): one member's fused
     D+G update with runtime loss weights.  vmap over (state, weights) gives
@@ -74,16 +75,20 @@ def make_ensemble_pigan_step(
 
     This is `make_pigan_step(..., runtime_weights=True)` — ONE implementation
     of the subtle D-then-G / stop-gradient / label semantics (the round-1
-    duplicate here was deleted; VERDICT.md weak #3)."""
+    duplicate here was deleted; VERDICT.md weak #3).  Pass a full
+    `StepSettings` as `step_settings` to use knobs beyond the EnsembleSettings
+    surface (augmentation, instance noise, WGAN-GP, constraint terms, ...);
+    its seven core loss weights are ignored in favour of the runtime vector."""
     from ..train.steps import StepSettings, make_pigan_step
 
-    step_settings = StepSettings(
-        detach_forward=settings.detach_forward,
-        label_real=settings.label_real,
-        label_fake=settings.label_fake,
-        range_lo=settings.range_lo,
-        range_hi=settings.range_hi,
-    )
+    if step_settings is None:
+        step_settings = StepSettings(
+            detach_forward=settings.detach_forward,
+            label_real=settings.label_real,
+            label_fake=settings.label_fake,
+            range_lo=settings.range_lo,
+            range_hi=settings.range_hi,
+        )
     return make_pigan_step(
         generator, discriminator, forward_model, g_tx, d_tx,
         step_settings, param_lo, param_hi, runtime_weights=True,
