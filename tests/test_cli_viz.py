@@ -88,6 +88,7 @@ def test_viz_functions(workdir, small_ds, cfg):
         assert os.path.exists(p) and os.path.getsize(p) > 10_000
 
 
+@pytest.mark.slow
 def test_cli_design_refine_improves_match(tmp_path, cfg, small_ds, capsys):
     """CLI design: G-only vs refined — refinement must not worsen the
     surrogate match; JSON written with physical params."""

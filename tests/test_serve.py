@@ -115,6 +115,7 @@ def test_make_inverse_design_fn_bf16_close_to_fp32(models, small_ds):
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=0.2)
 
 
+@pytest.mark.slow
 def test_cli_export_artifacts(models, small_ds, tmp_path):
     """CLI export writes loadable artifacts for all three surfaces."""
     import os
