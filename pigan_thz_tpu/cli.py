@@ -272,6 +272,19 @@ def cmd_evaluate(args) -> int:
             results, os.path.join(args.models, "evaluation_summary.png"),
             ceilings=ceilings,
         )
+        # plot_utils-parity sample grids (plot_utils.py:37-161)
+        from .utils.viz import plot_forward_predictions, plot_gan_comparison
+
+        st = trainer.pigan_state
+        plot_forward_predictions(
+            trainer.ds, trainer.forward_model, st.f.variables,
+            os.path.join(args.models, "forward_predictions.png"),
+        )
+        plot_gan_comparison(
+            trainer.ds, trainer.generator, st.g.variables,
+            trainer.forward_model, st.f.variables,
+            os.path.join(args.models, "gan_comparison.png"),
+        )
         print(f"figures saved under {args.models}")
     return 0
 

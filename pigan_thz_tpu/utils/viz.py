@@ -199,74 +199,6 @@ def plot_evaluation_summary(results: Dict, path: str) -> str:
     return _save(fig, path)
 
 
-def plot_suite_details(ds, generator, g_variables, discriminator, d_variables,
-                       forward_model, f_variables, path: str) -> str:
-    """Per-suite diagnostic panels (EvaluationVisualizer parity —
-    visualization.py:49-720): discriminator score distributions,
-    parameter pred-vs-true scatters, reconstruction error histogram, and
-    per-parameter error distributions."""
-    plt = _plt()
-    import jax
-
-    from ..data.dataset import denormalize_params
-
-    pred_norm = generator.apply(g_variables, ds.spectra, train=False)
-    pred_phys = np.asarray(denormalize_params(pred_norm, ds.param_lo, ds.param_hi))
-    real_phys = np.asarray(ds.params)
-    real_scores = np.asarray(
-        jax.nn.sigmoid(discriminator.apply(d_variables, ds.spectra, ds.params,
-                                           train=False))
-    ).ravel()
-    fake_scores = np.asarray(
-        jax.nn.sigmoid(discriminator.apply(
-            d_variables, ds.spectra,
-            denormalize_params(pred_norm, ds.param_lo, ds.param_hi), train=False))
-    ).ravel()
-    out = forward_model.apply(f_variables, pred_norm, train=False)
-    recon_err = np.mean((np.asarray(ds.spectra) - np.asarray(out[0])) ** 2, axis=1)
-
-    fig, axes = plt.subplots(2, 4, figsize=(20, 8))
-    names = ["r1", "r2", "w", "g"]
-    for i in range(4):
-        ax = axes[0, i]
-        ax.scatter(real_phys[:, i], pred_phys[:, i], s=4, alpha=0.4)
-        lims = [real_phys[:, i].min(), real_phys[:, i].max()]
-        ax.plot(lims, lims, "k--", lw=1)
-        ax.set_title(f"{names[i]}: pred vs true", fontsize=9)
-        ax.grid(alpha=0.3)
-
-    ax = axes[1, 0]
-    ax.hist(real_scores, bins=30, alpha=0.6, label="real")
-    ax.hist(fake_scores, bins=30, alpha=0.6, label="fake")
-    ax.axvline(0.5, color="k", ls="--", lw=1)
-    ax.set_title("D score distributions", fontsize=9)
-    ax.legend(fontsize=8)
-
-    ax = axes[1, 1]
-    ax.hist(recon_err, bins=30)
-    ax.set_title("reconstruction error (MSE/sample)", fontsize=9)
-
-    errs = pred_phys - real_phys
-    ax = axes[1, 2]
-    ax.boxplot([errs[:, i] for i in range(4)], tick_labels=names)
-    ax.axhline(0, color="k", lw=1, ls="--")
-    ax.set_title("per-parameter error", fontsize=9)
-
-    ax = axes[1, 3]
-    viol = np.asarray(jnp_violation(pred_norm))
-    ax.bar(["in [0,1]", "violating"], [1 - viol.mean(), viol.mean()])
-    ax.set_title("violation fraction (parity window)", fontsize=9)
-
-    fig.suptitle("Evaluation suite details")
-    return _save(fig, path)
-
-
-def jnp_violation(pred_norm):
-    import jax.numpy as jnp
-
-    return jnp.any((pred_norm < 0.0) | (pred_norm > 1.0), axis=-1).astype(jnp.float32)
-
-
 def save_evaluation_summary_json(results: Dict, path: str) -> str:
     """JSON summary writer (visualization.py:985-1155 equivalent)."""
     import json

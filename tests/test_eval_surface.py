@@ -156,5 +156,6 @@ def test_cli_full_evaluate_with_ceilings_and_plots(trained, tmp_path, capsys):
     for fname in ("forward_network_evaluation.png", "pigan_evaluation.png",
                   "structural_prediction_evaluation.png",
                   "model_validation_evaluation.png", "evaluation_summary.png",
+                  "forward_predictions.png", "gan_comparison.png",
                   "unified_evaluation_report.txt"):
         assert os.path.exists(models / fname), fname
