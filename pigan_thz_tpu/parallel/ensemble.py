@@ -155,6 +155,43 @@ def evaluate_ensemble(generator, forward_model, states: PiGanState, ds: ThzDatas
     return jax.jit(jax.vmap(one))(states.g, states.f)
 
 
+def evaluate_ensemble_mean(generator, forward_model, states: PiGanState,
+                           ds: ThzDataset):
+    """Quality metrics of the ENSEMBLE-MEAN prediction: average the member
+    generators' normalized outputs, then score the averaged prediction.
+
+    Measured on the held-out protocol (RESULTS.md "Seed-search quality"):
+    4-member mean scores param R² 0.9806 vs 0.9752 for the best individual
+    member — ensemble inference beats member selection, and costs one extra
+    vmap at prediction time only."""
+    from ..ops.metrics import r2_score
+
+    @jax.jit
+    def run(g_states: ModelState, f_state: ModelState):
+        def one(gs):
+            return generator.apply(gs.variables, ds.spectra, train=False)
+
+        preds = jax.vmap(one)(g_states)                 # (N, B, 4)
+        mean_norm = jnp.mean(preds, axis=0)
+        mean_phys = denormalize_params(mean_norm, ds.param_lo, ds.param_hi)
+        out = forward_model.apply(f_state.variables, mean_norm, train=False)
+        recon = out[0]
+        cycled = generator.apply(
+            jax.tree.map(lambda x: x[0], g_states).variables, recon, train=False
+        )
+        return {
+            "param_r2": r2_score(ds.params, mean_phys),
+            "recon_mse": jnp.mean((ds.spectra - recon) ** 2),
+            "violation_rate": L.violation_rate(mean_norm, 0.0, 1.0),
+            "cycle_error": jnp.mean((cycled - mean_norm) ** 2),
+            "member_spread": jnp.mean(jnp.std(preds, axis=0)),
+        }
+
+    # frozen F is identical across members; use member 0's copy
+    f0 = jax.tree.map(lambda x: x[0], states.f)
+    return run(states.g, f0)
+
+
 def make_ensemble_epoch_fn(step_fn, batch_size: int):
     """epoch(states, ds, key, weights(N,7)) -> (states, metrics(N,...)).
 

@@ -149,3 +149,29 @@ def test_ensemble_multi_epoch_fn(trio, small_ds, cfg):
     assert np.isfinite(np.asarray(ms["g_loss"])).all()
     spe = small_ds.num_samples // cfg.train.batch_size
     np.testing.assert_array_equal(np.asarray(states.step), e * spe)
+
+
+@pytest.mark.slow
+def test_evaluate_ensemble_mean(trio, small_ds, cfg):
+    """Ensemble-mean scoring: keys present, finite, spread >= 0; mean of
+    identical members must equal any single member's prediction score."""
+    from pigan_thz_tpu.parallel.ensemble import (
+        evaluate_ensemble,
+        evaluate_ensemble_mean,
+    )
+
+    g, d, f, g_tx, d_tx, _ = trio
+    # two members with THE SAME seed -> identical params -> zero spread
+    s1 = init_ensemble_states(g, d, f, g_tx, d_tx, 1, jax.random.PRNGKey(0))
+    same = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), s1)
+    res = evaluate_ensemble_mean(g, f, same, small_ds)
+    assert float(res["member_spread"]) == 0.0
+    single = evaluate_ensemble(g, f, s1, small_ds)
+    np.testing.assert_allclose(float(res["param_r2"]),
+                               float(single["param_r2"][0]), rtol=1e-5)
+
+    diverse = init_ensemble_states(g, d, f, g_tx, d_tx, 3, jax.random.PRNGKey(1))
+    res = evaluate_ensemble_mean(g, f, diverse, small_ds)
+    assert float(res["member_spread"]) > 0.0
+    for k, v in res.items():
+        assert np.isfinite(float(v)), k
