@@ -27,7 +27,7 @@ from pigan_thz_tpu.parallel.ensemble import (
     EnsembleSettings,
     evaluate_ensemble,
     init_ensemble_states,
-    make_ensemble_epoch_fn,
+    make_ensemble_multi_epoch_fn,
     make_ensemble_pigan_step,
     weight_vector,
 )
@@ -76,11 +76,11 @@ def main() -> int:
         g, d, f, g_tx, d_tx, EnsembleSettings(detach_forward=False),
         ds.param_lo, ds.param_hi
     )
-    epoch = make_ensemble_epoch_fn(step, cfg.train.batch_size)
+    multi_epoch = make_ensemble_multi_epoch_fn(step, cfg.train.batch_size)
 
     t0 = time.time()
-    for e in range(args.epochs):
-        states, m = epoch(states, ds, jax.random.PRNGKey(1000 + e), weights)
+    states, m = multi_epoch(states, ds, jax.random.PRNGKey(1000), weights,
+                            args.epochs)
     jax.block_until_ready(m)
     wall = time.time() - t0
 

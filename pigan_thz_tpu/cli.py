@@ -17,6 +17,7 @@ Commands:
   screen            batched inverse-design screening      (new capability)
   design            targeted inverse design + refinement  (new capability)
   export            StableHLO serving artifacts           (new capability)
+  profile           jax.profiler trace + throughput/memory (new capability)
   bench             training-throughput benchmark
 """
 
@@ -448,6 +449,61 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Capture a jax.profiler trace of the fused GAN training step plus a
+    warmup-aware throughput/memory report (utils/profiling.py)."""
+    cfg = _make_cfg(args)
+    import jax
+    import jax.numpy as jnp
+
+    from .data import load_or_synthesize
+    from .models import build_trio
+    from .train import (
+        StepSettings, init_pigan_state, make_multi_epoch_fn,
+        make_optimizers, make_pigan_step,
+    )
+    from .utils.profiling import StepTimer, device_memory_stats, trace
+
+    ds = load_or_synthesize(cfg.data, args.csv)
+    g, d, f = build_trio(cfg)
+    spe = max(1, ds.num_samples // cfg.train.batch_size)
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    state = init_pigan_state(
+        g, d, f, g_tx, d_tx, jax.random.PRNGKey(cfg.train.seed),
+        spectrum_dim=ds.spectrum_dim, param_dim=cfg.data.param_dim,
+    )
+    step = make_pigan_step(
+        g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
+        ds.param_lo, ds.param_hi,
+    )
+    multi = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+    ones = jnp.ones((args.epochs,), jnp.float32)
+    # warmup/compile outside the trace so the profile shows steady state
+    state, m = multi(state, ds, jax.random.PRNGKey(1), ones)
+    jax.block_until_ready(m)
+
+    timer = StepTimer(warmup=1)
+    trace_dir = os.path.join(args.trace_dir or os.path.join(cfg.workdir, "trace"))
+    with trace(trace_dir):
+        for i in range(args.repeats):
+            state, m = multi(state, ds, jax.random.PRNGKey(2 + i), ones)
+            timer.tick(m)
+    report = {
+        "trace_dir": trace_dir,
+        "epochs_per_call": args.epochs,
+        "calls_per_sec": round(timer.steps_per_sec(), 3),
+        "train_steps_per_sec": round(timer.steps_per_sec() * args.epochs * spe, 1),
+        "device_memory": {
+            k: ({kk: v[kk] for kk in ("bytes_in_use", "peak_bytes_in_use")
+                 if kk in v} if isinstance(v, dict) else v)
+            for k, v in device_memory_stats().items()
+        },
+    }
+    print(json.dumps(report, indent=2))
+    print(f"open the trace with: tensorboard --logdir {trace_dir}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -557,6 +613,15 @@ def build_parser() -> argparse.ArgumentParser:
     _base_parser(g)
     g.add_argument("--out", default="dataset/thz.thzb")
     g.set_defaults(fn=cmd_cache_data)
+
+    g = sub.add_parser("profile", help="jax.profiler trace of the train step")
+    _base_parser(g)
+    g.add_argument("--epochs", type=int, default=10,
+                   help="epochs per traced jit call")
+    g.add_argument("--repeats", type=int, default=3,
+                   help="traced calls (first is timer warmup)")
+    g.add_argument("--trace-dir", default=None)
+    g.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("bench", help="training throughput benchmark")
     _base_parser(g)

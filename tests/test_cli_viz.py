@@ -147,3 +147,21 @@ def test_cli_epochs_sets_schedule_horizon(monkeypatch):
     with pytest.raises(RuntimeError, match="stop-after-config"):
         cli.main(["train", "--mode", "forward_only", "--epochs", "77"])
     assert captured["cfg"].train.fwd_pretrain_epochs == 77
+
+
+@pytest.mark.slow
+def test_cli_profile_writes_trace(tmp_path, capsys):
+    from pigan_thz_tpu.cli import main
+
+    rc = main([
+        "profile", "--epochs", "2", "--repeats", "2",
+        "--trace-dir", str(tmp_path / "trace"),
+        "--set", "data.num_samples=128",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "train_steps_per_sec" in out
+    assert (tmp_path / "trace").exists()
+    # a profile plugin directory with at least one capture
+    profile_dir = tmp_path / "trace" / "plugins" / "profile"
+    assert profile_dir.exists() and any(profile_dir.iterdir())
