@@ -43,6 +43,21 @@ def save_progress(path: str, prog: dict) -> None:
         json.dump(prog, fh)
 
 
+def resume_or_die(trainer: Trainer, mgr, which: str, stage: str, done: int) -> None:
+    """progress.json says `stage` has completed `done` epochs; the matching
+    checkpoint MUST exist — silently training on from a fresh random state
+    (e.g. a GAN against an untrained surrogate) would be far worse than
+    failing loudly."""
+    step = trainer.resume_from(mgr, which)
+    if step is None:
+        raise RuntimeError(
+            f"progress.json records {stage}={done} but the '{stage}' "
+            f"checkpoint manager is empty — inconsistent workdir (perhaps "
+            f"written by an incompatible revision); delete the workdir or "
+            f"repair progress.json"
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/pigan_pipeline")
@@ -69,7 +84,7 @@ def main() -> int:
                                      max_to_keep=2, save_interval=1)
     if prog["fwd_epochs"] > 0:
         trainer.pretrain_forward(epochs=0)  # epochs=0 = init state only
-        trainer.resume_from(fwd_mgr, "forward")
+        resume_or_die(trainer, fwd_mgr, "forward", "fwd_epochs", prog["fwd_epochs"])
     while prog["fwd_epochs"] < args.fwd_epochs:
         n = min(args.chunk, args.fwd_epochs - prog["fwd_epochs"])
         trainer.pretrain_forward(epochs=n, log_every=10**9, seed=prog["fwd_epochs"])
@@ -87,7 +102,7 @@ def main() -> int:
                                  max_to_keep=2, save_interval=1)
     trainer.init_pigan()
     if prog["gan_epochs"] > 0:
-        trainer.resume_from(mgr, "pigan")
+        resume_or_die(trainer, mgr, "pigan", "gan_epochs", prog["gan_epochs"])
     while prog["gan_epochs"] < args.gan_epochs:
         n = min(args.chunk, args.gan_epochs - prog["gan_epochs"])
         trainer.train_pigan(epochs=n, log_every=10**9, settings=settings,
@@ -114,7 +129,7 @@ def main() -> int:
     ft_mgr = ckpt.CheckpointManager(os.path.join(args.workdir, "ft"),
                                     max_to_keep=2, save_interval=1)
     if prog["ft_epochs"] > 0:
-        trainer.resume_from(ft_mgr, "pigan")
+        resume_or_die(trainer, ft_mgr, "pigan", "ft_epochs", prog["ft_epochs"])
     while prog["ft_epochs"] < args.ft_epochs:
         n = min(args.chunk, args.ft_epochs - prog["ft_epochs"])
         base = prog["ft_epochs"]

@@ -63,6 +63,10 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=2000)
     ap.add_argument("--holdout", action="store_true",
                     help="train on an 800-cell split; report held-out scores")
+    ap.add_argument("--save-best", metavar="DIR", default=None,
+                    help="persist the best snapshot: the winning member as "
+                         "the standard final trio, or the full stacked state "
+                         "('ensemble_best') when the ensemble mean wins")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -119,8 +123,11 @@ def main() -> int:
         i = max(range(len(r2s)), key=lambda j: r2s[j])
         if r2s[i] > best["r2"]:
             best = {"r2": r2s[i], "epoch": e,
-                    "member": i if i < args.members else "ensemble_mean",
-                    "snapshot": jax.tree.map(jnp.copy, states)}
+                    "member": i if i < args.members else "ensemble_mean"}
+            if args.save_best:
+                # snapshot only when it will be persisted — a full stacked
+                # ensemble copy is nontrivial HBM at 4 members
+                best["snapshot"] = jax.tree.map(jnp.copy, states)
         print(json.dumps({**row, "wall_s": round(time.time() - t0, 1)}),
               flush=True)
 
@@ -128,6 +135,16 @@ def main() -> int:
            "member": best["member"], "protocol":
            "heldout" if args.holdout else "trainset",
            "wall_s": round(time.time() - t0, 1)}
+    if args.save_best and "snapshot" in best:
+        from pigan_thz_tpu.train import checkpoint as ckpt
+
+        snap = best["snapshot"]
+        if isinstance(best["member"], int):
+            member_state = jax.tree.map(lambda x: x[best["member"]], snap)
+            ckpt.save_final_trio(args.save_best, member_state)
+        else:  # ensemble mean won: the predictor is all members together
+            ckpt.save_pytree(args.save_best, "ensemble_best", snap)
+        out["saved_to"] = os.path.abspath(args.save_best)
     print(json.dumps(out), flush=True)
     return 0
 

@@ -397,7 +397,8 @@ def cmd_design(args) -> int:
         })
     if args.uncertainty:
         _, spec_std, _, met_std = designer.uncertainty(
-            spectra, jax.random.PRNGKey(cfg.train.seed)
+            spectra, jax.random.PRNGKey(cfg.train.seed),
+            params_norm=res.params_norm,
         )
         for i, row in enumerate(rows):
             row["spectrum_std_mean"] = float(jnp.mean(spec_std[i]))

@@ -99,10 +99,13 @@ class InverseDesigner:
                 pred_metrics=met,
             )
 
-        def uncertainty(spectra, key, num_samples: int = 64):
+        def uncertainty(spectra, key, num_samples: int = 64, params_norm=None):
             from ..models.forward_model import mc_dropout_predict
 
-            pn = predict(spectra)
+            # evaluate the dropout spread AT the design point being reported:
+            # pass the refined params_norm when refinement was used, else the
+            # raw generator prediction
+            pn = predict(spectra) if params_norm is None else params_norm
             return mc_dropout_predict(
                 forward_model, f_vars, pn, key, num_samples=num_samples
             )
@@ -119,7 +122,16 @@ class InverseDesigner:
             out = jax.tree.map(lambda x: x[0], out)
         return out
 
-    def uncertainty(self, spectra: jax.Array, key: jax.Array, num_samples: int = 64):
+    def uncertainty(
+        self, spectra: jax.Array, key: jax.Array, num_samples: int = 64,
+        params_norm: jax.Array | None = None,
+    ):
+        """MC-dropout spread of the surrogate at a design point.  By default
+        the point is the raw generator prediction for `spectra`; pass
+        `params_norm` (e.g. ``design(...).params_norm``) to evaluate the
+        spread at a refined design instead."""
         if spectra.ndim == 1:
             spectra = spectra[None, :]
-        return self._uncertainty(spectra, key, num_samples)
+        if params_norm is not None and params_norm.ndim == 1:
+            params_norm = params_norm[None, :]
+        return self._uncertainty(spectra, key, num_samples, params_norm)

@@ -12,7 +12,17 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+from .grading import (
+    VALIDATION_BOUNDS,
+    d_equilibrium,
+    grade_forward,
+    grade_pigan,
+    grade_scalar,
+    grade_structural,
+)
+
 OK, WARN, BAD = "[OK]", "[!]", "[X]"
+_MARK = {"EXCELLENT": OK, "GOOD": OK, "MODERATE": WARN, "POOR": BAD}
 
 
 def _fmt_metrics(d: Dict[str, Any], keys) -> List[str]:
@@ -29,15 +39,10 @@ def rubric_forward(results: Dict[str, Any]) -> str:
     lines.append("Metrics Prediction:")
     lines += _fmt_metrics(met, ("r2", "mse", "mae", "rmse", "pearson_r"))
     lines.append("")
-    s, m = spec["r2"], met["r2"]
-    if s > 0.9 and m > 0.9:
-        lines.append(f"{OK} Forward model shows EXCELLENT performance!")
-    elif s > 0.8 and m > 0.8:
-        lines.append(f"{OK} Forward model shows GOOD performance!")
-    elif s > 0.6 and m > 0.6:
-        lines.append(f"{WARN} Forward model shows MODERATE performance.")
-    else:
-        lines.append(f"{BAD} Forward model shows POOR performance and needs improvement.")
+    g = grade_forward(spec["r2"], met["r2"])
+    tail = (" and needs improvement." if g == "POOR"
+            else "." if g == "MODERATE" else "!")
+    lines.append(f"{_MARK[g]} Forward model shows {g} performance{tail}")
     return "\n".join(lines)
 
 
@@ -56,26 +61,23 @@ def rubric_pigan(results: Dict[str, Any]) -> str:
     )
     lines.append("")
     r2, acc = par["r2"], dis["overall_accuracy"]
-    if r2 > 0.8 and acc > 0.8:
-        lines += [f"{OK} PI-GAN shows EXCELLENT performance!",
-                  "  - Generator accurately predicts structural parameters",
-                  "  - Discriminator effectively distinguishes real vs fake"]
-    elif r2 > 0.6 and acc > 0.7:
-        lines += [f"{OK} PI-GAN shows GOOD performance!",
-                  "  - Generator performs well with room for improvement",
-                  "  - Discriminator shows decent discrimination capability"]
-    elif r2 > 0.4 and acc > 0.6:
-        lines += [f"{WARN} PI-GAN shows MODERATE performance.",
-                  "  - Generator needs improvement in parameter prediction",
-                  "  - Discriminator shows acceptable performance"]
-    else:
-        lines += [f"{BAD} PI-GAN shows POOR performance and needs improvement.",
-                  "  - Generator fails to accurately predict parameters",
-                  "  - Discriminator shows poor discrimination capability"]
-    if r2 > 0.8 and 0.45 <= acc <= 0.6:
-        # the reference rubric penalizes a ~50 % D, but its own best runs
-        # record "balance 51 %" as the GOOD state (constraint_optimizer.py:37):
-        # at GAN equilibrium a discriminator SHOULD be at chance
+    g = grade_pigan(r2, acc)
+    detail = {
+        "EXCELLENT": [f"{OK} PI-GAN shows EXCELLENT performance!",
+                      "  - Generator accurately predicts structural parameters",
+                      "  - Discriminator effectively distinguishes real vs fake"],
+        "GOOD": [f"{OK} PI-GAN shows GOOD performance!",
+                 "  - Generator performs well with room for improvement",
+                 "  - Discriminator shows decent discrimination capability"],
+        "MODERATE": [f"{WARN} PI-GAN shows MODERATE performance.",
+                     "  - Generator needs improvement in parameter prediction",
+                     "  - Discriminator shows acceptable performance"],
+        "POOR": [f"{BAD} PI-GAN shows POOR performance and needs improvement.",
+                 "  - Generator fails to accurately predict parameters",
+                 "  - Discriminator shows poor discrimination capability"],
+    }
+    lines += detail[g]
+    if d_equilibrium(r2, acc):
         lines += ["", f"{OK} Note: D accuracy near 0.5 with high generator R2 "
                       "indicates a HEALTHY equilibrium (the reference's own "
                       "best checkpoint records D balance 51%)."]
@@ -93,14 +95,10 @@ def rubric_structural(results: Dict[str, Any]) -> str:
     lines.append(f"  - Reconstruction Error: {e:.6f} (+/- {results['reconstruction_error_std']:.6f})")
     lines.append(f"  - Consistency Score: {c:.4f} (+/- {results['consistency_score_std']:.4f})")
     lines.append("")
-    if v < 0.05 and c > 0.9 and e < 0.01:
-        lines.append(f"{OK} Structural prediction shows EXCELLENT reliability!")
-    elif v < 0.1 and c > 0.8 and e < 0.05:
-        lines.append(f"{OK} Structural prediction shows GOOD reliability!")
-    elif v < 0.2 and c > 0.6 and e < 0.1:
-        lines.append(f"{WARN} Structural prediction shows MODERATE reliability.")
-    else:
-        lines.append(f"{BAD} Structural prediction shows POOR reliability and needs improvement.")
+    g = grade_structural(v, c, e)
+    tail = (" and needs improvement." if g == "POOR"
+            else "." if g == "MODERATE" else "!")
+    lines.append(f"{_MARK[g]} Structural prediction shows {g} reliability{tail}")
     issues = []
     if v > 0.1:
         issues.append("reduce parameter-range violations (constraint training)")
@@ -126,19 +124,12 @@ def rubric_validation(results: Dict[str, Any]) -> str:
     lines.append("")
 
     def grade(val, bounds, reverse=False):
-        """bounds: (excellent, good, moderate) thresholds."""
-        ex, good, mod = bounds
-        if (val > ex) if reverse else (val < ex):
-            return "EXCELLENT", OK
-        if (val > good) if reverse else (val < good):
-            return "GOOD", OK
-        if (val > mod) if reverse else (val < mod):
-            return "MODERATE", WARN
-        return "POOR", BAD
+        g = grade_scalar(val, bounds, reverse=reverse)
+        return g, _MARK[g]
 
-    cycles = grade(cy, (0.001, 0.01, 0.05))
-    stabs = grade(st, (0.001, 0.01, 0.05))
-    plaus = grade(pl, (0.9, 0.8, 0.6), reverse=True)
+    cycles = grade(cy, VALIDATION_BOUNDS["cycle"])
+    stabs = grade(st, VALIDATION_BOUNDS["stability"])
+    plaus = grade(pl, VALIDATION_BOUNDS["plausibility"], reverse=True)
     lines.append(f"{cycles[1]} {cycles[0]} cycle consistency")
     lines.append(f"{stabs[1]} {stabs[0]} stability")
     lines.append(f"{plaus[1]} {plaus[0]} physical plausibility")

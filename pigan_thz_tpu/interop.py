@@ -181,8 +181,11 @@ def extract_state_dict(obj, which: str | None = None) -> Dict:
     state_dict for `which`."""
     if not isinstance(obj, dict):
         raise TypeError(f"unsupported .pth payload: {type(obj)}")
-    values_are_tensors = all(
-        hasattr(v, "shape") or np.isscalar(v) for v in obj.values()
+    # a bare state_dict is non-empty and all-tensor-valued; metadata-only
+    # wrappers ({'epoch': 5, ...}) and {} must fall through to the wrapper
+    # key search / readable error below
+    values_are_tensors = bool(obj) and all(
+        hasattr(v, "shape") for v in obj.values()
     )
     if values_are_tensors:
         return obj

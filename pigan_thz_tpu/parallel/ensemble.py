@@ -176,8 +176,15 @@ def evaluate_ensemble_mean(generator, forward_model, states: PiGanState,
         mean_phys = denormalize_params(mean_norm, ds.param_lo, ds.param_hi)
         out = forward_model.apply(f_state.variables, mean_norm, train=False)
         recon = out[0]
-        cycled = generator.apply(
-            jax.tree.map(lambda x: x[0], g_states).variables, recon, train=False
+        # cycle consistency of the MEAN predictor: re-predict the mean
+        # reconstruction with every member and average, mirroring how
+        # mean_norm itself is formed (cycling with member 0 alone would
+        # measure member-0-vs-mean disagreement, not cycle error)
+        cycled = jnp.mean(
+            jax.vmap(lambda gs: generator.apply(gs.variables, recon, train=False))(
+                g_states
+            ),
+            axis=0,
         )
         return {
             "param_r2": r2_score(ds.params, mean_phys),
@@ -220,7 +227,8 @@ def make_ensemble_multi_epoch_fn(step_fn, batch_size: int, unroll: int = 1):
     counterpart of train.steps.make_multi_epoch_fn — same dispatch-count and
     remote-tunnel-reliability rationale):
 
-        multi_epoch(states, ds, key, num_epochs) -> (states, metrics(E, N, ...))
+        multi_epoch(states, ds, key, weights(N,7), num_epochs)
+            -> (states, metrics(E, N, ...))
 
     E is static per compilation (pass a fixed chunk size)."""
     vstep = jax.vmap(step_fn, in_axes=(0, None, 0))

@@ -159,6 +159,12 @@ class CheckpointManager:
         if step is None:
             return None, None, None
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        if not self._has_composite_layout(step):
+            # legacy layout (pre-composite revisions saved the bare state
+            # pytree as the single default item) — restore it and synthesize
+            # empty meta so old run directories remain resumable
+            state = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+            return step, state, {"epoch": step, "history": {}, "config": None}
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(
@@ -167,6 +173,13 @@ class CheckpointManager:
             ),
         )
         return step, restored["state"], restored["meta"]
+
+    def _has_composite_layout(self, step: int) -> bool:
+        """True when the step directory holds the Composite ('state','meta')
+        items this class writes; False for checkpoints written by earlier
+        revisions (plain StandardSave)."""
+        step_dir = os.path.join(self.directory, TRAIN_STATE, str(step))
+        return os.path.isdir(os.path.join(step_dir, "state"))
 
     def close(self) -> None:
         self._mgr.wait_until_finished()

@@ -479,7 +479,15 @@ class Trainer:
 
         from .. import interop
 
-        if interop.has_torch_artifacts(directory):
+        native_trio_complete = all(
+            ckpt.exists(directory, n)
+            for n in (ckpt.GENERATOR_FINAL, ckpt.DISCRIMINATOR_FINAL,
+                      ckpt.FORWARD_MODEL_FINAL)
+        )
+        # torch artifacts only take precedence when no complete Orbax trio is
+        # present — a stray reference .pth next to a full native trio must not
+        # shadow it
+        if interop.has_torch_artifacts(directory) and not native_trio_complete:
             g, d, f = interop.load_reference_models(
                 directory, st.g.variables, st.d.variables, st.f.variables
             )

@@ -25,6 +25,8 @@ from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
+from ..evaluate import grading
+
 PARAM_NAMES = ("r1", "r2", "w", "g")
 
 
@@ -114,9 +116,7 @@ def plot_forward_network_evaluation(
     ax.grid(alpha=0.3)
 
     s, m = spec["r2"], met["r2"]
-    rating = ("EXCELLENT" if s > 0.9 and m > 0.9 else
-              "GOOD" if s > 0.8 and m > 0.8 else
-              "MODERATE" if s > 0.6 and m > 0.6 else "POOR")
+    rating = grading.grade_forward(s, m)
     _rating_panel(axes[1, 2], "Forward network rating", [
         f"spectrum R2 : {s:.4f}",
         f"metrics  R2 : {m:.4f}",
@@ -167,12 +167,10 @@ def plot_pigan_evaluation(
     ax.grid(alpha=0.3)
 
     r2, acc = par["r2"], dis["overall_accuracy"]
-    rating = ("EXCELLENT" if r2 > 0.8 and acc > 0.8 else
-              "GOOD" if r2 > 0.6 and acc > 0.7 else
-              "MODERATE" if r2 > 0.4 and acc > 0.6 else "POOR")
+    rating = grading.grade_pigan(r2, acc)
     lines = [f"param R2 : {r2:.4f}", f"D accuracy: {acc:.4f}", "",
              f"RATING: {rating}"]
-    if r2 > 0.8 and 0.45 <= acc <= 0.6:
+    if grading.d_equilibrium(r2, acc):
         lines += ["", "note: D ~= 0.5 with high R2", "is a healthy equilibrium",
                   "(reference best: balance 51%)"]
     _rating_panel(axes[1, 3], "PI-GAN comprehensive assessment", lines)
@@ -216,9 +214,7 @@ def plot_structural_prediction_evaluation(
     ax.grid(alpha=0.3)
 
     c, e = results["consistency_score_mean"], results["reconstruction_error_mean"]
-    rating = ("EXCELLENT" if v < 0.05 and c > 0.9 and e < 0.01 else
-              "GOOD" if v < 0.1 and c > 0.8 and e < 0.05 else
-              "MODERATE" if v < 0.2 and c > 0.6 and e < 0.1 else "POOR")
+    rating = grading.grade_structural(v, c, e)
     _rating_panel(axes[1, 1], "Structural prediction rating", [
         f"violation rate : {v:.4f}   (target < 0.05)",
         f"consistency    : {c:.4f}   (target > 0.9)",
@@ -262,11 +258,11 @@ def plot_model_validation_evaluation(
     st = results["prediction_stability_mean"]
     pl = results["physical_plausibility_mean"]
 
-    _grade_bar(axes[0, 0], cy, (0.001, 0.01, 0.05),
+    _grade_bar(axes[0, 0], cy, grading.VALIDATION_BOUNDS["cycle"],
                ["EXC", "GOOD", "MOD", "POOR"], "Cycle consistency grade")
-    _grade_bar(axes[0, 1], st, (0.001, 0.01, 0.05),
+    _grade_bar(axes[0, 1], st, grading.VALIDATION_BOUNDS["stability"],
                ["EXC", "GOOD", "MOD", "POOR"], "Prediction stability grade")
-    _grade_bar(axes[0, 2], pl, (0.9, 0.8, 0.6),
+    _grade_bar(axes[0, 2], pl, grading.VALIDATION_BOUNDS["plausibility"],
                ["EXC", "GOOD", "MOD", "POOR"], "Physical plausibility grade",
                reverse=True)
 

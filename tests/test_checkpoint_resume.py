@@ -88,3 +88,24 @@ def test_checkpoint_meta_roundtrip(cfg, small_ds, tmp_path):
     assert meta["config"]["data"]["spectrum_dim"] == cfg.data.spectrum_dim
     assert meta["config"]["train"]["batch_size"] == cfg.train.batch_size
     assert len(meta["history"]["forward/loss"]) == 1
+
+
+def test_legacy_plain_checkpoint_restores(cfg, small_ds, tmp_path):
+    """Checkpoints written by earlier revisions (bare StandardSave, no
+    Composite state/meta items) must still restore, with synthesized meta."""
+    import orbax.checkpoint as ocp
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=1)
+    t.pretrain_forward(epochs=1, log_every=10**9)
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "legacy"), save_interval=1)
+    # simulate the legacy on-disk layout through the same inner manager
+    mgr._mgr.save(3, args=ocp.args.StandardSave(t.forward_state), force=True)
+    mgr._mgr.wait_until_finished()
+
+    step, state, meta = mgr.restore_with_meta(t.forward_state)
+    mgr.close()
+    assert step == 3
+    assert meta == {"epoch": 3, "history": {}, "config": None}
+    _trees_equal(state.f.params, t.forward_state.f.params)
+    _trees_equal(state.opt, t.forward_state.opt)

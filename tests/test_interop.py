@@ -160,3 +160,34 @@ def test_wrong_architecture_rejected(torch_trio, flax_trio):
     bad_template = jax.tree.map(lambda x: x[..., :1], variables)
     with pytest.raises(ValueError, match="does not match"):
         interop.validate_shapes(variables, bad_template, "generator")
+
+
+def test_extract_state_dict_rejects_metadata_only():
+    """Metadata-only wrappers and empty dicts must raise the readable
+    no-state-dict error, not masquerade as bare state_dicts (and then die
+    later with an opaque missing-weight KeyError)."""
+    with pytest.raises(KeyError, match="no state_dict"):
+        interop.extract_state_dict({}, "generator")
+    with pytest.raises(KeyError, match="no state_dict"):
+        interop.extract_state_dict({"epoch": 5, "version": "1.0"}, "generator")
+
+
+@pytest.mark.slow
+def test_stray_pth_does_not_shadow_native_trio(cfg, small_ds, tmp_path):
+    """A lone reference .pth sitting next to a COMPLETE Orbax trio must not
+    reroute load_final onto the (incomplete) torch path."""
+    from pigan_thz_tpu.train import Trainer
+
+    t = Trainer(cfg, ds=small_ds)
+    t.init_pigan()
+    t.save_final(str(tmp_path))
+    # stray torch artifact (contents never read — presence alone used to
+    # trigger the torch branch and a FileNotFoundError)
+    torch.save({"epoch": 1}, tmp_path / "forward_model_pretrained.pth")
+
+    t2 = Trainer(cfg, ds=small_ds)
+    t2.load_final(str(tmp_path))  # must succeed via the native trio
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        t2.pigan_state.g.params, t.pigan_state.g.params,
+    )

@@ -119,3 +119,28 @@ def test_yaml_unknown_key_errors(tmp_path):
         fh.write("train:\n  bogus: 1\n")
     with pytest.raises(KeyError):
         from_yaml(path)
+
+
+def test_uncertainty_at_refined_design_point(trained, small_ds):
+    """`uncertainty(params_norm=...)` evaluates the MC-dropout spread AT the
+    refined design, not the raw generator prediction the row no longer
+    reports (cli design --uncertainty regression)."""
+    st = trained.pigan_state
+    designer = InverseDesigner(
+        trained.generator, trained.forward_model, st.g.variables, st.f.variables,
+        small_ds,
+    )
+    spectra = small_ds.spectra[:4]
+    refined = designer.design(spectra, refine_steps=50)
+    s_mean, s_std, _, _ = designer.uncertainty(
+        spectra, jax.random.PRNGKey(0), num_samples=16,
+        params_norm=refined.params_norm,
+    )
+    assert s_mean.shape == (4, small_ds.spectrum_dim)
+    assert float(s_std.mean()) > 0.0
+    # the spread at the refined point is evaluated at DIFFERENT inputs than
+    # the default (raw prediction) path — means must differ
+    s_mean_raw, _, _, _ = designer.uncertainty(
+        spectra, jax.random.PRNGKey(0), num_samples=16,
+    )
+    assert float(jnp.max(jnp.abs(s_mean - s_mean_raw))) > 0.0
