@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--gan-epochs", type=int, default=1000)
     ap.add_argument("--fwd-epochs", type=int, default=500)
     ap.add_argument("--val-frac", type=float, default=0.2)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="also train/evaluate a generator EMA track")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="epochs per jit call (smaller = faster compile)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -59,12 +63,13 @@ def main() -> int:
     full = synthetic_dataset(cfg.data)
     train_ds, val_ds = split_dataset(full, val_frac=args.val_frac,
                                      key=jax.random.PRNGKey(9))
-    trainer = Trainer(cfg, ds=train_ds, epochs_per_call=50)
+    trainer = Trainer(cfg, ds=train_ds, epochs_per_call=args.chunk)
     trainer.pretrain_forward(epochs=args.fwd_epochs, log_every=10**9)
     trainer.init_pigan()
     trainer.train_pigan(
         epochs=args.gan_epochs, log_every=10**9,
-        settings=StepSettings.from_config(cfg, detach_forward=False),
+        settings=StepSettings.from_config(cfg, detach_forward=False,
+                                          ema_decay=args.ema_decay),
     )
 
     def row(ev):
@@ -81,8 +86,12 @@ def main() -> int:
         "ceilings": noise_ceilings(cfg),
         "train": row(trainer.evaluate()),
         "heldout": row(trainer.evaluator().run_comprehensive_evaluation(val_ds)),
-        "wall_s": round(time.time() - t0, 1),
     }
+    if args.ema_decay > 0.0:
+        out["heldout_ema"] = row(
+            trainer.evaluator(use_ema=True).run_comprehensive_evaluation(val_ds)
+        )
+    out["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out, indent=2))
     return 0
 

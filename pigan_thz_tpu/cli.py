@@ -107,7 +107,10 @@ def cmd_train(args) -> int:
     trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}")
     from .train.steps import StepSettings
 
-    settings = StepSettings.from_config(cfg, detach_forward=not args.fixed_physics)
+    settings = StepSettings.from_config(
+        cfg, detach_forward=not args.fixed_physics,
+        ema_decay=args.ema_decay,
+    )
     mgr = None
     if args.checkpoint_dir:
         from .train import checkpoint as ckpt_mod
@@ -207,6 +210,7 @@ def cmd_evaluate(args) -> int:
     trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
     window = (-1.0, 1.0) if args.violation_window == "sane" else (0.0, 1.0)
+    use_ema = getattr(args, "use_ema", False)
     synthetic_data = args.csv is None  # oracle/ceilings only valid then
     if args.suite != "all":
         # per-suite frontends, parity with the reference's four eval CLI
@@ -215,7 +219,7 @@ def cmd_evaluate(args) -> int:
         # graded console rubric + dedicated multi-panel figure
         import jax
 
-        ev = trainer.evaluator(violation_window=window)
+        ev = trainer.evaluator(violation_window=window, use_ema=use_ema)
         suite_fns = {
             "forward": lambda: ev.forward_network(trainer.ds),
             "pigan": lambda: ev.pigan(trainer.ds),
@@ -238,8 +242,8 @@ def cmd_evaluate(args) -> int:
             print(f"\nfigure saved: {path}")
         return 0
     t0 = _time.time()
-    results = trainer.evaluate(violation_window=window)
-    ev = trainer.evaluator(violation_window=window)
+    results = trainer.evaluate(violation_window=window, use_ema=use_ema)
+    ev = trainer.evaluator(violation_window=window, use_ema=use_ema)
     ceilings = oracle = None
     if synthetic_data:
         ceilings = noise_ceilings(trainer.cfg.data)
@@ -422,12 +426,19 @@ def cmd_export(args) -> int:
     trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
     st = trainer.pigan_state
+    g_vars = st.g.variables
+    if args.use_ema:
+        if st.g_ema is None:
+            raise SystemExit(
+                f"--use-ema: no 'generator_ema' artifact in {args.models}"
+            )
+        g_vars = {"params": st.g_ema, **st.g.extra}
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     os.makedirs(args.out, exist_ok=True)
     written = []
     if args.artifact in ("designer", "all"):
         written.append(serve.export_inverse_design(
-            trainer.generator, trainer.forward_model, st.g.variables,
+            trainer.generator, trainer.forward_model, g_vars,
             st.f.variables, trainer.ds,
             os.path.join(args.out, "designer.stablehlo"),
             batch_size=args.batch_size, use_pallas=args.pallas,
@@ -435,7 +446,7 @@ def cmd_export(args) -> int:
         ))
     if args.artifact in ("generator", "all"):
         written.append(serve.export_generator(
-            trainer.generator, st.g.variables, trainer.ds,
+            trainer.generator, g_vars, trainer.ds,
             os.path.join(args.out, "generator.stablehlo"),
             batch_size=args.batch_size,
         ))
@@ -539,6 +550,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--forward-epochs", type=int, default=None)
     g.add_argument("--forward-model", default=None,
                    help="path to pretrained forward model (dir/name)")
+    g.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA decay for the generator track (0 = off); the "
+                        "EMA generator is saved as 'generator_ema'")
     g.add_argument("--fixed-physics", action="store_true",
                    help="let physics-loss gradients flow through frozen F "
                         "(recommended; default reproduces the reference's "
@@ -562,6 +576,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--suite", default="all",
                    choices=["all", "forward", "pigan", "structural", "validation"],
                    help="run one suite only (parity with the per-suite CLIs)")
+    g.add_argument("--use-ema", action="store_true",
+                   help="evaluate the EMA generator track (requires a "
+                        "'generator_ema' artifact in --models)")
     g.add_argument("--violation-window", default="parity",
                    choices=["parity", "sane"],
                    help="parity: reference's [0,1] window on tanh outputs; "
@@ -604,6 +621,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["all", "designer", "generator", "surrogate"])
     g.add_argument("--out", default="exported")
     g.add_argument("--batch-size", type=int, default=8192)
+    g.add_argument("--use-ema", action="store_true",
+                   help="export the EMA generator track (requires a "
+                        "'generator_ema' artifact in --models)")
     g.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="bfloat16 = measured 2.06x serving throughput at large batch")
     g.add_argument("--pallas", action="store_true",

@@ -99,14 +99,17 @@ def init_ensemble_states(
     generator, discriminator, forward_model, g_tx, d_tx,
     num_members: int, rng: jax.Array,
     spectrum_dim: int = 250, param_dim: int = 4, forward_variables=None,
+    ema: bool = False,
 ) -> PiGanState:
-    """Stacked (leading ensemble axis) states, one per member seed."""
+    """Stacked (leading ensemble axis) states, one per member seed.  With
+    `ema=True` every member carries a generator-EMA track (pass a
+    step_settings with ema_decay>0 to make_ensemble_pigan_step)."""
     keys = jax.random.split(rng, num_members)
     states = [
         init_pigan_state(
             generator, discriminator, forward_model, g_tx, d_tx, k,
             spectrum_dim=spectrum_dim, param_dim=param_dim,
-            forward_variables=forward_variables,
+            forward_variables=forward_variables, ema=ema,
         )
         for k in keys
     ]

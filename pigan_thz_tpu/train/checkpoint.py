@@ -25,6 +25,9 @@ GENERATOR_FINAL = "generator_final"
 DISCRIMINATOR_FINAL = "discriminator_final"
 FORWARD_MODEL_FINAL = "forward_model_final"
 FORWARD_MODEL_PRETRAINED = "forward_model_pretrained"
+# EMA generator track (new capability, saved alongside the trio when the
+# run trained with StepSettings.ema_decay > 0)
+GENERATOR_EMA = "generator_ema"
 TRAIN_STATE = "train_state"
 
 
@@ -56,10 +59,16 @@ def exists(directory: str, name: str) -> bool:
 
 def save_final_trio(directory: str, state) -> None:
     """Write the three final model artifacts under their contract names
-    (train_pigan.py:299-304)."""
+    (train_pigan.py:299-304), plus the EMA generator when the state carries
+    one (saved as full generator variables: EMA params + live aux
+    collections, loadable anywhere a generator checkpoint is)."""
     save_pytree(directory, GENERATOR_FINAL, state.g.variables)
     save_pytree(directory, DISCRIMINATOR_FINAL, state.d.variables)
     save_pytree(directory, FORWARD_MODEL_FINAL, state.f.variables)
+    if getattr(state, "g_ema", None) is not None:
+        save_pytree(
+            directory, GENERATOR_EMA, {"params": state.g_ema, **state.g.extra}
+        )
 
 
 def load_final_trio(directory: str, g_template, d_template, f_template):

@@ -41,7 +41,14 @@ class ModelState:
 
 @struct.dataclass
 class PiGanState:
-    """Full GAN training state (G + D + frozen F + both optimizers + PRNG)."""
+    """Full GAN training state (G + D + frozen F + both optimizers + PRNG).
+
+    `g_ema` optionally carries an exponential moving average of the
+    generator params (`StepSettings.ema_decay` > 0) — the standard GAN
+    inference-quality trick, updated inside the fused step as a pytree lerp.
+    It defaults to None (an empty pytree subtree), so states trained without
+    EMA keep the exact leaf structure of earlier revisions and old
+    checkpoints restore unchanged."""
 
     step: jax.Array
     rng: jax.Array
@@ -50,6 +57,7 @@ class PiGanState:
     f: ModelState
     g_opt: optax.OptState
     d_opt: optax.OptState
+    g_ema: Any = None
 
 
 @struct.dataclass
@@ -87,8 +95,11 @@ def init_pigan_state(
     spectrum_dim: int = 250,
     param_dim: int = 4,
     forward_variables=None,
+    ema: bool = False,
 ) -> PiGanState:
-    """Initialize G/D (fresh) and F (fresh or from pretraining)."""
+    """Initialize G/D (fresh) and F (fresh or from pretraining).  With
+    `ema=True` the state also carries an EMA copy of the generator params
+    (seeded at the init values) for `StepSettings.ema_decay` training."""
     kg, kd, kf, k_state = jax.random.split(rng, 4)
     spec = jnp.zeros((2, spectrum_dim), jnp.float32)
     par = jnp.zeros((2, param_dim), jnp.float32)
@@ -115,6 +126,7 @@ def init_pigan_state(
         f=f,
         g_opt=g_tx.init(g.params),
         d_opt=d_tx.init(d.params),
+        g_ema=jax.tree.map(jnp.copy, g.params) if ema else None,
     )
 
 

@@ -77,6 +77,9 @@ class StepSettings:
     range_hi: float = 1.0
     d_update_every: int = 1          # D update frequency (emergency_trainer.py:64-83)
     stability_noise: float = 0.01    # unified_trainer.py:260
+    # EMA of generator params (0 = off).  New capability (no reference
+    # counterpart): evaluate/serve with state.g_ema for a smoother G.
+    ema_decay: float = 0.0
     # GAN objective: "bce" (reference, Sigmoid+BCELoss) or "wgan_gp" —
     # declared in the reference's overlay (training_optimization.py:72-74)
     # but never implemented there; real here.
@@ -446,6 +449,20 @@ def make_pigan_step(
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g.params)
         new_g_params = optax.apply_updates(state.g.params, g_updates)
 
+        if settings.ema_decay > 0.0:
+            if state.g_ema is None:
+                raise ValueError(
+                    "StepSettings.ema_decay > 0 requires a state carrying "
+                    "g_ema — init with init_pigan_state(..., ema=True) "
+                    "(Trainer does this automatically)"
+                )
+            mu = settings.ema_decay
+            new_g_ema = jax.tree.map(
+                lambda e, p: mu * e + (1.0 - mu) * p, state.g_ema, new_g_params
+            )
+        else:
+            new_g_ema = state.g_ema
+
         new_state = PiGanState(
             step=state.step + 1,
             rng=rng,
@@ -454,6 +471,7 @@ def make_pigan_step(
             f=state.f,
             g_opt=new_g_opt,
             d_opt=new_d_opt,
+            g_ema=new_g_ema,
         )
         metrics = {"d_loss": d_loss, "g_loss": g_loss, "d_accuracy": d_acc, **aux}
         return new_state, metrics

@@ -286,6 +286,13 @@ class Trainer:
         settings = settings or StepSettings.from_config(cfg)
         if self.pigan_state is None:
             self.init_pigan()
+        if settings.ema_decay > 0.0 and self.pigan_state.g_ema is None:
+            # seed the EMA track at the current generator params
+            self.pigan_state = self._maybe_shard(
+                self.pigan_state.replace(
+                    g_ema=jax.tree.map(jnp.copy, self.pigan_state.g.params)
+                )
+            )
 
         g_tx, d_tx = self.g_tx, self.d_tx
         if lr_g is not None or schedule_g is not None:
@@ -444,21 +451,34 @@ class Trainer:
     # ------------------------------------------------------------------
     # Evaluation / artifacts
     # ------------------------------------------------------------------
-    def evaluator(self, violation_window: tuple = (0.0, 1.0)) -> Evaluator:
+    def evaluator(
+        self, violation_window: tuple = (0.0, 1.0), use_ema: bool = False
+    ) -> Evaluator:
+        """`use_ema=True` evaluates the EMA generator track (params from
+        state.g_ema, auxiliary collections from the live generator) —
+        requires training with StepSettings.ema_decay > 0."""
         assert self.pigan_state is not None, "train or init_pigan first"
         st = self.pigan_state
+        g_vars = st.g.variables
+        if use_ema:
+            if st.g_ema is None:
+                raise ValueError(
+                    "no EMA track: train with StepSettings(ema_decay=...) first"
+                )
+            g_vars = {"params": st.g_ema, **st.g.extra}
         return Evaluator(
             self.generator, self.discriminator, self.forward_model,
-            st.g.variables, st.d.variables, st.f.variables,
+            g_vars, st.d.variables, st.f.variables,
             violation_window=violation_window,
         )
 
     def evaluate(
-        self, key: jax.Array | None = None, violation_window: tuple = (0.0, 1.0)
+        self, key: jax.Array | None = None, violation_window: tuple = (0.0, 1.0),
+        use_ema: bool = False,
     ) -> Dict:
-        return self.evaluator(violation_window).run_comprehensive_evaluation(
-            self.ds, key
-        )
+        return self.evaluator(
+            violation_window, use_ema=use_ema
+        ).run_comprehensive_evaluation(self.ds, key)
 
     def save_final(self, directory: str) -> None:
         assert self.pigan_state is not None
@@ -503,8 +523,15 @@ class Trainer:
             g, d, f = ckpt.load_final_trio(
                 directory, st.g.variables, st.d.variables, st.f.variables
             )
+        g_ema = None
+        if ckpt.exists(directory, ckpt.GENERATOR_EMA):
+            ema_vars = ckpt.restore_pytree(
+                directory, ckpt.GENERATOR_EMA, st.g.variables
+            )
+            g_ema = dict(ema_vars)["params"]
         self.pigan_state = st.replace(
             g=ModelState.from_variables(g),
             d=ModelState.from_variables(d),
             f=ModelState.from_variables(f),
+            g_ema=g_ema,
         )
