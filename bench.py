@@ -52,6 +52,11 @@ def main() -> None:
         make_pigan_step,
     )
 
+    from pigan_thz_tpu.ops.megakernel import (
+        make_pallas_multi_epoch_fn,
+        supports_megakernel,
+    )
+
     cfg = default_config()  # 1000 samples, batch 64 — the reference workload
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
@@ -68,30 +73,41 @@ def main() -> None:
         g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
         forward_variables=fs.f.variables,
     )
-    step = make_pigan_step(
-        g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
-        ds.param_lo, ds.param_hi,
+    settings = StepSettings.from_config(cfg)
+    # Production fast path: the VMEM-resident Pallas whole-epoch megakernel
+    # (ops/megakernel.py) — 16.7 us/step vs 41.9 us for the best XLA variant
+    # on v5e-1 (RESULTS.md "Megakernel").  Falls back to the XLA multi-epoch
+    # scan off-TPU or outside the kernel's settings envelope.
+    use_mega = (
+        jax.default_backend() == "tpu"
+        and supports_megakernel(cfg, settings) is None
     )
-    # 100 whole epochs per jit call with the 15-step inner epoch fully
-    # unrolled (round-2 sweep on v5e-1: 19.1k steps/s median vs 17.1k for
-    # the round-1 chunk=50/unroll=3 optimum; chunk 200 and partial unrolls
-    # measured worse)
     chunk = 100
-    multi_epoch = make_multi_epoch_fn(
-        step, cfg.train.batch_size, with_scale=True, unroll=steps_per_epoch
-    )
+    if use_mega:
+        multi_epoch = make_pallas_multi_epoch_fn(cfg, settings)
+    else:
+        step = make_pigan_step(
+            g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi,
+        )
+        multi_epoch = make_multi_epoch_fn(
+            step, cfg.train.batch_size, with_scale=True, unroll=steps_per_epoch
+        )
     ones = jnp.ones((chunk,), jnp.float32)
 
-    # warmup (compile + first execution)
-    state, m = multi_epoch(state, ds, jax.random.PRNGKey(2), ones)
-    jax.block_until_ready(m)
+    # warmup (compile + first executions)
+    for w in range(2):
+        state, m = multi_epoch(state, ds, jax.random.PRNGKey(2 + w), ones)
+    # hard host sync: through the TPU relay tunnel, block_until_ready alone
+    # has been observed returning before execution finishes (round-2 notes);
+    # device_get of a result is the sound barrier
+    jax.device_get(m["d_loss"])
 
     # timed: enough epochs for a stable steady-state measurement
-    n_epochs = 200
+    n_epochs = 2000
     t0 = time.perf_counter()
     for e in range(n_epochs // chunk):
-        state, m = multi_epoch(state, ds, jax.random.PRNGKey(3 + e), ones)
-    jax.block_until_ready(m)
+        state, m = multi_epoch(state, ds, jax.random.PRNGKey(10 + e), ones)
+    jax.device_get(jax.tree.leaves(state.g.params)[0])
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_epochs * steps_per_epoch / dt

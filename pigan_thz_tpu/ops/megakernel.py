@@ -1,0 +1,645 @@
+"""Whole-epoch fused training megakernel (Pallas, single chip).
+
+Motivation (measured, v5e-1): the XLA fused D->G step runs ~18k steps/s ==
+~55 us/step.  Per step it moves every parameter plus both Adam moment sets
+through HBM (~52 MB => ~63 us at 819 GB/s) — the step is HBM-BANDWIDTH
+BOUND on optimizer-state traffic, not compute (~0.6 GFLOP/step ~= 15-25 us
+fp32).  This kernel removes that traffic entirely: G/D parameters, Adam
+moments, BatchNorm statistics and the frozen forward surrogate stay RESIDENT
+IN VMEM across an entire multi-epoch chunk (sequential Pallas grid with
+constant-index blocks), and only the 128 KB minibatch streams in per step.
+
+Scope: the DEFAULT training configuration — the reference's main protocol
+(train_pigan.py:114-187 semantics as implemented by
+train.steps.make_pigan_step) with the baseline MLP trio:
+
+- G: Dense(S->512) BN ReLU, Dense(512->256) BN ReLU, Dense(256->4), tanh
+  (models/generator.py:26-41);
+- D: Dense(S+4->512) LeakyReLU(.2), Dense(512->256) LeakyReLU, Dense(256->1)
+  logits (models/discriminator.py:37-50);
+- F (frozen, eval): 5x [Dense LN LeakyReLU], Dense(256->S+8) split head
+  (models/forward_model.py:30-53);
+- BCE objective with label smoothing, detach_forward=True, D every step,
+  no augment / instance noise / extended losses (`supports_megakernel`
+  guards the exact envelope; everything else falls back to the XLA path).
+
+Parity: the kernel reproduces the XLA step's math exactly — flax BatchNorm
+(biased batch var, rsqrt, eps 1e-5, momentum .9 running update), flax
+LayerNorm (eps 1e-6), optax clip_by_global_norm -> scale_by_adam (bias
+corrections at count+1) -> scale_by_schedule (lr at pre-increment count),
+the 2x-mean concat-batch BCE, the double-counted recon weight, the
+[0,1]-window range loss on tanh outputs.  Schedules and Adam bias
+corrections are precomputed OUTSIDE the kernel by evaluating the very same
+optax schedule objects on a step-index vector, so there is one source of
+truth.  tests/test_megakernel.py asserts the full state (params, moments,
+BN stats, opt counts) matches the XLA `make_multi_epoch_fn` trajectory.
+
+All feature axes are zero-padded to lane multiples; padded weight
+rows/columns are zero, so every matmul is exact and padded gradients stay
+identically zero (Adam keeps 0 moments there).  Loss means divide by the
+TRUE element counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PiGanConfig
+from ..data.dataset import epoch_indices
+from ..train.schedules import cosine_schedule, step_schedule
+
+LANE = 128
+
+
+def _up(n: int, m: int = LANE) -> int:
+    return -(-n // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Support envelope
+# ---------------------------------------------------------------------------
+
+
+def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
+    """Return None if the megakernel reproduces this configuration exactly,
+    else a human-readable reason for falling back to the XLA path."""
+    if cfg.generator.name != "mlp" or tuple(cfg.generator.hidden_dims) != (512, 256):
+        return "generator is not the baseline MLP(512,256)"
+    if cfg.generator.norm != "batch":
+        return "generator norm is not batchnorm"
+    if cfg.discriminator.name != "mlp" or tuple(cfg.discriminator.hidden_dims) != (512, 256):
+        return "discriminator is not the baseline MLP(512,256)"
+    if cfg.forward_model.name != "mlp" or tuple(cfg.forward_model.hidden_dims) != (
+        256, 512, 1024, 512, 256,
+    ):
+        return "forward model is not the baseline MLP"
+    if cfg.train.compute_dtype != "float32":
+        return "compute_dtype is not float32"
+    if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
+        return "non-default param/metrics dims"
+    s = settings
+    if s.gan_loss != "bce":
+        return "gan_loss is not bce"
+    if not s.detach_forward:
+        return "detach_forward=False needs backprop through F (XLA path)"
+    if s.d_update_every != 1:
+        return "d_update_every != 1"
+    if s.sigmoid_squash:
+        return "sigmoid_squash"
+    if s.constraint_w or s.stability_w or s.cycle_w or s.window_w:
+        return "extended trainer losses enabled"
+    if s.instance_noise or s.augment_noise or s.augment_shift or s.augment_scale:
+        return "stochastic augmentation enabled"
+    if s.ema_decay:
+        return "EMA track not supported in-kernel yet"
+    if s.kl_w:
+        return "kl_w != 0"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# State packing: PiGanState <-> padded VMEM buffers
+# ---------------------------------------------------------------------------
+
+
+def _pad2(x: jax.Array, rows: int, cols: int) -> jax.Array:
+    x = x.reshape((1, -1) if x.ndim == 1 else x.shape)
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+
+def _crop(x: jax.Array, shape) -> jax.Array:
+    if len(shape) == 1:
+        return x[0, : shape[0]]
+    return x[: shape[0], : shape[1]]
+
+
+# (path-into-params, padded (rows, cols)); G then D, fixed order.  Paths are
+# the flax module tree of the baseline trio (see module docstring).
+def _train_tensor_specs(S: int):
+    W = _up(S + 4)  # shared padded width of spectrum-like axes
+    return [
+        (("g", "MLPBlock_0", "Dense_0", "kernel"), (W, 512)),
+        (("g", "MLPBlock_0", "Dense_0", "bias"), (1, 512)),
+        (("g", "MLPBlock_0", "NormAct_0", "BatchNorm_0", "scale"), (1, 512)),
+        (("g", "MLPBlock_0", "NormAct_0", "BatchNorm_0", "bias"), (1, 512)),
+        (("g", "MLPBlock_1", "Dense_0", "kernel"), (512, 256)),
+        (("g", "MLPBlock_1", "Dense_0", "bias"), (1, 256)),
+        (("g", "MLPBlock_1", "NormAct_0", "BatchNorm_0", "scale"), (1, 256)),
+        (("g", "MLPBlock_1", "NormAct_0", "BatchNorm_0", "bias"), (1, 256)),
+        (("g", "Dense_0", "kernel"), (256, LANE)),
+        (("g", "Dense_0", "bias"), (1, LANE)),
+        (("d", "Dense_0", "kernel"), (W, 512)),
+        (("d", "Dense_0", "bias"), (1, 512)),
+        (("d", "Dense_1", "kernel"), (512, 256)),
+        (("d", "Dense_1", "bias"), (1, 256)),
+        (("d", "Dense_2", "kernel"), (256, LANE)),
+        (("d", "Dense_2", "bias"), (1, LANE)),
+    ]
+
+
+_N_G = 10  # first 10 train tensors belong to G, rest to D
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree, path, value):
+    if len(path) == 1:
+        return {**tree, path[0]: value}
+    return {**tree, path[0]: _set(tree[path[0]], path[1:], value)}
+
+
+def _f_layer_paths():
+    out = []
+    for i in range(5):
+        blk = f"MLPBlock_{i}"
+        out.append((
+            (blk, "Dense_0", "kernel"), (blk, "Dense_0", "bias"),
+            (blk, "NormAct_0", "LayerNorm_0", "scale"),
+            (blk, "NormAct_0", "LayerNorm_0", "bias"),
+        ))
+    return out
+
+
+_F_DIMS = (256, 512, 1024, 512, 256)
+
+
+def pack_state(state, S: int):
+    """PiGanState -> (train_bufs, stat_bufs, frozen_bufs), all padded fp32.
+
+    train buf = stack([param, adam_mu, adam_nu]) -> (3, r, c);
+    stat buf  = stack([running_mean, running_var]) -> (2, 1, c)."""
+    gP, dP = state.g.params, state.d.params
+    g_adam = state.g_opt[1][0]
+    d_adam = state.d_opt[1][0]
+    trees = {"g": (gP, g_adam.mu, g_adam.nu), "d": (dP, d_adam.mu, d_adam.nu)}
+    train = []
+    for path, (r, c) in _train_tensor_specs(S):
+        p, mu, nu = trees[path[0]]
+        train.append(jnp.stack([
+            _pad2(_get(p, path[1:]), r, c),
+            _pad2(_get(mu, path[1:]), r, c),
+            _pad2(_get(nu, path[1:]), r, c),
+        ]))
+    bs = state.g.extra["batch_stats"]
+    stats = []
+    for blk, c in (("MLPBlock_0", 512), ("MLPBlock_1", 256)):
+        bn = bs[blk]["NormAct_0"]["BatchNorm_0"]
+        stats.append(jnp.stack([
+            _pad2(bn["mean"], 1, c), _pad2(bn["var"], 1, c),
+        ]))
+    fP = state.f.params
+    frozen = []
+    in_dim = LANE  # F input = padded pred_norm (B, LANE)
+    for dims_out, paths in zip(_F_DIMS, _f_layer_paths()):
+        kw, bw, sc, bi = paths
+        frozen += [
+            _pad2(_get(fP, kw), in_dim, dims_out),
+            _pad2(_get(fP, bw), 1, dims_out),
+            _pad2(_get(fP, sc), 1, dims_out),
+            _pad2(_get(fP, bi), 1, dims_out),
+        ]
+        in_dim = dims_out
+    W = _up(S + 4)
+    head_k = fP["Dense_0"]["kernel"]          # (256, S+8)
+    head_b = fP["Dense_0"]["bias"]
+    frozen += [
+        _pad2(head_k[:, :S], 256, W), _pad2(head_b[:S], 1, W),
+        _pad2(head_k[:, S:], 256, LANE), _pad2(head_b[S:], 1, LANE),
+    ]
+    return train, stats, frozen
+
+
+def unpack_state(state, train_out, stats_out, n_steps: int, S: int):
+    """Rebuild a PiGanState from the kernel's updated buffers."""
+    gP, dP = state.g.params, state.d.params
+    g_adam, g_sched = state.g_opt[1]
+    d_adam, d_sched = state.d_opt[1]
+    new = {
+        "g": [gP, g_adam.mu, g_adam.nu],
+        "d": [dP, d_adam.mu, d_adam.nu],
+    }
+    for (path, _), buf in zip(_train_tensor_specs(S), train_out):
+        for slot in range(3):
+            tgt = new[path[0]][slot]
+            shape = _get(tgt, path[1:]).shape
+            new[path[0]][slot] = _set(tgt, path[1:], _crop(buf[slot], shape))
+    bs = state.g.extra["batch_stats"]
+    for (blk, c), buf in zip((("MLPBlock_0", 512), ("MLPBlock_1", 256)), stats_out):
+        bn = {"mean": _crop(buf[0], (c,)), "var": _crop(buf[1], (c,))}
+        bs = _set(bs, (blk, "NormAct_0", "BatchNorm_0"), bn)
+    inc = jnp.asarray(n_steps, g_adam.count.dtype)
+    g_opt = (state.g_opt[0], (
+        g_adam._replace(count=g_adam.count + inc, mu=new["g"][1], nu=new["g"][2]),
+        g_sched._replace(count=g_sched.count + inc),
+    ))
+    d_opt = (state.d_opt[0], (
+        d_adam._replace(count=d_adam.count + inc, mu=new["d"][1], nu=new["d"][2]),
+        d_sched._replace(count=d_sched.count + inc),
+    ))
+    # rng: mirror the XLA step's `rng, *_ = split(rng, 9)` chain so a run is
+    # checkpoint-identical whichever backend executed it
+    def _advance(r, _):
+        return jax.random.split(r, 9)[0], None
+
+    rng, _ = jax.lax.scan(_advance, state.rng, None, length=n_steps)
+    return state.replace(
+        step=state.step + n_steps,
+        rng=rng,
+        g=state.g.replace(params=new["g"][0], extra={"batch_stats": bs}),
+        d=state.d.replace(params=new["d"][0]),
+        g_opt=g_opt,
+        d_opt=d_opt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+METRIC_KEYS = (
+    "d_loss", "g_loss", "d_accuracy", "adv_loss", "recon_spec_loss",
+    "recon_metrics_loss", "maxwell_loss", "lc_loss", "param_range_loss",
+    "violation_rate",
+)
+
+_B1, _B2, _EPS = 0.5, 0.999, 1e-8
+_BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
+_SLOPE = 0.2
+
+
+def _make_kernel(S: int, B: int, steps_per_epoch: int, settings, clip: float):
+    W = _up(S + 4)
+    w_adv = float(settings.adv_w)
+    w_recon = float(settings.recon_w + settings.physics_spec_w)  # double-count
+    w_pmet = float(settings.physics_metrics_w)
+    w_maxwell = float(settings.maxwell_w)
+    w_lc = float(settings.lc_w)
+    w_range = float(settings.range_w)
+    r_lo, r_hi = float(settings.range_lo), float(settings.range_hi)
+    lab_r, lab_f = float(settings.label_real), float(settings.label_fake)
+
+    def leaky_mask(pre):
+        return jnp.where(pre >= 0.0, 1.0, _SLOPE)
+
+    def dotT0(a, b):
+        # contract dim 0 of both: (B, M) x (B, N) -> (M, N)  [dW = act^T @ dz]
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dotT1(a, b):
+        # contract dim 1 of both: (B, N) x (M, N) -> (B, M)  [dh = dz @ W^T]
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def csum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def sq(x):
+        return jnp.sum(x * x)
+
+    def adam_apply(bufs, grads, lr, inv1, inv2):
+        gn = jnp.sqrt(sum(sq(g) for g in grads))
+        scale = jnp.where(gn < clip, 1.0, clip / gn)
+        for ref, g in zip(bufs, grads):
+            g = g * scale
+            m = _B1 * ref[1] + (1.0 - _B1) * g
+            v = _B2 * ref[2] + (1.0 - _B2) * g * g
+            ref[0] = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
+            ref[1] = m
+            ref[2] = v
+
+    def kernel(*refs):
+        (spec_ref, par_ref, met_ref, sched_ref, lo_ref, hi_ref) = refs[:6]
+        frozen = refs[6:30]
+        # refs[30:48] are the aliased state inputs; use the output refs
+        train = list(refs[48:64])
+        stats = list(refs[64:66])
+        metrics_ref = refs[66]
+
+        i = pl.program_id(0)
+        sched_row = sched_ref[0]       # (1, LANE)
+        lr_g = sched_row[0, 0]
+        lr_d = sched_row[0, 1]
+        inv1 = sched_row[0, 2]
+        inv2 = sched_row[0, 3]
+
+        spectra = spec_ref[0]          # (B, W), cols >= S are zero
+        params_phys = par_ref[0][:, 0:4]
+        metrics_nm = met_ref[0][:, 0:8]
+        lo = lo_ref[0:1, :]            # (1, LANE), pads zero
+        hi = hi_ref[0:1, :]
+
+        (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
+         g_w3, g_b3, d_w1, d_b1, d_w2, d_b2, d_w3, d_b3) = train
+        st1, st2 = stats
+
+        # ---- G forward (shared by both phases: same params, same batch) --
+        u1 = mm(spectra, g_w1[0]) + g_b1[0]
+        mu1 = jnp.mean(u1, axis=0, keepdims=True)
+        var1 = jnp.mean(u1 * u1, axis=0, keepdims=True) - mu1 * mu1
+        iv1 = jax.lax.rsqrt(var1 + _BN_EPS)
+        xh1 = (u1 - mu1) * iv1
+        y1 = xh1 * g_gam1[0] + g_bet1[0]
+        a1 = jnp.maximum(y1, 0.0)
+        u2 = mm(a1, g_w2[0]) + g_b2[0]
+        mu2 = jnp.mean(u2, axis=0, keepdims=True)
+        var2 = jnp.mean(u2 * u2, axis=0, keepdims=True) - mu2 * mu2
+        iv2 = jax.lax.rsqrt(var2 + _BN_EPS)
+        xh2 = (u2 - mu2) * iv2
+        y2 = xh2 * g_gam2[0] + g_bet2[0]
+        a2 = jnp.maximum(y2, 0.0)
+        z3 = mm(a2, g_w3[0]) + g_b3[0]
+        pn = jnp.tanh(z3)                       # (B, LANE), pads exactly 0
+        pphys = (pn + 1.0) * 0.5 * (hi - lo) + lo   # pads 0 (lo=hi=0 there)
+
+        # ---- D phase: update D on [real; stop_grad(fake)] ----------------
+        # spectra cols >= S are zero, so lane-placing the params and ADDING
+        # is an exact concat (Mosaic has no dynamic_update_slice)
+        def place_params(p4):
+            return jnp.concatenate(
+                [jnp.zeros((B, S), jnp.float32), p4,
+                 jnp.zeros((B, W - S - 4), jnp.float32)], axis=1
+            )
+
+        real_in = spectra + place_params(params_phys)
+        fake_in = spectra + place_params(pphys[:, 0:4])
+        x0 = jnp.concatenate([real_in, fake_in], axis=0)      # (2B, W)
+        p1 = mm(x0, d_w1[0]) + d_b1[0]
+        h1 = jnp.where(p1 >= 0.0, p1, _SLOPE * p1)
+        p2 = mm(h1, d_w2[0]) + d_b2[0]
+        h2 = jnp.where(p2 >= 0.0, p2, _SLOPE * p2)
+        zf = mm(h2, d_w3[0]) + d_b3[0]                        # (2B, LANE)
+        z = zf[:, 0:1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
+        labels = jnp.where(row < B, lab_r, lab_f)
+        d_loss = 2.0 * jnp.mean(
+            jnp.maximum(z, 0.0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        )
+        probs = jax.nn.sigmoid(z)
+        d_acc = 0.5 * (
+            jnp.mean((probs[:B] > 0.5).astype(jnp.float32))
+            + jnp.mean((probs[B:] <= 0.5).astype(jnp.float32))
+        )
+        dz = 2.0 * (probs - labels) / (2.0 * B)               # (2B, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * B, LANE), 1)
+        dzf = jnp.where(lane == 0, dz, 0.0)                   # (2B, LANE)
+        dWd3 = dotT0(h2, dzf)
+        dbd3 = csum(dzf)
+        dh2 = dotT1(dz, d_w3[0][:, 0:1])                      # (2B, 256)
+        dp2 = dh2 * leaky_mask(p2)
+        dWd2 = dotT0(h1, dp2)
+        dbd2 = csum(dp2)
+        dh1 = dotT1(dp2, d_w2[0])
+        dp1 = dh1 * leaky_mask(p1)
+        dWd1 = dotT0(x0, dp1)
+        dbd1 = csum(dp1)
+        adam_apply(
+            [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
+            [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
+            lr_d, inv1, inv2,
+        )
+
+        # ---- G phase: adversarial pass through the JUST-UPDATED D --------
+        q1 = mm(fake_in, d_w1[0]) + d_b1[0]
+        hg1 = jnp.where(q1 >= 0.0, q1, _SLOPE * q1)
+        q2 = mm(hg1, d_w2[0]) + d_b2[0]
+        hg2 = jnp.where(q2 >= 0.0, q2, _SLOPE * q2)
+        zg = (mm(hg2, d_w3[0]) + d_b3[0])[:, 0:1]             # (B, 1)
+        adv = jnp.mean(
+            jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
+        )
+        dzg = (jax.nn.sigmoid(zg) - 1.0) / B
+        dhg2 = dotT1(dzg, d_w3[0][:, 0:1])
+        dq2 = dhg2 * leaky_mask(q2)
+        dhg1 = dotT1(dq2, d_w2[0])
+        dq1 = dhg1 * leaky_mask(q1)
+        dxg = dotT1(dq1, d_w1[0])                             # (B, W)
+        dpphys = dxg[:, S: S + 4]
+        span4 = (hi - lo)[0:1, 0:4] * 0.5                      # d pphys / d pn
+        dpn4_adv = w_adv * dpphys * span4                      # (B, 4)
+
+        # ---- frozen forward surrogate (eval mode, detached) --------------
+        a = pn
+        acts = []
+        for li in range(5):
+            fw, fb, fg, fbe = frozen[4 * li: 4 * li + 4]
+            t = mm(a, fw[:, :]) + fb[0:1, :]
+            mu = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            ln = (t - mu) * jax.lax.rsqrt(var + _LN_EPS) * fg[0:1, :] + fbe[0:1, :]
+            a = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
+            acts.append(a)
+        fw6s, fb6s, fw6m, fb6m = frozen[20:24]
+        recon = mm(a, fw6s[:]) + fb6s[0:1, :]                  # (B, W) pads 0
+        pmet = (mm(a, fw6m[:]) + fb6m[0:1, :])[:, 0:8]         # (B, 8)
+
+        recon_l = jnp.sum((recon - spectra) ** 2) / (B * S)
+        met_l = jnp.sum((pmet - metrics_nm) ** 2) / (B * 8)
+        d1 = recon[:, 1:] - recon[:, :-1]
+        d2 = d1[:, 1:] - d1[:, :-1]                            # (B, W-2)
+        mlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        maxwell_l = jnp.sum(jnp.where(mlane < S - 2, d2 * d2, 0.0)) / (B * (S - 2))
+        f1, f2 = pmet[:, 0:1], pmet[:, 1:2]
+        pn4 = pn[:, 0:4]
+        th1 = 0.4 * pn4[:, 0:1] + 0.6 * pn4[:, 2:3]
+        th2 = 0.3 * pn4[:, 1:2] + 0.7 * pn4[:, 3:4]
+        lc_l = jnp.mean((f1 - th1) ** 2) + jnp.mean((f2 - th2) ** 2)
+        below = jnp.maximum(r_lo - pn, 0.0)                    # pads contribute 0
+        above = jnp.maximum(pn - r_hi, 0.0)
+        range_l = jnp.sum(below * below + above * above) / (B * 4)
+        bad = jnp.max(
+            ((pn < r_lo) | (pn > r_hi)).astype(jnp.float32), axis=1, keepdims=True
+        )
+        viol = jnp.mean(bad)
+        g_loss = (
+            w_adv * adv + w_recon * recon_l + w_pmet * met_l
+            + w_maxwell * maxwell_l + w_lc * lc_l + w_range * range_l
+        )
+
+        # ---- G backward ---------------------------------------------------
+        g1 = w_lc * 2.0 * (th1 - f1) / B                       # (B, 1)
+        g2 = w_lc * 2.0 * (th2 - f2) / B
+        dpn4 = dpn4_adv + jnp.concatenate(
+            [0.4 * g1, 0.3 * g2, 0.6 * g1, 0.7 * g2], axis=1
+        )
+        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        dpn = jnp.concatenate(
+            [dpn4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+        )
+        dpn = dpn + jnp.where(
+            blane < 4, w_range * (2.0 * above - 2.0 * below) / (B * 4), 0.0
+        )
+        dz3 = dpn * (1.0 - pn * pn)
+        dWg3 = dotT0(a2, dz3)
+        dbg3 = csum(dz3)
+        da2 = dotT1(dz3, g_w3[0])
+        dy2 = da2 * (y2 > 0.0).astype(jnp.float32)
+        dgam2 = csum(dy2 * xh2)
+        dbet2 = csum(dy2)
+        dt2 = dy2 * g_gam2[0] * iv2
+        dvar2 = csum(dy2 * g_gam2[0] * (u2 - mu2)) * (-0.5) * iv2 * iv2 * iv2
+        du2 = dt2 - jnp.mean(dt2, axis=0, keepdims=True) + dvar2 * 2.0 * (u2 - mu2) / B
+        dWg2 = dotT0(a1, du2)
+        dbg2 = csum(du2)
+        da1 = dotT1(du2, g_w2[0])
+        dy1 = da1 * (y1 > 0.0).astype(jnp.float32)
+        dgam1 = csum(dy1 * xh1)
+        dbet1 = csum(dy1)
+        dt1 = dy1 * g_gam1[0] * iv1
+        dvar1 = csum(dy1 * g_gam1[0] * (u1 - mu1)) * (-0.5) * iv1 * iv1 * iv1
+        du1 = dt1 - jnp.mean(dt1, axis=0, keepdims=True) + dvar1 * 2.0 * (u1 - mu1) / B
+        dWg1 = dotT0(spectra, du1)
+        dbg1 = csum(du1)
+        adam_apply(
+            [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
+            [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
+            lr_g, inv1, inv2,
+        )
+
+        # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
+        st1[0] = _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1
+        st1[1] = _BN_MOM * st1[1] + (1.0 - _BN_MOM) * var1
+        st2[0] = _BN_MOM * st2[0] + (1.0 - _BN_MOM) * mu2
+        st2[1] = _BN_MOM * st2[1] + (1.0 - _BN_MOM) * var2
+
+        # ---- per-epoch metric means --------------------------------------
+        vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
+                lc_l, range_l, viol)
+        mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        mrow = jnp.zeros((1, LANE), jnp.float32)
+        for k, v in enumerate(vals):
+            mrow = jnp.where(mlane1 == k, v, mrow)
+        mrow = mrow / steps_per_epoch
+
+        @pl.when(i % steps_per_epoch == 0)
+        def _():
+            metrics_ref[0] = mrow
+
+        @pl.when(i % steps_per_epoch != 0)
+        def _():
+            metrics_ref[0] = metrics_ref[0] + mrow
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Builder: drop-in replacement for make_multi_epoch_fn
+# ---------------------------------------------------------------------------
+
+
+def make_pallas_multi_epoch_fn(
+    cfg: PiGanConfig, settings, *, interpret: bool = False
+):
+    """multi_epoch(state, ds, key, scales) -> (state, per-epoch metrics) —
+    same contract as train.steps.make_multi_epoch_fn(step, bs,
+    with_scale=True) for configurations inside `supports_megakernel`
+    (`scales` must be all-ones: the constraint path is XLA-only).
+
+    Requires the state's optimizers to be the make_optimizers defaults
+    (cosine G / step D, lr from cfg) — Trainer guards this."""
+    reason = supports_megakernel(cfg, settings)
+    if reason is not None:
+        raise ValueError(f"megakernel unsupported here: {reason}")
+    S = cfg.data.spectrum_dim
+    B = cfg.train.batch_size
+    W = _up(S + 4)
+    clip = float(cfg.train.grad_clip)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        E = scales.shape[0]
+        N = ds.spectra.shape[0]
+        spe = max(1, N // B)
+        T = E * spe
+        g_sched = cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
+        d_sched = step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
+
+        keys = jax.random.split(key, E)
+        idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
+        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]        # (T,B,W)
+        par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
+        met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+
+        t0 = state.g_opt[1][0].count
+        t = t0 + jnp.arange(T)
+        tf = (t + 1).astype(jnp.float32)
+        sched = jnp.stack([
+            g_sched(t), d_sched(t),
+            1.0 / (1.0 - jnp.power(_B1, tf)),
+            1.0 / (1.0 - jnp.power(_B2, tf)),
+        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 4), axis=1)
+        sched = sched.reshape(T, 1, LANE)  # unit middle axis: TPU block
+        # shapes need the last two dims (8,128)-divisible or array-equal
+
+        lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
+        hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
+        train, stats, frozen = pack_state(state, S)
+
+        const = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array block
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        in_specs = (
+            [
+                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const((1, LANE)), const((1, LANE)),
+            ]
+            + [const(f.shape) for f in frozen]
+            + [const(b.shape) for b in train]
+            + [const(b.shape) for b in stats]
+        )
+        out_specs = (
+            [const(b.shape) for b in train]
+            + [const(b.shape) for b in stats]
+            + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
+            + [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in stats]
+            + [jax.ShapeDtypeStruct((E, 1, LANE), jnp.float32)]
+        )
+        n_state = len(train) + len(stats)
+        aliases = {30 + k: k for k in range(n_state)}
+
+        kernel = _make_kernel(S, B, spe, settings, clip)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ))),
+        )(spec_g, par_g, met_g, sched, lo, hi, *frozen, *train, *stats)
+
+        train_out = outs[: len(train)]
+        stats_out = outs[len(train): n_state]
+        mrows = outs[n_state]
+        new_state = unpack_state(state, train_out, stats_out, T, S)
+        metrics = {k: mrows[:, 0, j] for j, k in enumerate(METRIC_KEYS)}
+        return new_state, metrics
+
+    return multi_epoch

@@ -55,11 +55,17 @@ class Trainer:
         epochs_per_call: int = 25,
         mesh=None,
         nan_guard: bool = True,
+        megakernel: str = "auto",
     ):
         # epochs_per_call > 1 scans whole epochs inside one jit call
         # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
         # mesh: optional jax.sharding.Mesh -> data-parallel batches +
         # tensor-parallel wide kernels (parallel/sharding.py rules).
+        # megakernel: "auto" uses the VMEM-resident Pallas whole-epoch
+        # kernel (ops/megakernel.py, measured 2.5x the XLA step on v5e-1)
+        # whenever on TPU + the baseline trio + default step semantics;
+        # "off" forces the XLA path; "force" demands the kernel (interpreted
+        # off-TPU — tests) and raises where unsupported.
         self.cfg = cfg
         self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
         if self.ds.spectrum_dim != cfg.data.spectrum_dim:
@@ -82,6 +88,8 @@ class Trainer:
         self.epochs_per_call = max(1, epochs_per_call)
         self.nan_guard = nan_guard  # fail fast on divergence (SURVEY §5:
         # the reference only checks NaN inside one constraint loss)
+        assert megakernel in ("auto", "off", "force"), megakernel
+        self.megakernel = megakernel
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -108,6 +116,36 @@ class Trainer:
         if cache_key is not None:
             self._epoch_fns[cache_key] = fn
         return fn
+
+    def _maybe_megakernel(self, settings, override_key):
+        """The Pallas whole-epoch kernel when eligible, else None (XLA path).
+
+        Eligibility: megakernel enabled, single-chip (no mesh), stock
+        optimizers (LR/schedule overrides change the schedule the kernel
+        precomputes), and the (model, settings) envelope of
+        ops.megakernel.supports_megakernel."""
+        if self.megakernel == "off" or self.mesh is not None or override_key:
+            if self.megakernel == "force":
+                raise ValueError(
+                    "megakernel='force' is incompatible with mesh/optimizer "
+                    "overrides"
+                )
+            return None
+        from ..ops.megakernel import make_pallas_multi_epoch_fn, supports_megakernel
+
+        reason = supports_megakernel(self.cfg, settings)
+        on_tpu = jax.default_backend() == "tpu"
+        if reason is not None or (self.megakernel == "auto" and not on_tpu):
+            if self.megakernel == "force" and reason is not None:
+                raise ValueError(f"megakernel='force' but: {reason}")
+            return None
+        cache_key = ("gan-mega", settings)
+        if cache_key not in self._epoch_fns:
+            self._log("megakernel engaged: VMEM-resident Pallas epoch kernel")
+            self._epoch_fns[cache_key] = make_pallas_multi_epoch_fn(
+                self.cfg, settings, interpret=not on_tpu
+            )
+        return self._epoch_fns[cache_key]
 
     def _maybe_shard(self, state):
         if self.mesh is not None:
@@ -325,9 +363,11 @@ class Trainer:
             if any(x is not None for x in (lr_g, lr_d, schedule_g, schedule_d))
             else None
         )
-        multi_epoch = self._make_multi_epoch(
-            step_fn, with_scale=True, cache_key=("gan", settings, override_key)
-        )
+        multi_epoch = self._maybe_megakernel(settings, override_key)
+        if multi_epoch is None:
+            multi_epoch = self._make_multi_epoch(
+                step_fn, with_scale=True, cache_key=("gan", settings, override_key)
+            )
 
         best_val, best_state = None, None
         # `seed` lets resumable callers vary the shuffle/noise key stream per

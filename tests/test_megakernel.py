@@ -1,0 +1,197 @@
+"""Whole-epoch Pallas megakernel: parity with the XLA fused step.
+
+The megakernel (ops/megakernel.py) re-implements the default fused D->G
+update with hand-derived backprop, keeping params + Adam moments + BN stats
+VMEM-resident.  These tests run it in interpreter mode on CPU against
+`make_multi_epoch_fn` on the SAME initial state and batch schedule.
+
+Parity criteria (why not bitwise): the two backends order float ops
+differently, so gradients agree only to ~1e-6 at tensor-norm scale.  Two
+generator bias vectors (the Dense biases feeding BatchNorm) have
+ANALYTICALLY ZERO gradients — BN subtracts the batch mean, so the loss is
+invariant to them — and Adam turns the fp-noise "gradients" into ±lr
+random-walk updates on both backends; those two leaves are gauge directions
+excluded from elementwise comparison (the computed function is identical).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.data import synthetic_dataset
+from pigan_thz_tpu.models import build_trio
+from pigan_thz_tpu.ops.megakernel import (
+    METRIC_KEYS,
+    make_pallas_multi_epoch_fn,
+    supports_megakernel,
+)
+from pigan_thz_tpu.train import (
+    StepSettings,
+    init_pigan_state,
+    make_multi_epoch_fn,
+    make_optimizers,
+    make_pigan_step,
+)
+
+# generator leaves whose true gradient is identically zero (BN gauge)
+_GAUGE = ("MLPBlock_0/Dense_0/bias", "MLPBlock_1/Dense_0/bias")
+
+
+def _leafname(path):
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def _setup(cfg, num_samples):
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
+    ds = synthetic_dataset(cfg.data)
+    g, d, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    settings = StepSettings.from_config(cfg)
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True, unroll=1)
+    pallas = make_pallas_multi_epoch_fn(cfg, settings, interpret=True)
+    return ds, state, xla, pallas
+
+
+def test_supports_guard(cfg):
+    s = StepSettings.from_config(cfg)
+    assert supports_megakernel(cfg, s) is None
+    assert "detach" in supports_megakernel(
+        cfg, dataclasses.replace(s, detach_forward=False)
+    )
+    assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
+    assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0))
+    assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1))
+    assert supports_megakernel(cfg, dataclasses.replace(s, d_update_every=3))
+    assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99))
+    bad = cfg.replace(generator=dataclasses.replace(cfg.generator, name="residual"))
+    assert "generator" in supports_megakernel(bad, s)
+
+
+@pytest.mark.slow
+def test_megakernel_matches_xla_step(cfg):
+    """Two epochs on 256 samples: metrics, D params, BN stats, counts and the
+    computed generator FUNCTION all match the XLA trajectory."""
+    ds, state, xla, pallas = _setup(cfg, 256)
+    state_b = jax.tree.map(jnp.copy, state)
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    st_x, m_x = xla(state, ds, key, ones)
+    st_p, m_p = pallas(state_b, ds, key, ones)
+
+    # per-epoch metric means
+    assert set(m_p) == set(METRIC_KEYS) == set(m_x)
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=2e-4, atol=1e-6, err_msg=k
+        )
+
+    # bookkeeping is exact
+    assert int(st_p.step) == int(st_x.step)
+    assert bool(jnp.all(st_p.rng == st_x.rng))
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count)
+    assert int(st_p.d_opt[1][1].count) == int(st_x.d_opt[1][1].count)
+
+    # D tower and BN running stats track closely (stats absorb the gauge
+    # biases' ±lr random walk — see module docstring — hence the looser atol)
+    for x, y in zip(jax.tree.leaves(st_x.d.params), jax.tree.leaves(st_p.d.params)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=5e-4)
+    for x, y in zip(jax.tree.leaves(st_x.g.extra), jax.tree.leaves(st_p.g.extra)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=8e-3)
+
+    # G params: everything except the two gauge biases
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.g.params)[0],
+        jax.tree.leaves(st_p.g.params),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=5e-4, err_msg=_leafname(path)
+        )
+
+    # the FUNCTION both generators compute is the same (gauge-invariant)
+    gen, _, _ = build_trio(cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=256)
+    ))
+    out_x = gen.apply({"params": st_x.g.params, **st_x.g.extra}, ds.spectra)
+    out_p = gen.apply({"params": st_p.g.params, **st_p.g.extra}, ds.spectra)
+    # atol catches structural errors (those give O(1) differences); the
+    # residual here is the gauge drift not yet absorbed by running stats
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-2)
+
+
+@pytest.mark.slow
+def test_megakernel_gradient_parity(cfg):
+    """After one step, implied gradients (2x first Adam mu) agree to 1e-4 at
+    tensor-norm scale for every non-gauge tensor of BOTH networks."""
+    ds, state, xla, pallas = _setup(cfg, 64)
+    state_b = jax.tree.map(jnp.copy, state)
+    ones = jnp.ones((1,), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    st_x, _ = xla(state, ds, key, ones)
+    st_p, _ = pallas(state_b, ds, key, ones)
+    for net in ("g", "d"):
+        mx = jax.tree_util.tree_flatten_with_path(
+            getattr(st_x, f"{net}_opt")[1][0].mu
+        )[0]
+        mp = jax.tree.leaves(getattr(st_p, f"{net}_opt")[1][0].mu)
+        for (path, x), y in zip(mx, mp):
+            if net == "g" and _leafname(path) in _GAUGE:
+                continue
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            nrm = max(np.linalg.norm(x), 1e-12)
+            assert np.linalg.norm(x - y) / nrm < 1e-4, f"{net}:{_leafname(path)}"
+
+
+@pytest.mark.slow
+def test_trainer_engages_megakernel(cfg):
+    """Trainer(megakernel='force') trains through the Pallas path (interpret
+    mode off-TPU) and produces the usual history; 'auto' stays on the XLA
+    path off-TPU; unsupported settings raise under 'force'."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    ds = synth(cfg.data)
+    t = Trainer(cfg, ds=ds, epochs_per_call=2, megakernel="force")
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=10**9)
+    assert ("gan-mega", StepSettings.from_config(cfg)) in t._epoch_fns
+    assert np.isfinite(t.train_history["pigan/g_loss"][-1])
+    assert len(t.train_history["pigan/d_loss"]) == 2
+
+    t2 = Trainer(cfg, ds=ds, epochs_per_call=2, megakernel="auto")
+    t2.init_pigan()
+    t2.train_pigan(epochs=1, log_every=10**9)
+    assert not any(k[0] == "gan-mega" for k in t2._epoch_fns)  # CPU -> XLA
+
+    t3 = Trainer(cfg, ds=ds, megakernel="force")
+    t3.init_pigan()
+    with pytest.raises(ValueError, match="bce"):
+        t3.train_pigan(
+            epochs=1, settings=StepSettings.from_config(cfg, gan_loss="wgan_gp")
+        )
+
+
+@pytest.mark.slow
+def test_megakernel_continues_from_xla_state(cfg):
+    """Backends interleave: XLA epoch -> megakernel epoch == resumable state
+    (counts, schedules and bias corrections line up mid-run)."""
+    ds, state, xla, pallas = _setup(cfg, 128)
+    ones = jnp.ones((1,), jnp.float32)
+    st1, _ = xla(state, ds, jax.random.PRNGKey(0), ones)
+    st1_copy = jax.tree.map(jnp.copy, st1)
+    st2_x, m_x = xla(st1, ds, jax.random.PRNGKey(1), ones)
+    st2_p, m_p = pallas(st1_copy, ds, jax.random.PRNGKey(1), ones)
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=1e-6, err_msg=k
+        )
+    assert int(st2_p.g_opt[1][0].count) == int(st2_x.g_opt[1][0].count) == 4
