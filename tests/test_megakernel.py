@@ -44,13 +44,13 @@ def _leafname(path):
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def _setup(cfg, num_samples):
+def _setup(cfg, num_samples, detach=True):
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
     spe = ds.num_samples // cfg.train.batch_size
     g_tx, d_tx, _ = make_optimizers(cfg, spe)
-    settings = StepSettings.from_config(cfg)
+    settings = StepSettings.from_config(cfg, detach_forward=detach)
     state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
     step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
     xla = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True, unroll=1)
@@ -61,9 +61,9 @@ def _setup(cfg, num_samples):
 def test_supports_guard(cfg):
     s = StepSettings.from_config(cfg)
     assert supports_megakernel(cfg, s) is None
-    assert "detach" in supports_megakernel(
+    assert supports_megakernel(                       # both detach modes OK
         cfg, dataclasses.replace(s, detach_forward=False)
-    )
+    ) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
     assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0))
     assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1))
@@ -127,10 +127,13 @@ def test_megakernel_matches_xla_step(cfg):
 
 
 @pytest.mark.slow
-def test_megakernel_gradient_parity(cfg):
+@pytest.mark.parametrize("detach", [True, False])
+def test_megakernel_gradient_parity(cfg, detach):
     """After one step, implied gradients (2x first Adam mu) agree to 1e-4 at
-    tensor-norm scale for every non-gauge tensor of BOTH networks."""
-    ds, state, xla, pallas = _setup(cfg, 64)
+    tensor-norm scale for every non-gauge tensor of BOTH networks — in both
+    detach modes (detach=False exercises the in-kernel backprop THROUGH the
+    frozen surrogate: LN backward + Maxwell second-difference adjoint)."""
+    ds, state, xla, pallas = _setup(cfg, 64, detach=detach)
     state_b = jax.tree.map(jnp.copy, state)
     ones = jnp.ones((1,), jnp.float32)
     key = jax.random.PRNGKey(3)
