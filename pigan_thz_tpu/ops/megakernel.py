@@ -86,8 +86,8 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         256, 512, 1024, 512, 256,
     ):
         return "forward model is not the baseline MLP"
-    if cfg.train.compute_dtype != "float32":
-        return "compute_dtype is not float32"
+    if cfg.train.compute_dtype not in ("float32", "bfloat16"):
+        return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
     s = settings
@@ -282,8 +282,17 @@ _BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
 _SLOPE = 0.2
 
 
-def _make_kernel(S: int, B: int, steps_per_epoch: int, settings, clip: float):
+def _make_kernel(
+    S: int, B: int, steps_per_epoch: int, settings, clip: float,
+    bf16: bool = False,
+):
+    """With bf16=True, matmul OPERANDS are cast to bfloat16 (f32
+    accumulation via preferred_element_type) — classic mixed precision:
+    params, optimizer math, norm stats and every elementwise op stay f32.
+    Zero-padding exactness is dtype-independent, so the padding invariants
+    hold unchanged."""
     W = _up(S + 4)
+    mm_in = jnp.bfloat16 if bf16 else jnp.float32
     w_adv = float(settings.adv_w)
     w_recon = float(settings.recon_w + settings.physics_spec_w)  # double-count
     w_pmet = float(settings.physics_metrics_w)
@@ -300,17 +309,21 @@ def _make_kernel(S: int, B: int, steps_per_epoch: int, settings, clip: float):
     def dotT0(a, b):
         # contract dim 0 of both: (B, M) x (B, N) -> (M, N)  [dW = act^T @ dz]
         return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a.astype(mm_in), b.astype(mm_in), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     def dotT1(a, b):
         # contract dim 1 of both: (B, N) x (M, N) -> (B, M)  [dh = dz @ W^T]
         return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a.astype(mm_in), b.astype(mm_in), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jnp.dot(
+            a.astype(mm_in), b.astype(mm_in), preferred_element_type=jnp.float32
+        )
 
     def csum(x):
         return jnp.sum(x, axis=0, keepdims=True)
@@ -668,7 +681,10 @@ def make_pallas_multi_epoch_fn(
         n_state = len(train) + len(stats)
         aliases = {30 + k: k for k in range(n_state)}
 
-        kernel = _make_kernel(S, B, spe, settings, clip)
+        kernel = _make_kernel(
+            S, B, spe, settings, clip,
+            bf16=cfg.train.compute_dtype == "bfloat16",
+        )
         outs = pl.pallas_call(
             kernel,
             grid=(T,),

@@ -184,6 +184,34 @@ def test_trainer_engages_megakernel(cfg):
 
 
 @pytest.mark.slow
+def test_megakernel_bf16_mode(cfg):
+    """compute_dtype=bfloat16: matmul operands in bf16, everything else f32.
+    Not a bitwise-parity mode — assert the trajectory is healthy and close
+    to the f32 one at trajectory scale."""
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=128),
+        train=dataclasses.replace(cfg.train, compute_dtype="bfloat16"),
+    )
+    ds = synthetic_dataset(cfg.data)
+    g, d, f = build_trio(cfg.replace(
+        train=dataclasses.replace(cfg.train, compute_dtype="float32")
+    ))
+    spe = ds.num_samples // cfg.train.batch_size
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    settings = StepSettings.from_config(cfg)
+    assert supports_megakernel(cfg, settings) is None
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    pme = make_pallas_multi_epoch_fn(cfg, settings, interpret=True)
+    ones = jnp.ones((2,), jnp.float32)
+    st, m = pme(state, ds, jax.random.PRNGKey(7), ones)
+    for k in METRIC_KEYS:
+        assert np.all(np.isfinite(np.asarray(m[k]))), k
+    # bf16 matmuls still produce a healthy GAN step (d_loss near 2*BCE(0.9))
+    assert 0.5 < float(m["d_loss"][-1]) < 5.0
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(st.g.params))
+
+
+@pytest.mark.slow
 def test_megakernel_continues_from_xla_state(cfg):
     """Backends interleave: XLA epoch -> megakernel epoch == resumable state
     (counts, schedules and bias corrections line up mid-run)."""
