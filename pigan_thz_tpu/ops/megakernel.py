@@ -276,10 +276,29 @@ METRIC_KEYS = (
     "recon_metrics_loss", "maxwell_loss", "lc_loss", "param_range_loss",
     "violation_rate",
 )
+FWD_METRIC_KEYS = ("loss", "spectrum_loss", "metrics_loss")
 
 _B1, _B2, _EPS = 0.5, 0.999, 1e-8
 _BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
 _SLOPE = 0.2
+
+
+def _make_adam(b1: float, b2: float, clip: float):
+    """In-kernel clip_by_global_norm + Adam over packed (3, r, c) buffers.
+    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections."""
+
+    def apply(bufs, grads, lr, inv1, inv2):
+        gn = jnp.sqrt(sum(jnp.sum(g * g) for g in grads))
+        scale = jnp.where(gn < clip, 1.0, clip / gn)
+        for ref, g in zip(bufs, grads):
+            g = g * scale
+            m = b1 * ref[1] + (1.0 - b1) * g
+            v = b2 * ref[2] + (1.0 - b2) * g * g
+            ref[0] = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
+            ref[1] = m
+            ref[2] = v
+
+    return apply
 
 
 def _make_kernel(
@@ -328,19 +347,7 @@ def _make_kernel(
     def csum(x):
         return jnp.sum(x, axis=0, keepdims=True)
 
-    def sq(x):
-        return jnp.sum(x * x)
-
-    def adam_apply(bufs, grads, lr, inv1, inv2):
-        gn = jnp.sqrt(sum(sq(g) for g in grads))
-        scale = jnp.where(gn < clip, 1.0, clip / gn)
-        for ref, g in zip(bufs, grads):
-            g = g * scale
-            m = _B1 * ref[1] + (1.0 - _B1) * g
-            v = _B2 * ref[2] + (1.0 - _B2) * g * g
-            ref[0] = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
-            ref[1] = m
-            ref[2] = v
+    adam_apply = _make_adam(_B1, _B2, clip)
 
     def kernel(*refs):
         (spec_ref, par_ref, met_ref, sched_ref, lo_ref, hi_ref) = refs[:6]
@@ -703,6 +710,382 @@ def make_pallas_multi_epoch_fn(
         mrows = outs[n_state]
         new_state = unpack_state(state, train_out, stats_out, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(METRIC_KEYS)}
+        return new_state, metrics
+
+    return multi_epoch
+
+
+# ---------------------------------------------------------------------------
+# Forward-pretrain megakernel (pretrain_fwd_model.py semantics)
+# ---------------------------------------------------------------------------
+#
+# Same VMEM-residency idea for the surrogate pretraining phase: F's params +
+# Adam moments (~20 MB fp32) stay on-chip across the whole multi-epoch
+# chunk.  One semantic difference from the XLA path: F trains with dropout,
+# and the kernel draws its masks from the TPU hardware PRNG
+# (pltpu.prng_random_bits) instead of jax.random — the DISTRIBUTION matches
+# (per-layer Bernoulli(1-rate), scaled 1/keep), the bitstream does not.
+# tests/test_megakernel.py checks exact gradient parity with dropout_rate=0
+# and distributional health with dropout on.
+
+
+def supports_forward_megakernel(cfg: PiGanConfig) -> str | None:
+    if cfg.forward_model.name != "mlp" or tuple(cfg.forward_model.hidden_dims) != (
+        256, 512, 1024, 512, 256,
+    ):
+        return "forward model is not the baseline MLP"
+    if cfg.train.compute_dtype not in ("float32", "bfloat16"):
+        return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
+    if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
+        return "non-default param/metrics dims"
+    return None
+
+
+def _fwd_tensor_specs(S: int):
+    W = _up(S + 4)
+    specs = []
+    in_dim = LANE
+    for i, out in enumerate(_F_DIMS):
+        blk = f"MLPBlock_{i}"
+        specs += [
+            ((blk, "Dense_0", "kernel"), (in_dim, out)),
+            ((blk, "Dense_0", "bias"), (1, out)),
+            ((blk, "NormAct_0", "LayerNorm_0", "scale"), (1, out)),
+            ((blk, "NormAct_0", "LayerNorm_0", "bias"), (1, out)),
+        ]
+        in_dim = out
+    # split head (recombined on unpack)
+    specs += [
+        (("Dense_0", "kernel", "spec"), (256, W)),
+        (("Dense_0", "bias", "spec"), (1, W)),
+        (("Dense_0", "kernel", "met"), (256, LANE)),
+        (("Dense_0", "bias", "met"), (1, LANE)),
+    ]
+    return specs
+
+
+def pack_forward_state(state, S: int):
+    """ForwardState -> packed (3, r, c) [param, mu, nu] buffers."""
+    adam = state.opt[1][0]
+    fP, mu, nu = state.f.params, adam.mu, adam.nu
+    out = []
+    for path, (r, c) in _fwd_tensor_specs(S):
+        if path[0] == "Dense_0":
+            which = path[2]
+            sl = (slice(None), slice(0, S)) if which == "spec" else (
+                slice(None), slice(S, None))
+            if path[1] == "bias":
+                sl = sl[1]
+            vals = (fP["Dense_0"][path[1]][sl], mu["Dense_0"][path[1]][sl],
+                    nu["Dense_0"][path[1]][sl])
+        else:
+            vals = (_get(fP, path), _get(mu, path), _get(nu, path))
+        out.append(jnp.stack([_pad2(v, r, c) for v in vals]))
+    return out
+
+
+def unpack_forward_state(state, bufs, n_steps: int, S: int):
+    adam, sched_st = state.opt[1]
+    new = [state.f.params, adam.mu, adam.nu]
+    head = [
+        [jnp.zeros_like(t["Dense_0"]["kernel"]) for t in new],
+        [jnp.zeros_like(t["Dense_0"]["bias"]) for t in new],
+    ]
+    for (path, _), buf in zip(_fwd_tensor_specs(S), bufs):
+        for slot in range(3):
+            if path[0] == "Dense_0":
+                idx = 0 if path[1] == "kernel" else 1
+                tgt = head[idx][slot]
+                if path[2] == "spec":
+                    cropped = _crop(buf[slot], (tgt.shape[0], S) if idx == 0 else (S,))
+                    if idx == 0:
+                        tgt = tgt.at[:, :S].set(cropped)
+                    else:
+                        tgt = tgt.at[:S].set(cropped)
+                else:
+                    width = tgt.shape[-1] - S
+                    cropped = _crop(
+                        buf[slot], (tgt.shape[0], width) if idx == 0 else (width,)
+                    )
+                    if idx == 0:
+                        tgt = tgt.at[:, S:].set(cropped)
+                    else:
+                        tgt = tgt.at[S:].set(cropped)
+                head[idx][slot] = tgt
+            else:
+                shape = _get(new[slot], path).shape
+                new[slot] = _set(new[slot], path, _crop(buf[slot], shape))
+    for slot in range(3):
+        new[slot] = _set(new[slot], ("Dense_0", "kernel"), head[0][slot])
+        new[slot] = _set(new[slot], ("Dense_0", "bias"), head[1][slot])
+    inc = jnp.asarray(n_steps, adam.count.dtype)
+    opt = (state.opt[0], (
+        adam._replace(count=adam.count + inc, mu=new[1], nu=new[2]),
+        sched_st._replace(count=sched_st.count + inc),
+    ))
+
+    def _advance(r, _):
+        return jax.random.split(r, 2)[0], None
+
+    rng, _ = jax.lax.scan(_advance, state.rng, None, length=n_steps)
+    return state.replace(
+        step=state.step + n_steps, rng=rng,
+        f=state.f.replace(params=new[0]), opt=opt,
+    )
+
+
+def _make_forward_kernel(
+    S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
+    dropout_rate: float, bf16: bool = False,
+):
+    W = _up(S + 4)
+    w_spec = float(fsettings.spectrum_w)
+    w_met = float(fsettings.metrics_w)
+    w_smooth = float(fsettings.smoothness_w)
+    w_l1 = float(fsettings.l1_w)
+    keep = 1.0 - float(dropout_rate)
+    use_drop = dropout_rate > 0.0
+    # numpy scalar so it embeds as a literal (a jnp scalar would be a
+    # captured constant, which pallas kernels reject; a python int >2^31
+    # overflows weak-typed promotion)
+    import numpy as _np
+
+    thresh = _np.uint32(min(2**32 - 1, int(round(keep * 2**32))))
+    mm_in = jnp.bfloat16 if bf16 else jnp.float32
+    adam_apply = _make_adam(0.9, _B2, clip)  # f_tx uses Adam defaults (b1=.9)
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(mm_in), b.astype(mm_in), preferred_element_type=jnp.float32
+        )
+
+    def dotT0(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_in), b.astype(mm_in), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dotT1(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_in), b.astype(mm_in), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def csum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def kernel(*refs):
+        (par_ref, spec_ref, met_ref, sched_ref, seed_ref) = refs[:5]
+        train = list(refs[29:53])   # aliased outputs (inputs are refs[5:29])
+        metrics_ref = refs[53]
+
+        i = pl.program_id(0)
+        sched_row = sched_ref[0]
+        lr = sched_row[0, 0]
+        inv1 = sched_row[0, 1]
+        inv2 = sched_row[0, 2]
+        if use_drop:
+            pltpu.prng_seed(seed_ref[0][0, 0])
+
+        x0 = par_ref[0]                 # (B, LANE) params_norm, pads 0
+        spectra = spec_ref[0]           # (B, W), pads 0
+        met_pad = met_ref[0]            # (B, LANE), pads 0
+
+        a = x0
+        saved = []
+        for li in range(5):
+            wb, bb, gb, beb = train[4 * li: 4 * li + 4]
+            t = mm(a, wb[0]) + bb[0]
+            mu = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            ivar = jax.lax.rsqrt(var + _LN_EPS)
+            tc = t - mu
+            ln = tc * ivar * gb[0] + beb[0]
+            act = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
+            if use_drop:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits(act.shape), jnp.uint32
+                )
+                sc = jnp.where(bits < thresh, 1.0 / keep, 0.0)
+                a_out = act * sc
+            else:
+                sc = None
+                a_out = act
+            saved.append((a, tc, ivar, ln, sc))
+            a = a_out
+        w6s, b6s, w6m, b6m = train[20], train[21], train[22], train[23]
+        pred_spec = mm(a, w6s[0]) + b6s[0]           # (B, W) pads 0
+        pred_metf = mm(a, w6m[0]) + b6m[0]           # (B, LANE) pads 0
+
+        ds_spec = pred_spec - spectra
+        ds_met = pred_metf - met_pad                  # pads 0
+        spec_l = jnp.sum(ds_spec * ds_spec) / (B * S)
+        met_l = jnp.sum(ds_met * ds_met) / (B * 8)
+        loss = w_spec * spec_l + w_met * met_l
+        drecon = w_spec * 2.0 * ds_spec / (B * S)
+        mlane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        dmet = jnp.where(mlane < 8, w_met * 2.0 * ds_met / (B * 8), 0.0)
+        if w_smooth:
+            d1 = pred_spec[:, 1:] - pred_spec[:, :-1]
+            d2 = d1[:, 1:] - d1[:, :-1]
+            dlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            d2m = jnp.where(dlane < S - 2, d2, 0.0)
+            loss = loss + w_smooth * jnp.sum(d2m * d2m) / (B * (S - 2))
+            d2p = jnp.concatenate([d2m, jnp.zeros((B, 2), jnp.float32)], axis=1)
+            zc = jnp.zeros((B, 1), jnp.float32)
+            sh1 = jnp.concatenate([zc, d2p[:, : W - 1]], axis=1)
+            sh2 = jnp.concatenate([zc, zc, d2p[:, : W - 2]], axis=1)
+            drecon = drecon + w_smooth * 2.0 / (B * (S - 2)) * (
+                d2p - 2.0 * sh1 + sh2
+            )
+        if w_l1:
+            loss = loss + w_l1 * (
+                jnp.sum(jnp.abs(ds_spec)) / (B * S)
+                + jnp.sum(jnp.abs(ds_met)) / (B * 8)
+            )
+            drecon = drecon + w_l1 * jnp.sign(ds_spec) / (B * S)
+            dmet = dmet + jnp.where(
+                mlane < 8, w_l1 * jnp.sign(ds_met) / (B * 8), 0.0
+            )
+
+        dW6s = dotT0(a, drecon)
+        db6s = csum(drecon)
+        dW6m = dotT0(a, dmet)
+        db6m = csum(dmet)
+        da = dotT1(drecon, w6s[0]) + dotT1(dmet, w6m[0])
+        grads = [None] * 20
+        for li in range(4, -1, -1):
+            wb = train[4 * li]
+            a_in, tc, ivar, ln, sc = saved[li]
+            if sc is not None:
+                da = da * sc
+            dln = da * jnp.where(ln >= 0.0, 1.0, _SLOPE)
+            grads[4 * li + 2] = csum(dln * (tc * ivar))   # dgamma
+            grads[4 * li + 3] = csum(dln)                  # dbeta
+            gb = train[4 * li + 2]
+            dxh = dln * gb[0]
+            c_dim = tc.shape[1]
+            dvar = jnp.sum(dxh * tc, axis=-1, keepdims=True) * (
+                -0.5
+            ) * ivar * ivar * ivar
+            dt = dxh * ivar
+            dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
+            grads[4 * li] = dotT0(a_in, dt)                # dW
+            grads[4 * li + 1] = csum(dt)                   # db
+            da = dotT1(dt, wb[0])
+        adam_apply(train, grads + [dW6s, db6s, dW6m, db6m], lr, inv1, inv2)
+
+        vals = (loss, spec_l, met_l)
+        mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        mrow = jnp.zeros((1, LANE), jnp.float32)
+        for k, v in enumerate(vals):
+            mrow = jnp.where(mlane1 == k, v, mrow)
+        mrow = mrow / steps_per_epoch
+
+        @pl.when(i % steps_per_epoch == 0)
+        def _():
+            metrics_ref[0] = mrow
+
+        @pl.when(i % steps_per_epoch != 0)
+        def _():
+            metrics_ref[0] = metrics_ref[0] + mrow
+
+    return kernel
+
+
+def make_pallas_forward_epoch_fn(
+    cfg: PiGanConfig, fsettings, *, lr: float | None = None,
+    total_epochs: int | None = None, interpret: bool = False,
+):
+    """multi_epoch(state, ds, key, scales) for the forward-pretrain phase —
+    drop-in for make_multi_epoch_fn(make_forward_step(...), bs) (scales are
+    ignored: the forward step has no constraint annealing).
+
+    lr/total_epochs parameterize the cosine schedule exactly like
+    Trainer.pretrain_forward's optimizer override; defaults mirror
+    make_optimizers (fwd_pretrain_lr / fwd_pretrain_epochs, eta_min 0)."""
+    reason = supports_forward_megakernel(cfg)
+    if reason is not None:
+        raise ValueError(f"forward megakernel unsupported here: {reason}")
+    S = cfg.data.spectrum_dim
+    B = cfg.train.batch_size
+    W = _up(S + 4)
+    clip = float(cfg.train.grad_clip)
+    base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
+    horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        E = scales.shape[0]
+        N = ds.spectra.shape[0]
+        spe = max(1, N // B)
+        T = E * spe
+        sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
+
+        keys = jax.random.split(key, E)
+        idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
+        par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
+        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
+        met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+
+        t0 = state.opt[1][0].count
+        t = t0 + jnp.arange(T)
+        tf = (t + 1).astype(jnp.float32)
+        sched = jnp.stack([
+            sched_fn(t),
+            1.0 / (1.0 - jnp.power(0.9, tf)),
+            1.0 / (1.0 - jnp.power(_B2, tf)),
+        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 3), axis=1).reshape(T, 1, LANE)
+        seeds = jax.random.randint(
+            jax.random.fold_in(key, 0x5EED), (T, 1, LANE), 0, 2**31 - 1, jnp.int32
+        )
+
+        train = pack_forward_state(state, S)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        row3 = lambda: pl.BlockSpec(  # noqa: E731
+            (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = (
+            [
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                row3(), row3(),
+            ]
+            + [const(b.shape) for b in train]
+        )
+        out_specs = (
+            [const(b.shape) for b in train]
+            + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
+            + [jax.ShapeDtypeStruct((E, 1, LANE), jnp.float32)]
+        )
+        aliases = {5 + k: k for k in range(len(train))}
+        kernel = _make_forward_kernel(
+            S, B, spe, fsettings, clip,
+            dropout_rate=cfg.forward_model.dropout_rate,
+            bf16=cfg.train.compute_dtype == "bfloat16",
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ))),
+        )(par_g, spec_g, met_g, sched, seeds, *train)
+        new_state = unpack_forward_state(state, outs[:-1], T, S)
+        mrows = outs[-1]
+        metrics = {k: mrows[:, 0, j] for j, k in enumerate(FWD_METRIC_KEYS)}
         return new_state, metrics
 
     return multi_epoch

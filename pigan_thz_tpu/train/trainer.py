@@ -147,6 +147,36 @@ class Trainer:
             )
         return self._epoch_fns[cache_key]
 
+    def _maybe_forward_megakernel(self, settings, lr, epochs):
+        """Pallas forward-pretrain kernel when eligible, else None.  Note
+        the in-kernel dropout masks come from the TPU hardware PRNG — same
+        distribution as the XLA path, different bitstream."""
+        if self.megakernel == "off" or self.mesh is not None:
+            return None
+        from ..ops.megakernel import (
+            make_pallas_forward_epoch_fn,
+            supports_forward_megakernel,
+        )
+
+        reason = supports_forward_megakernel(self.cfg)
+        on_tpu = jax.default_backend() == "tpu"
+        if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
+            # interpret mode has no TPU PRNG for the dropout masks
+            reason = "dropout needs the hardware PRNG (TPU only)"
+        if reason is not None or (self.megakernel == "auto" and not on_tpu):
+            if self.megakernel == "force" and reason is not None:
+                raise ValueError(f"megakernel='force' but: {reason}")
+            return None
+        cache_key = ("fwd-mega", settings, lr, epochs if lr is not None else None)
+        if cache_key not in self._epoch_fns:
+            self._log("megakernel engaged for forward pretrain")
+            self._epoch_fns[cache_key] = make_pallas_forward_epoch_fn(
+                self.cfg, settings,
+                lr=lr, total_epochs=epochs if lr is not None else None,
+                interpret=not on_tpu,
+            )
+        return self._epoch_fns[cache_key]
+
     def _maybe_shard(self, state):
         if self.mesh is not None:
             from ..parallel.sharding import shard_state
@@ -213,11 +243,13 @@ class Trainer:
             self.forward_state = self.forward_state.replace(
                 opt=tx.init(self.forward_state.f.params)
             )
-        multi_epoch = self._make_multi_epoch(
-            make_forward_step(self.forward_model, tx, settings),
-            with_scale=False,
-            cache_key=("fwd", settings, lr, epochs if lr is not None else None),
-        )
+        multi_epoch = self._maybe_forward_megakernel(settings, lr, epochs)
+        if multi_epoch is None:
+            multi_epoch = self._make_multi_epoch(
+                make_forward_step(self.forward_model, tx, settings),
+                with_scale=False,
+                cache_key=("fwd", settings, lr, epochs if lr is not None else None),
+            )
 
         best_loss, best_state, bad_epochs = float("inf"), None, 0
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)

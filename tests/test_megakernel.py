@@ -24,13 +24,19 @@ import pytest
 from pigan_thz_tpu.data import synthetic_dataset
 from pigan_thz_tpu.models import build_trio
 from pigan_thz_tpu.ops.megakernel import (
+    FWD_METRIC_KEYS,
     METRIC_KEYS,
+    make_pallas_forward_epoch_fn,
     make_pallas_multi_epoch_fn,
+    supports_forward_megakernel,
     supports_megakernel,
 )
 from pigan_thz_tpu.train import (
+    ForwardStepSettings,
     StepSettings,
+    init_forward_state,
     init_pigan_state,
+    make_forward_step,
     make_multi_epoch_fn,
     make_optimizers,
     make_pigan_step,
@@ -181,6 +187,76 @@ def test_trainer_engages_megakernel(cfg):
         t3.train_pigan(
             epochs=1, settings=StepSettings.from_config(cfg, gan_loss="wgan_gp")
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fset", [
+    ForwardStepSettings(),
+    ForwardStepSettings(spectrum_w=5.0, metrics_w=2.0, smoothness_w=0.5, l1_w=0.5),
+])
+def test_forward_megakernel_parity(cfg, fset):
+    """Forward-pretrain megakernel vs the XLA step, dropout_rate=0 for exact
+    comparability (dropout masks come from the TPU PRNG in-kernel, from
+    jax.random in XLA — same distribution, different bits).  Covers the
+    default MSE+MSE loss and the constraint/emergency weighting with
+    smoothness + L1 terms."""
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=128),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size
+    _, _, f_tx = make_optimizers(cfg, spe)
+    assert supports_forward_megakernel(cfg) is None
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    st_b = jax.tree.map(jnp.copy, st)
+    xla = make_multi_epoch_fn(make_forward_step(f, f_tx, fset),
+                              cfg.train.batch_size, with_scale=False, unroll=1)
+    pallas = make_pallas_forward_epoch_fn(cfg, fset, interpret=True)
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    st_x, m_x = xla(st, ds, key, ones)
+    st_p, m_p = pallas(st_b, ds, key, ones)
+    assert set(m_p) == set(FWD_METRIC_KEYS)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, err_msg=k
+        )
+    assert int(st_p.step) == int(st_x.step)
+    assert bool(jnp.all(st_p.rng == st_x.rng))
+    assert int(st_p.opt[1][0].count) == int(st_x.opt[1][0].count) == 4
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.f.params)[0],
+        jax.tree.leaves(st_p.f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=5e-4,
+            err_msg=_leafname(path),
+        )
+
+
+@pytest.mark.slow
+def test_forward_megakernel_dropout_runs(cfg):
+    """With dropout on, the kernel draws masks from the hardware PRNG —
+    check the training trajectory is healthy (loss decreases) even though
+    the bitstream differs from jax.random."""
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    assert cfg.forward_model.dropout_rate > 0.0
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    _, _, f_tx = make_optimizers(cfg, 2)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    try:
+        pallas = make_pallas_forward_epoch_fn(cfg, ForwardStepSettings(),
+                                              interpret=True)
+        st, m = pallas(st, ds, jax.random.PRNGKey(11),
+                       jnp.ones((8,), jnp.float32))
+    except Exception as e:  # pragma: no cover - interpreter PRNG support
+        pytest.skip(f"interpret-mode TPU PRNG unavailable: {e}")
+    losses = np.asarray(m["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
 
 
 @pytest.mark.slow
