@@ -301,6 +301,46 @@ def _make_adam(b1: float, b2: float, clip: float):
     return apply
 
 
+# Mosaic reliability bound.  Single pallas_call launches of this kernel
+# with >= ~375 grid steps were observed computing garbage from step 0 on
+# v5e when the input state came from a restored (trained) checkpoint —
+# epoch-0 NaNs with every input verified finite on entry, interpreter mode
+# exact, and the same launch fine from a fresh state or at <= 150 grid
+# steps.  The kernel itself is semantically correct; the failure is in the
+# compiled pipelining at large grids.  Sub-chunking each launch to at most
+# _MAX_GRID grid steps sidesteps it: the state bufs ride through HBM
+# between launches (~0.3 us/step amortized at spe=15) and, as a bonus, ONE
+# compiled kernel serves every chunk size instead of one per size.
+_MAX_GRID = 120
+_DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
+_DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
+_NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
+
+
+def _chunked_launch(launch, bufs, streams, E: int, spe: int):
+    """Drive launch(bufs, stream_slices, Ec) over E epochs in sub-chunks of
+    at most max(1, _MAX_GRID // spe) epochs via lax.scan (+ one tail call);
+    returns (bufs, per-epoch metrics (E, 1, LANE))."""
+    inner = max(1, _MAX_GRID // spe)
+    n_full, tail = divmod(E, inner)
+    mparts = []
+    bufs = tuple(bufs)
+    if n_full:
+        xs = tuple(
+            s[: n_full * inner * spe].reshape((n_full, inner * spe) + s.shape[1:])
+            for s in streams
+        )
+        bufs, mets = jax.lax.scan(
+            lambda carry, x: launch(carry, x, inner), bufs, xs
+        )
+        mparts.append(mets.reshape((-1,) + mets.shape[2:]))
+    if tail:
+        bufs, mets = launch(bufs, tuple(s[n_full * inner * spe:] for s in streams), tail)
+        mparts.append(mets)
+    metrics = mparts[0] if len(mparts) == 1 else jnp.concatenate(mparts, axis=0)
+    return list(bufs), metrics
+
+
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False,
@@ -377,14 +417,25 @@ def _make_kernel(
         # ---- G forward (shared by both phases: same params, same batch) --
         u1 = mm(spectra, g_w1[0]) + g_b1[0]
         mu1 = jnp.mean(u1, axis=0, keepdims=True)
-        var1 = jnp.mean(u1 * u1, axis=0, keepdims=True) - mu1 * mu1
+        # flax-exact variance INCLUDING the max(0, .) clamp
+        # (flax/linen/normalization.py:140-142): near-dead features
+        # (var ~ 0, |mean| ~ 10) make mean(x^2)-mean(x)^2's fp error
+        # (~ulp(mean^2) ~ 1.5e-5) exceed eps=1e-5 with a reduction-order-
+        # dependent SIGN; without the clamp that is rsqrt(negative) = NaN
+        # on some Mosaic compilations (hit on v5e resuming a 50-epoch
+        # checkpoint — larger grids compiled a different reduction order).
+        var1 = jnp.maximum(
+            0.0, jnp.mean(u1 * u1, axis=0, keepdims=True) - mu1 * mu1
+        )
         iv1 = jax.lax.rsqrt(var1 + _BN_EPS)
         xh1 = (u1 - mu1) * iv1
         y1 = xh1 * g_gam1[0] + g_bet1[0]
         a1 = jnp.maximum(y1, 0.0)
         u2 = mm(a1, g_w2[0]) + g_b2[0]
         mu2 = jnp.mean(u2, axis=0, keepdims=True)
-        var2 = jnp.mean(u2 * u2, axis=0, keepdims=True) - mu2 * mu2
+        var2 = jnp.maximum(
+            0.0, jnp.mean(u2 * u2, axis=0, keepdims=True) - mu2 * mu2
+        )
         iv2 = jax.lax.rsqrt(var2 + _BN_EPS)
         xh2 = (u2 - mu2) * iv2
         y2 = xh2 * g_gam2[0] + g_bet2[0]
@@ -467,7 +518,9 @@ def _make_kernel(
             fw, fb, fg, fbe = frozen[4 * li: 4 * li + 4]
             t = mm(a, fw[:, :]) + fb[0:1, :]
             mu = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            var = jnp.maximum(   # flax-exact clamp, see BN comment above
+                0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            )
             ivar = jax.lax.rsqrt(var + _LN_EPS)
             tc = t - mu
             ln = tc * ivar * fg[0:1, :] + fbe[0:1, :]
@@ -588,10 +641,23 @@ def _make_kernel(
         # ---- per-epoch metric means --------------------------------------
         vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
                 lc_l, range_l, viol)
+        if _DEBUG_LANES:
+            vals = vals + (
+                jnp.sum(jnp.abs(spectra)), jnp.sum(jnp.abs(params_phys)),
+                jnp.sum(jnp.abs(u1)), jnp.min(var1), jnp.sum(jnp.abs(pn)),
+                jnp.sum(jnp.abs(x0)), jnp.sum(jnp.abs(p1)),
+                jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
+                jnp.sum(jnp.abs(d_w1[1])), jnp.sum(jnp.abs(d_w1[2])),
+                jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
+                lr_g, inv2, jnp.sum(jnp.abs(sched_row)),
+            )
         mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         mrow = jnp.zeros((1, LANE), jnp.float32)
         for k, v in enumerate(vals):
             mrow = jnp.where(mlane1 == k, v, mrow)
+        if _DEBUG_PER_STEP:
+            metrics_ref[0] = mrow
+            return
         mrow = mrow / steps_per_epoch
 
         @pl.when(i % steps_per_epoch == 0)
@@ -661,53 +727,61 @@ def make_pallas_multi_epoch_fn(
         const = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array block
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
-        in_specs = (
-            [
-                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                const((1, LANE)), const((1, LANE)),
-            ]
-            + [const(f.shape) for f in frozen]
-            + [const(b.shape) for b in train]
-            + [const(b.shape) for b in stats]
-        )
-        out_specs = (
-            [const(b.shape) for b in train]
-            + [const(b.shape) for b in stats]
-            + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
-                            memory_space=pltpu.VMEM)]
-        )
-        out_shape = (
-            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
-            + [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in stats]
-            + [jax.ShapeDtypeStruct((E, 1, LANE), jnp.float32)]
-        )
         n_state = len(train) + len(stats)
-        aliases = {30 + k: k for k in range(n_state)}
-
+        aliases = {} if _NO_ALIAS else {30 + k: k for k in range(n_state)}
         kernel = _make_kernel(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
         )
-        outs = pl.pallas_call(
-            kernel,
-            grid=(T,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            input_output_aliases=aliases,
-            interpret=interpret,
-            **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
-            ))),
-        )(spec_g, par_g, met_g, sched, lo, hi, *frozen, *train, *stats)
 
-        train_out = outs[: len(train)]
-        stats_out = outs[len(train): n_state]
-        mrows = outs[n_state]
+        def launch(bufs, streams, Ec):
+            spec_c, par_c, met_c, sched_c = streams
+            in_specs = (
+                [
+                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    const((1, LANE)), const((1, LANE)),
+                ]
+                + [const(f.shape) for f in frozen]
+                + [const(b.shape) for b in bufs]
+            )
+            n_rows = Ec * spe if _DEBUG_PER_STEP else Ec
+            midx = (lambda i: (i, 0, 0)) if _DEBUG_PER_STEP else (
+                lambda i: (i // spe, 0, 0))
+            out_specs = (
+                [const(b.shape) for b in bufs]
+                + [pl.BlockSpec((1, 1, LANE), midx, memory_space=pltpu.VMEM)]
+            )
+            out_shape = (
+                [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs]
+                + [jax.ShapeDtypeStruct((n_rows, 1, LANE), jnp.float32)]
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(Ec * spe,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases=aliases,
+                interpret=interpret,
+                **({} if interpret else dict(
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 2**20,
+                    ))),
+            )(spec_c, par_c, met_c, sched_c, lo, hi, *frozen, *bufs)
+            return tuple(outs[:n_state]), outs[n_state]
+
+        bufs, mrows = _chunked_launch(
+            launch, train + stats, (spec_g, par_g, met_g, sched), E, spe
+        )
+        train_out = bufs[: len(train)]
+        stats_out = bufs[len(train):]
         new_state = unpack_state(state, train_out, stats_out, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(METRIC_KEYS)}
         return new_state, metrics
@@ -897,7 +971,9 @@ def _make_forward_kernel(
             wb, bb, gb, beb = train[4 * li: 4 * li + 4]
             t = mm(a, wb[0]) + bb[0]
             mu = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            var = jnp.maximum(   # flax-exact clamp, see BN comment above
+                0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
+            )
             ivar = jax.lax.rsqrt(var + _LN_EPS)
             tc = t - mu
             ln = tc * ivar * gb[0] + beb[0]
@@ -1047,44 +1123,55 @@ def make_pallas_forward_epoch_fn(
         row3 = lambda: pl.BlockSpec(  # noqa: E731
             (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        in_specs = (
-            [
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                row3(), row3(),
-            ]
-            + [const(b.shape) for b in train]
-        )
-        out_specs = (
-            [const(b.shape) for b in train]
-            + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
-                            memory_space=pltpu.VMEM)]
-        )
-        out_shape = (
-            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
-            + [jax.ShapeDtypeStruct((E, 1, LANE), jnp.float32)]
-        )
-        aliases = {5 + k: k for k in range(len(train))}
+        aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
         kernel = _make_forward_kernel(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
         )
-        outs = pl.pallas_call(
-            kernel,
-            grid=(T,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            input_output_aliases=aliases,
-            interpret=interpret,
-            **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
-            ))),
-        )(par_g, spec_g, met_g, sched, seeds, *train)
-        new_state = unpack_forward_state(state, outs[:-1], T, S)
-        mrows = outs[-1]
+
+        def launch(bufs, streams, Ec):
+            par_c, spec_c, met_c, sched_c, seed_c = streams
+            in_specs = (
+                [
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    row3(), row3(),
+                ]
+                + [const(b.shape) for b in bufs]
+            )
+            out_specs = (
+                [const(b.shape) for b in bufs]
+                + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
+                                memory_space=pltpu.VMEM)]
+            )
+            out_shape = (
+                [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs]
+                + [jax.ShapeDtypeStruct((Ec, 1, LANE), jnp.float32)]
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(Ec * spe,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases=aliases,
+                interpret=interpret,
+                **({} if interpret else dict(
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 2**20,
+                    ))),
+            )(par_c, spec_c, met_c, sched_c, seed_c, *bufs)
+            return tuple(outs[:-1]), outs[-1]
+
+        bufs, mrows = _chunked_launch(
+            launch, train, (par_g, spec_g, met_g, sched, seeds), E, spe
+        )
+        new_state = unpack_forward_state(state, bufs, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(FWD_METRIC_KEYS)}
         return new_state, metrics
 

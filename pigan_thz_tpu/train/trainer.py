@@ -244,12 +244,17 @@ class Trainer:
                 opt=tx.init(self.forward_state.f.params)
             )
         multi_epoch = self._maybe_forward_megakernel(settings, lr, epochs)
-        if multi_epoch is None:
-            multi_epoch = self._make_multi_epoch(
+        mega_active = multi_epoch is not None
+
+        def _xla_epoch_fn():
+            return self._make_multi_epoch(
                 make_forward_step(self.forward_model, tx, settings),
                 with_scale=False,
                 cache_key=("fwd", settings, lr, epochs if lr is not None else None),
             )
+
+        if multi_epoch is None:
+            multi_epoch = _xla_epoch_fn()
 
         best_loss, best_state, bad_epochs = float("inf"), None, 0
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
@@ -258,10 +263,30 @@ class Trainer:
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
             key, sub = jax.random.split(key)
+            backup = (
+                jax.tree.map(jnp.copy, self.forward_state) if mega_active else None
+            )
             self.forward_state, ms = multi_epoch(
                 self.forward_state, self.ds, sub, jnp.ones((chunk,), jnp.float32)
             )
             rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            if mega_active and not all(
+                math.isfinite(x) for v in rows.values() for x in v
+            ):
+                # see train_pigan: Mosaic reliability net, XLA retry
+                self._log(
+                    "forward megakernel chunk produced non-finite metrics; "
+                    "retrying on the XLA path (megakernel disabled for the "
+                    "rest of this run)"
+                )
+                mega_active = False
+                multi_epoch = _xla_epoch_fn()
+                self.forward_state = backup
+                self.forward_state, ms = multi_epoch(
+                    self.forward_state, self.ds, sub,
+                    jnp.ones((chunk,), jnp.float32),
+                )
+                rows = {k: [float(x) for x in v] for k, v in ms.items()}
             improved_in_chunk = False
             for j in range(chunk):
                 e = epoch + j
@@ -396,10 +421,15 @@ class Trainer:
             else None
         )
         multi_epoch = self._maybe_megakernel(settings, override_key)
-        if multi_epoch is None:
-            multi_epoch = self._make_multi_epoch(
+        mega_active = multi_epoch is not None
+
+        def _xla_epoch_fn():
+            return self._make_multi_epoch(
                 step_fn, with_scale=True, cache_key=("gan", settings, override_key)
             )
+
+        if multi_epoch is None:
+            multi_epoch = _xla_epoch_fn()
 
         best_val, best_state = None, None
         # `seed` lets resumable callers vary the shuffle/noise key stream per
@@ -419,8 +449,31 @@ class Trainer:
                 ],
                 jnp.float32,
             )
+            backup = (
+                jax.tree.map(jnp.copy, self.pigan_state) if mega_active else None
+            )
             self.pigan_state, ms = multi_epoch(self.pigan_state, self.ds, sub, scales)
             rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            if mega_active and not all(
+                math.isfinite(x) for v in rows.values() for x in v
+            ):
+                # Mosaic reliability net (ops/megakernel.py _MAX_GRID note):
+                # certain compiled program shapes have been observed feeding
+                # the kernel corrupt operands.  Restore the pre-chunk state
+                # and continue on the XLA path; if the run is GENUINELY
+                # diverging the retry reproduces it and nan_guard raises.
+                self._log(
+                    "megakernel chunk produced non-finite metrics; "
+                    "retrying on the XLA path and disabling the megakernel "
+                    "for the rest of this run"
+                )
+                mega_active = False
+                multi_epoch = _xla_epoch_fn()
+                self.pigan_state = backup
+                self.pigan_state, ms = multi_epoch(
+                    self.pigan_state, self.ds, sub, scales
+                )
+                rows = {k: [float(x) for x in v] for k, v in ms.items()}
             chunk_has_best = False
             for j in range(chunk):
                 e = epoch + j

@@ -288,6 +288,59 @@ def test_megakernel_bf16_mode(cfg):
 
 
 @pytest.mark.slow
+def test_trainer_falls_back_on_nonfinite_megakernel(cfg, monkeypatch):
+    """Reliability net: if a megakernel chunk returns non-finite metrics
+    (observed Mosaic operand-corruption mode, ops/megakernel.py _MAX_GRID
+    note), the Trainer restores the pre-chunk state, reruns the chunk on
+    the XLA path, and keeps training — history stays finite throughout."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    ds = synth(cfg.data)
+    t = Trainer(cfg, ds=ds, epochs_per_call=2)
+
+    calls = {"n": 0}
+
+    def poisoned(state, ds_, key, scales):
+        calls["n"] += 1
+        bad = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), state)
+        metrics = {k: jnp.full((scales.shape[0],), jnp.nan) for k in METRIC_KEYS}
+        return bad, metrics
+
+    monkeypatch.setattr(Trainer, "_maybe_megakernel",
+                        lambda self, settings, override_key: poisoned)
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=10**9)
+    assert calls["n"] == 1  # poisoned chunk ran once, then XLA took over
+    assert all(np.isfinite(v).all() for v in
+               (np.asarray(x) for x in t.train_history.values()))
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(t.pigan_state.g.params))
+
+
+@pytest.mark.slow
+def test_megakernel_chunked_launch_parity(cfg, monkeypatch):
+    """The grid cap (_MAX_GRID) splits a chunk into scan sub-launches + a
+    tail launch; force tiny sub-chunks and check the trajectory matches the
+    XLA path exactly as in the single-launch case (state flows through HBM
+    between launches without loss)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 7)  # spe=4 -> inner=1 epoch/launch
+    ds, state, xla, pallas = _setup(cfg, 256)
+    state_b = jax.tree.map(jnp.copy, state)
+    scales = jnp.ones((3,), jnp.float32)  # 3 epochs: 3 launches, no tail=0
+    key = jax.random.PRNGKey(21)
+    st_x, m_x = xla(state, ds, key, scales)
+    st_p, m_p = pallas(state_b, ds, key, scales)
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=1e-6, err_msg=k
+        )
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count) == 12
+
+
+@pytest.mark.slow
 def test_megakernel_continues_from_xla_state(cfg):
     """Backends interleave: XLA epoch -> megakernel epoch == resumable state
     (counts, schedules and bias corrections line up mid-run)."""
