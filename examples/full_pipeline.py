@@ -145,11 +145,43 @@ def main() -> int:
         save_progress(prog_path, prog)
         print(f"ft {prog['ft_epochs']}/{args.ft_epochs} "
               f"({time.time()-t0:.0f}s)", flush=True)
-    mgr.close()
     ft_mgr.close()
 
+    # ---- repair acceptance gate ----------------------------------------
+    # The constraint repair reproduces the reference's violation-first
+    # snapshot policy, whose own artifact history documents the trade
+    # (best-R2 checkpoint: 91.4% violation; best-violation: R2 wrecked —
+    # constraint_optimizer.py:35-38).  In parity mode the [0,1] window is
+    # statistically unsatisfiable for a healthy tanh generator (RESULTS.md),
+    # so the repair can only buy violation points by destroying the inverse
+    # map.  Gate it like a sane production pipeline: accept the repaired
+    # model only if parameter R2 survives (within 0.02), else ship the
+    # pre-repair model and report both.
+    ev_ft = trainer.evaluate()
+    ft_r2 = ev_ft["pigan_evaluation"]["parameter_prediction"]["r2"]
+    ft_viol = ev_ft["structural_prediction_evaluation"][
+        "param_range_violation_rate"]
+    import jax.numpy as jnp  # noqa: E402
+
+    ft_state = jax.tree_util.tree_map(jnp.copy, trainer.pigan_state)
+    trainer.resume_from(mgr, "pigan")          # pre-repair (gan stage final)
+    ev_pre = trainer.evaluate()
+    pre_r2 = ev_pre["pigan_evaluation"]["parameter_prediction"]["r2"]
+    repair_accepted = ft_r2 >= pre_r2 - 0.02
+    if repair_accepted:
+        trainer.pigan_state = ft_state
+        ev = ev_ft
+    else:
+        ev = ev_pre
+        print(
+            f"constraint repair REJECTED: param R2 {pre_r2:.4f} -> "
+            f"{ft_r2:.4f} (violation {ft_viol:.3f}); shipping the "
+            "pre-repair model (see RESULTS.md on the unsatisfiable "
+            "violation window)", flush=True,
+        )
+    mgr.close()
+
     # ---- stage 4: evaluate + finals ------------------------------------
-    ev = trainer.evaluate()
     summary = {
         "param_r2": ev["pigan_evaluation"]["parameter_prediction"]["r2"],
         "violation": ev["structural_prediction_evaluation"][
@@ -163,6 +195,9 @@ def main() -> int:
         "stability": ev["model_validation"]["prediction_stability_mean"],
         "metrics_r2": ev["forward_network_evaluation"]["metrics_prediction"]["r2"],
         "spectrum_r2": ev["forward_network_evaluation"]["spectrum_prediction"]["r2"],
+        "repair_accepted": repair_accepted,
+        "repair_param_r2": ft_r2,
+        "repair_violation": ft_viol,
         "wall_s": time.time() - t0,
     }
     print(json.dumps(summary, indent=2), flush=True)
