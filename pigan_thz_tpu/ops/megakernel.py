@@ -90,6 +90,12 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
+    if cfg.discriminator.leaky_slope != 0.2 or cfg.forward_model.leaky_slope != 0.2:
+        return "non-default leaky_slope (kernel hardcodes 0.2)"
+    if cfg.train.grad_clip <= 0:
+        return "grad_clip <= 0 (kernel assumes the optax clip stage exists)"
+    if cfg.train.batch_size % 8 != 0:
+        return "batch_size not a multiple of 8 (TPU sublane tiling)"
     s = settings
     if s.gan_loss != "bce":
         return "gan_loss is not bce"
@@ -401,8 +407,10 @@ def _make_kernel(
         sched_row = sched_ref[0]       # (1, LANE)
         lr_g = sched_row[0, 0]
         lr_d = sched_row[0, 1]
-        inv1 = sched_row[0, 2]
-        inv2 = sched_row[0, 3]
+        inv1_g = sched_row[0, 2]
+        inv2_g = sched_row[0, 3]
+        inv1_d = sched_row[0, 4]
+        inv2_d = sched_row[0, 5]
 
         spectra = spec_ref[0]          # (B, W), cols >= S are zero
         params_phys = par_ref[0][:, 0:4]
@@ -488,7 +496,7 @@ def _make_kernel(
         adam_apply(
             [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
-            lr_d, inv1, inv2,
+            lr_d, inv1_d, inv2_d,
         )
 
         # ---- G phase: adversarial pass through the JUST-UPDATED D --------
@@ -629,7 +637,7 @@ def _make_kernel(
         adam_apply(
             [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
-            lr_g, inv1, inv2,
+            lr_g, inv1_g, inv2_g,
         )
 
         # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
@@ -699,6 +707,12 @@ def make_pallas_multi_epoch_fn(
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
+        if spe > _MAX_GRID:
+            raise ValueError(
+                f"steps_per_epoch={spe} exceeds the per-launch grid cap "
+                f"{_MAX_GRID} (sub-chunking is whole-epoch-granular); use "
+                "the XLA path — Trainer's auto mode does this itself"
+            )
         T = E * spe
         g_sched = cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
         d_sched = step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
@@ -709,14 +723,19 @@ def make_pallas_multi_epoch_fn(
         par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
         met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
 
-        t0 = state.g_opt[1][0].count
-        t = t0 + jnp.arange(T)
-        tf = (t + 1).astype(jnp.float32)
+        # per-OPTIMIZER counts: G and D can disagree after mixed-phase
+        # histories (e.g. a d_update_every>1 phase on the XLA path)
+        tg = state.g_opt[1][0].count + jnp.arange(T)
+        td = state.d_opt[1][0].count + jnp.arange(T)
+        tgf = (tg + 1).astype(jnp.float32)
+        tdf = (td + 1).astype(jnp.float32)
         sched = jnp.stack([
-            g_sched(t), d_sched(t),
-            1.0 / (1.0 - jnp.power(_B1, tf)),
-            1.0 / (1.0 - jnp.power(_B2, tf)),
-        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 4), axis=1)
+            g_sched(tg), d_sched(td),
+            1.0 / (1.0 - jnp.power(_B1, tgf)),
+            1.0 / (1.0 - jnp.power(_B2, tgf)),
+            1.0 / (1.0 - jnp.power(_B1, tdf)),
+            1.0 / (1.0 - jnp.power(_B2, tdf)),
+        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 6), axis=1)
         sched = sched.reshape(T, 1, LANE)  # unit middle axis: TPU block
         # shapes need the last two dims (8,128)-divisible or array-equal
 
@@ -812,6 +831,12 @@ def supports_forward_megakernel(cfg: PiGanConfig) -> str | None:
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
+    if cfg.forward_model.leaky_slope != 0.2:
+        return "non-default leaky_slope (kernel hardcodes 0.2)"
+    if cfg.train.grad_clip <= 0:
+        return "grad_clip <= 0 (kernel assumes the optax clip stage exists)"
+    if cfg.train.batch_size % 8 != 0:
+        return "batch_size not a multiple of 8 (TPU sublane tiling)"
     return None
 
 
@@ -1095,6 +1120,12 @@ def make_pallas_forward_epoch_fn(
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
+        if spe > _MAX_GRID:
+            raise ValueError(
+                f"steps_per_epoch={spe} exceeds the per-launch grid cap "
+                f"{_MAX_GRID}; use the XLA path — Trainer's auto mode does "
+                "this itself"
+            )
         T = E * spe
         sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
 

@@ -131,9 +131,17 @@ class Trainer:
                     "overrides"
                 )
             return None
-        from ..ops.megakernel import make_pallas_multi_epoch_fn, supports_megakernel
+        from ..ops.megakernel import (
+            _MAX_GRID,
+            make_pallas_multi_epoch_fn,
+            supports_megakernel,
+        )
 
         reason = supports_megakernel(self.cfg, settings)
+        if reason is None and self.steps_per_epoch > _MAX_GRID:
+            # sub-chunking is whole-epoch-granular; large datasets exceed
+            # the per-launch grid reliability cap -> XLA path
+            reason = f"steps_per_epoch {self.steps_per_epoch} > grid cap"
         on_tpu = jax.default_backend() == "tpu"
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:
@@ -154,11 +162,14 @@ class Trainer:
         if self.megakernel == "off" or self.mesh is not None:
             return None
         from ..ops.megakernel import (
+            _MAX_GRID,
             make_pallas_forward_epoch_fn,
             supports_forward_megakernel,
         )
 
         reason = supports_forward_megakernel(self.cfg)
+        if reason is None and self.steps_per_epoch > _MAX_GRID:
+            reason = f"steps_per_epoch {self.steps_per_epoch} > grid cap"
         on_tpu = jax.default_backend() == "tpu"
         if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
             # interpret mode has no TPU PRNG for the dropout masks
@@ -176,6 +187,33 @@ class Trainer:
                 interpret=not on_tpu,
             )
         return self._epoch_fns[cache_key]
+
+    def _chunk_with_fallback(
+        self, multi_epoch, mega_active, xla_factory, state, sub, scales, what
+    ):
+        """Run one multi-epoch chunk; if the megakernel produced non-finite
+        metrics, restore the pre-chunk state and rerun on the XLA path
+        (Mosaic reliability net — ops/megakernel.py _MAX_GRID note).  A
+        genuinely diverging run reproduces the non-finite metrics on the
+        retry and surfaces through the normal NaN guard.
+
+        Returns (new_state, rows, multi_epoch, mega_active)."""
+        backup = jax.tree.map(jnp.copy, state) if mega_active else None
+        new_state, ms = multi_epoch(state, self.ds, sub, scales)
+        rows = {k: [float(x) for x in v] for k, v in ms.items()}
+        if mega_active and not all(
+            math.isfinite(x) for v in rows.values() for x in v
+        ):
+            self._log(
+                f"{what} megakernel chunk produced non-finite metrics; "
+                "retrying on the XLA path (megakernel disabled for the "
+                "rest of this run)"
+            )
+            multi_epoch = xla_factory()
+            mega_active = False
+            new_state, ms = multi_epoch(backup, self.ds, sub, scales)
+            rows = {k: [float(x) for x in v] for k, v in ms.items()}
+        return new_state, rows, multi_epoch, mega_active
 
     def _maybe_shard(self, state):
         if self.mesh is not None:
@@ -263,30 +301,13 @@ class Trainer:
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
             key, sub = jax.random.split(key)
-            backup = (
-                jax.tree.map(jnp.copy, self.forward_state) if mega_active else None
-            )
-            self.forward_state, ms = multi_epoch(
-                self.forward_state, self.ds, sub, jnp.ones((chunk,), jnp.float32)
-            )
-            rows = {k: [float(x) for x in v] for k, v in ms.items()}
-            if mega_active and not all(
-                math.isfinite(x) for v in rows.values() for x in v
-            ):
-                # see train_pigan: Mosaic reliability net, XLA retry
-                self._log(
-                    "forward megakernel chunk produced non-finite metrics; "
-                    "retrying on the XLA path (megakernel disabled for the "
-                    "rest of this run)"
+            self.forward_state, rows, multi_epoch, mega_active = (
+                self._chunk_with_fallback(
+                    multi_epoch, mega_active, _xla_epoch_fn,
+                    self.forward_state, sub, jnp.ones((chunk,), jnp.float32),
+                    "forward",
                 )
-                mega_active = False
-                multi_epoch = _xla_epoch_fn()
-                self.forward_state = backup
-                self.forward_state, ms = multi_epoch(
-                    self.forward_state, self.ds, sub,
-                    jnp.ones((chunk,), jnp.float32),
-                )
-                rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            )
             improved_in_chunk = False
             for j in range(chunk):
                 e = epoch + j
@@ -449,31 +470,12 @@ class Trainer:
                 ],
                 jnp.float32,
             )
-            backup = (
-                jax.tree.map(jnp.copy, self.pigan_state) if mega_active else None
+            self.pigan_state, rows, multi_epoch, mega_active = (
+                self._chunk_with_fallback(
+                    multi_epoch, mega_active, _xla_epoch_fn,
+                    self.pigan_state, sub, scales, "pigan",
+                )
             )
-            self.pigan_state, ms = multi_epoch(self.pigan_state, self.ds, sub, scales)
-            rows = {k: [float(x) for x in v] for k, v in ms.items()}
-            if mega_active and not all(
-                math.isfinite(x) for v in rows.values() for x in v
-            ):
-                # Mosaic reliability net (ops/megakernel.py _MAX_GRID note):
-                # certain compiled program shapes have been observed feeding
-                # the kernel corrupt operands.  Restore the pre-chunk state
-                # and continue on the XLA path; if the run is GENUINELY
-                # diverging the retry reproduces it and nan_guard raises.
-                self._log(
-                    "megakernel chunk produced non-finite metrics; "
-                    "retrying on the XLA path and disabling the megakernel "
-                    "for the rest of this run"
-                )
-                mega_active = False
-                multi_epoch = _xla_epoch_fn()
-                self.pigan_state = backup
-                self.pigan_state, ms = multi_epoch(
-                    self.pigan_state, self.ds, sub, scales
-                )
-                rows = {k: [float(x) for x in v] for k, v in ms.items()}
             chunk_has_best = False
             for j in range(chunk):
                 e = epoch + j
@@ -530,7 +532,22 @@ class Trainer:
         if which == "pigan":
             if self.pigan_state is None:
                 self.init_pigan()
-            step, state, meta = manager.restore_with_meta(self.pigan_state, epoch)
+            try:
+                step, state, meta = manager.restore_with_meta(
+                    self.pigan_state, epoch
+                )
+            except Exception:
+                # pytree-structure mismatch on the optional EMA subtree:
+                # a checkpoint from an EMA run restored into a plain
+                # template (or vice versa).  Retry with the toggled
+                # template; any other structural error re-raises below.
+                if self.pigan_state.g_ema is None:
+                    template = self.pigan_state.replace(
+                        g_ema=jax.tree.map(jnp.copy, self.pigan_state.g.params)
+                    )
+                else:
+                    template = self.pigan_state.replace(g_ema=None)
+                step, state, meta = manager.restore_with_meta(template, epoch)
             if step is None:
                 return None
             self.pigan_state = state

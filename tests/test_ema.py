@@ -125,6 +125,36 @@ def test_trainer_ema_evaluation(cfg, small_ds, tmp_path):
         t2.evaluator(use_ema=True)
 
 
+@pytest.mark.slow
+def test_ema_periodic_checkpoint_resume(cfg, small_ds, tmp_path):
+    """Periodic checkpoints saved mid-EMA-run restore into a FRESH trainer
+    whose template has no EMA subtree (resume_from retries with the toggled
+    template), and vice versa."""
+    from pigan_thz_tpu.train import checkpoint as ckpt
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2)
+    t.pretrain_forward(epochs=1, log_every=10**9)
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=10**9,
+                  settings=StepSettings.from_config(cfg, ema_decay=0.9))
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ck"), max_to_keep=1,
+                                 save_interval=1)
+    mgr.save(2, t.pigan_state, history=t.train_history, config=cfg)
+    mgr.close()
+
+    t2 = Trainer(cfg, ds=small_ds)
+    mgr2 = ckpt.CheckpointManager(str(tmp_path / "ck"), max_to_keep=1,
+                                  save_interval=1)
+    step = t2.resume_from(mgr2, "pigan")  # plain template vs EMA checkpoint
+    assert step == 2
+    assert t2.pigan_state.g_ema is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        t2.pigan_state.g_ema, t.pigan_state.g_ema,
+    )
+    mgr2.close()
+
+
 def test_ensemble_ema_track(cfg, small_ds):
     """EMA composes with the vmapped ensemble: every member keeps its own
     EMA track through the shared runtime-weights step."""
