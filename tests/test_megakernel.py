@@ -77,6 +77,39 @@ def test_supports_guard(cfg):
     assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99))
     bad = cfg.replace(generator=dataclasses.replace(cfg.generator, name="residual"))
     assert "generator" in supports_megakernel(bad, s)
+    # review-hardened envelope: silent-divergence / trace-crash risks
+    assert "leaky" in supports_megakernel(
+        cfg.replace(discriminator=dataclasses.replace(
+            cfg.discriminator, leaky_slope=0.1)), s)
+    assert "grad_clip" in supports_megakernel(
+        cfg.replace(train=dataclasses.replace(cfg.train, grad_clip=0.0)), s)
+    assert "batch" in supports_megakernel(
+        cfg.replace(train=dataclasses.replace(cfg.train, batch_size=100)), s)
+
+    from pigan_thz_tpu.ops.megakernel import supports_forward_megakernel
+
+    assert supports_forward_megakernel(cfg) is None
+    assert "leaky" in supports_forward_megakernel(
+        cfg.replace(forward_model=dataclasses.replace(
+            cfg.forward_model, leaky_slope=0.3)))
+
+
+def test_trainer_grid_cap_fallback(cfg):
+    """Datasets whose steps_per_epoch exceed the per-launch grid cap fall
+    back to the XLA path instead of launching into the hazardous regime."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    big = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    ds = synth(big.data)
+    t = Trainer(big, ds=ds, megakernel="force")
+    t.steps_per_epoch = 500  # simulate a 32k-sample dataset
+    with pytest.raises(ValueError, match="grid cap"):
+        t._maybe_megakernel(StepSettings.from_config(big), None)
+    t2 = Trainer(big, ds=ds, megakernel="auto")
+    t2.steps_per_epoch = 500
+    assert t2._maybe_megakernel(StepSettings.from_config(big), None) is None
+    assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
 
 
 @pytest.mark.slow
