@@ -114,8 +114,12 @@ class PhysicsForwardModel(nn.Module):
 class UncertaintyForwardModel(nn.Module):
     """Returns (spec_mean, met_mean, spec_var, met_var); variances via
     Softplus.  The reference returns only the means in train mode
-    (enhanced_forward_model.py:258-265) — callers here just ignore the
-    variance outputs during training, avoiding mode-dependent arity."""
+    (enhanced_forward_model.py:258-265); here the arity is mode-independent
+    and training consumers index out[0]/out[1] (train.steps._apply
+    boundary), so this variant trains like any other — and
+    ForwardStepSettings.nll_w > 0 additionally trains the variance heads
+    with a heteroscedastic Gaussian NLL (beyond the reference, which never
+    trains them)."""
 
     spectrum_dim: int = 250
     metrics_dim: int = 8

@@ -49,6 +49,18 @@ def mae(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(pred - target))
 
 
+def gaussian_nll(
+    mean: jax.Array, var: jax.Array, target: jax.Array, eps: float = 1e-6
+) -> jax.Array:
+    """Heteroscedastic Gaussian negative log-likelihood (constant dropped):
+    0.5 * mean(log var + (target - mean)^2 / var).  Trains the variance
+    heads of UncertaintyForwardModel — a capability the reference declares
+    but never trains (enhanced_forward_model.py:224-289 returns means only
+    in train mode)."""
+    v = var + eps
+    return 0.5 * jnp.mean(jnp.log(v) + (target - mean) ** 2 / v)
+
+
 # ---------------------------------------------------------------------------
 # Physics-informed losses
 # ---------------------------------------------------------------------------

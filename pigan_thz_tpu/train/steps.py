@@ -123,6 +123,13 @@ class ForwardStepSettings:
     metrics_w: float = 1.0
     smoothness_w: float = 0.0
     l1_w: float = 0.0
+    # Heteroscedastic Gaussian NLL on the variance heads of
+    # UncertaintyForwardModel (0 = off).  BEYOND the reference: its
+    # UncertaintyForwardModel never trains the variance heads (train mode
+    # returns means only, enhanced_forward_model.py:258-265); here nll_w > 0
+    # adds 0.5*mean(log var + err^2/var) for both heads so the predicted
+    # variances become calibrated.  Requires a 4-tuple-returning model.
+    nll_w: float = 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -164,9 +171,13 @@ def make_forward_step(
         rng, k_drop = jax.random.split(state.rng)
 
         def loss_fn(p):
-            (pred_spec, pred_met), new_extra = _apply(
+            out, new_extra = _apply(
                 model, state.f, params_norm, train=True, rng=k_drop, params=p
             )
+            # output-arity boundary: 2-tuple (spec, met) for the standard
+            # variants, 4-tuple (+ variances) for UncertaintyForwardModel —
+            # means always lead, so every variant trains here
+            pred_spec, pred_met = out[0], out[1]
             spec_l = L.mse(pred_spec, spectra)
             met_l = L.mse(pred_met, metrics_norm)
             total = settings.spectrum_w * spec_l + settings.metrics_w * met_l
@@ -175,6 +186,16 @@ def make_forward_step(
             if settings.l1_w:
                 total = total + settings.l1_w * (
                     L.mae(pred_spec, spectra) + L.mae(pred_met, metrics_norm)
+                )
+            if settings.nll_w:
+                if len(out) < 4:
+                    raise ValueError(
+                        "ForwardStepSettings.nll_w > 0 needs a model with "
+                        "variance heads (forward_model.name='uncertainty')"
+                    )
+                total = total + settings.nll_w * (
+                    L.gaussian_nll(pred_spec, out[2], spectra)
+                    + L.gaussian_nll(pred_met, out[3], metrics_norm)
                 )
             return total, (new_extra, spec_l, met_l)
 
@@ -377,10 +398,11 @@ def make_pigan_step(
             else:
                 adv = L.bce_logits(adv_logits, jnp.ones((b, 1)))  # unsmoothed 1.0
 
-            # frozen forward surrogate (eval mode — train_pigan.py:75)
-            (recon_spec, pred_met), _ = _apply(
-                forward_model, state.f, pred_norm, train=False
-            )
+            # frozen forward surrogate (eval mode — train_pigan.py:75).
+            # out[0]/out[1] indexing keeps 4-tuple-returning variants
+            # (UncertaintyForwardModel) usable as the frozen F.
+            _f_out, _ = _apply(forward_model, state.f, pred_norm, train=False)
+            recon_spec, pred_met = _f_out[0], _f_out[1]
             if settings.detach_forward:
                 recon_spec = jax.lax.stop_gradient(recon_spec)
                 pred_met = jax.lax.stop_gradient(pred_met)
