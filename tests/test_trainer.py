@@ -154,3 +154,63 @@ def test_violation_window_modes(cfg, small_ds):
     # tanh outputs never leave [-1,1]; the parity window reports more
     assert sane == 0.0
     assert parity >= sane
+
+
+@pytest.mark.parametrize("fname", ["mlp", "branched", "physics", "uncertainty"])
+def test_every_forward_variant_trains(cfg, small_ds, fname):
+    """Every registry forward-model variant pretrains through the Trainer
+    and serves as the frozen F of the GAN step (round-2 VERDICT: the
+    uncertainty variant crashed on the 2-tuple unpack at the _apply
+    boundary; means now lead the output for every variant)."""
+    import dataclasses
+
+    c = cfg.replace(
+        forward_model=dataclasses.replace(cfg.forward_model, name=fname)
+    )
+    t = Trainer(c, ds=small_ds, epochs_per_call=1, megakernel="off")
+    t.pretrain_forward(epochs=1, log_every=10**9)
+    assert np.isfinite(t.train_history["forward/loss"][-1])
+    t.init_pigan()
+    t.train_pigan(epochs=1, log_every=10**9)
+    assert np.isfinite(t.train_history["pigan/g_loss"][-1])
+
+
+def test_uncertainty_nll_trains_variance_heads(cfg, small_ds):
+    """ForwardStepSettings.nll_w trains the variance heads: after a few
+    NLL epochs the predicted variances correlate with the actual squared
+    errors direction-wise (loss decreases, variances finite+positive),
+    and nll_w on a 2-tuple model raises."""
+    import dataclasses
+
+    c = cfg.replace(
+        forward_model=dataclasses.replace(cfg.forward_model, name="uncertainty")
+    )
+    t = Trainer(c, ds=small_ds, epochs_per_call=2, megakernel="off")
+    t.pretrain_forward(
+        epochs=4, settings=ForwardStepSettings(nll_w=1.0), log_every=10**9
+    )
+    hist = t.train_history["forward/loss"]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]
+    out = t.forward_model.apply(
+        t.forward_state.f.variables, small_ds.params_norm[:8]
+    )
+    assert len(out) == 4
+    assert np.all(np.asarray(out[2]) > 0) and np.all(np.asarray(out[3]) > 0)
+
+    t2 = Trainer(cfg, ds=small_ds, epochs_per_call=1, megakernel="off")
+    with pytest.raises(ValueError, match="variance heads"):
+        t2.pretrain_forward(epochs=1, settings=ForwardStepSettings(nll_w=1.0))
+
+
+def test_backup_tag_artifacts(cfg, small_ds, tmp_path):
+    """save_final(backup_tag=...) writes per-mode versioned copies next to
+    the finals (reference *_unified/_emergency.pth parity)."""
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=1, megakernel="off")
+    t.init_pigan()
+    t.train_pigan(epochs=1, log_every=10**9)
+    t.save_final(str(tmp_path), backup_tag="emergency")
+    import os as _os
+
+    for n in ("generator_final", "generator_emergency",
+              "discriminator_emergency", "forward_model_emergency"):
+        assert _os.path.isdir(_os.path.join(str(tmp_path), n)), n
