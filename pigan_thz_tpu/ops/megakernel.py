@@ -21,9 +21,13 @@ train.steps.make_pigan_step) with the baseline MLP trio:
   (models/forward_model.py:30-53);
 - BCE objective with label smoothing, BOTH detach_forward modes (False
   backprops through the frozen F in-kernel: LayerNorm backward + the
-  Maxwell second-difference adjoint), D every step, no augment / instance
-  noise / extended losses (`supports_megakernel` guards the exact
-  envelope; everything else falls back to the XLA path).
+  Maxwell second-difference adjoint); since round 3 also the PROGRAM-PHASE
+  knobs: d_update_every (gated D Adam + per-update D schedule counts),
+  enhanced constraint loss with per-epoch annealing scales, cycle
+  consistency (full second G pass forward + backward), sigmoid_squash,
+  and per-phase lr/schedule optimizer overrides.  Still XLA-only:
+  augment / instance noise / stability / window losses, EMA, WGAN-GP
+  (`supports_megakernel` guards the exact envelope).
 
 Measured on v5e-1 (60k-step runs, device_get sync; RESULTS.md table):
 16.7 us/step detached / 19.0 us through-F vs 41.9 / 45.3 for the best XLA
@@ -99,12 +103,10 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
     s = settings
     if s.gan_loss != "bce":
         return "gan_loss is not bce"
-    if s.d_update_every != 1:
-        return "d_update_every != 1"
-    if s.sigmoid_squash:
-        return "sigmoid_squash"
-    if s.constraint_w or s.stability_w or s.cycle_w or s.window_w:
-        return "extended trainer losses enabled"
+    if s.d_update_every < 1:
+        return "d_update_every < 1"
+    if s.stability_w or s.window_w:
+        return "stability/window losses enabled"
     if s.instance_noise or s.augment_noise or s.augment_shift or s.augment_scale:
         return "stochastic augmentation enabled"
     if s.ema_decay:
@@ -230,8 +232,11 @@ def pack_state(state, S: int):
     return train, stats, frozen
 
 
-def unpack_state(state, train_out, stats_out, n_steps: int, S: int):
-    """Rebuild a PiGanState from the kernel's updated buffers."""
+def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None):
+    """Rebuild a PiGanState from the kernel's updated buffers.  `d_steps`
+    (default n_steps) is D's ACTUAL update count — with d_update_every > 1
+    the skipped steps leave D's optimizer state untouched, exactly like the
+    XLA skip branch."""
     gP, dP = state.g.params, state.d.params
     g_adam, g_sched = state.g_opt[1]
     d_adam, d_sched = state.d_opt[1]
@@ -249,13 +254,14 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int):
         bn = {"mean": _crop(buf[0], (c,)), "var": _crop(buf[1], (c,))}
         bs = _set(bs, (blk, "NormAct_0", "BatchNorm_0"), bn)
     inc = jnp.asarray(n_steps, g_adam.count.dtype)
+    inc_d = inc if d_steps is None else jnp.asarray(d_steps, d_adam.count.dtype)
     g_opt = (state.g_opt[0], (
         g_adam._replace(count=g_adam.count + inc, mu=new["g"][1], nu=new["g"][2]),
         g_sched._replace(count=g_sched.count + inc),
     ))
     d_opt = (state.d_opt[0], (
-        d_adam._replace(count=d_adam.count + inc, mu=new["d"][1], nu=new["d"][2]),
-        d_sched._replace(count=d_sched.count + inc),
+        d_adam._replace(count=d_adam.count + inc_d, mu=new["d"][1], nu=new["d"][2]),
+        d_sched._replace(count=d_sched.count + inc_d),
     ))
     # rng: mirror the XLA step's `rng, *_ = split(rng, 9)` chain so a run is
     # checkpoint-identical whichever backend executed it
@@ -291,18 +297,26 @@ _SLOPE = 0.2
 
 def _make_adam(b1: float, b2: float, clip: float):
     """In-kernel clip_by_global_norm + Adam over packed (3, r, c) buffers.
-    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections."""
+    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections.  `gate`
+    (scalar 0/1) skips the whole update when 0 — params AND moments stay
+    put, reproducing the XLA d_update_every skip branch where the
+    optimizer state is untouched."""
 
-    def apply(bufs, grads, lr, inv1, inv2):
+    def apply(bufs, grads, lr, inv1, inv2, gate=None):
         gn = jnp.sqrt(sum(jnp.sum(g * g) for g in grads))
         scale = jnp.where(gn < clip, 1.0, clip / gn)
         for ref, g in zip(bufs, grads):
             g = g * scale
             m = b1 * ref[1] + (1.0 - b1) * g
             v = b2 * ref[2] + (1.0 - b2) * g * g
-            ref[0] = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
-            ref[1] = m
-            ref[2] = v
+            p = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
+            if gate is None:
+                ref[0], ref[1], ref[2] = p, m, v
+            else:
+                on = gate > 0.0
+                ref[0] = jnp.where(on, p, ref[0])
+                ref[1] = jnp.where(on, m, ref[1])
+                ref[2] = jnp.where(on, v, ref[2])
 
     return apply
 
@@ -323,28 +337,37 @@ _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
 
 
+def _launch_plan(E: int, spe: int) -> tuple[int, int]:
+    """(inner, n): E epochs decompose into n IDENTICAL launches of `inner`
+    epochs each — inner is the largest divisor of E with inner*spe <=
+    _MAX_GRID (worst case 1: n = E single-epoch launches)."""
+    max_inner = max(1, _MAX_GRID // spe)
+    for d in range(min(E, max_inner), 0, -1):
+        if E % d == 0:
+            return d, E // d
+    return 1, E
+
+
 def _chunked_launch(launch, bufs, streams, E: int, spe: int):
-    """Drive launch(bufs, stream_slices, Ec) over E epochs in sub-chunks of
-    at most max(1, _MAX_GRID // spe) epochs via lax.scan (+ one tail call);
-    returns (bufs, per-epoch metrics (E, 1, LANE))."""
-    inner = max(1, _MAX_GRID // spe)
-    n_full, tail = divmod(E, inner)
-    mparts = []
-    bufs = tuple(bufs)
-    if n_full:
-        xs = tuple(
-            s[: n_full * inner * spe].reshape((n_full, inner * spe) + s.shape[1:])
-            for s in streams
-        )
-        bufs, mets = jax.lax.scan(
-            lambda carry, x: launch(carry, x, inner), bufs, xs
-        )
-        mparts.append(mets.reshape((-1,) + mets.shape[2:]))
-    if tail:
-        bufs, mets = launch(bufs, tuple(s[n_full * inner * spe:] for s in streams), tail)
-        mparts.append(mets)
-    metrics = mparts[0] if len(mparts) == 1 else jnp.concatenate(mparts, axis=0)
-    return list(bufs), metrics
+    """Drive launch(bufs, stream_slices, Ec) over E epochs as a lax.scan of
+    UNIFORM sub-chunks (_launch_plan); returns (bufs, per-epoch metrics
+    (E, 1, LANE)).
+
+    Uniformity is a reliability invariant, not a convenience: round-2
+    forensics found MIXED launch shapes in one program — a scanned run of
+    full-size launches plus a differently-sized tail launch feeding the
+    same aliased state buffers (e.g. scan 3x120-grid + tail 1x15-grid, the
+    default epochs_per_call=25 checkpoint resume at spe=15) — corrupting
+    kernel operands on v5e, while uniform-shape programs ran clean.  Every
+    launch in a call now has the SAME grid size, eliminating the
+    mixed-shape program class entirely (at worst a few extra HBM hops for
+    the state bufs, ~0.3 us/step amortized)."""
+    inner, n = _launch_plan(E, spe)
+    xs = tuple(s.reshape((n, inner * spe) + s.shape[1:]) for s in streams)
+    bufs, mets = jax.lax.scan(
+        lambda carry, x: launch(carry, x, inner), tuple(bufs), xs
+    )
+    return list(bufs), mets.reshape((-1,) + mets.shape[2:])
 
 
 def _make_kernel(
@@ -364,9 +387,13 @@ def _make_kernel(
     w_maxwell = float(settings.maxwell_w)
     w_lc = float(settings.lc_w)
     w_range = float(settings.range_w)
+    w_constraint = float(settings.constraint_w)
+    w_cycle = float(settings.cycle_w)
     r_lo, r_hi = float(settings.range_lo), float(settings.range_hi)
     lab_r, lab_f = float(settings.label_real), float(settings.label_fake)
     detach = bool(settings.detach_forward)
+    sigmoid = bool(settings.sigmoid_squash)
+    gate_d = settings.d_update_every > 1
 
     def leaky_mask(pre):
         return jnp.where(pre >= 0.0, 1.0, _SLOPE)
@@ -411,6 +438,8 @@ def _make_kernel(
         inv2_g = sched_row[0, 3]
         inv1_d = sched_row[0, 4]
         inv2_d = sched_row[0, 5]
+        d_gate = sched_row[0, 6]   # 1.0 on D-update steps (d_update_every)
+        c_scale = sched_row[0, 7]  # per-epoch constraint annealing scale
 
         spectra = spec_ref[0]          # (B, W), cols >= S are zero
         params_phys = par_ref[0][:, 0:4]
@@ -449,7 +478,13 @@ def _make_kernel(
         y2 = xh2 * g_gam2[0] + g_bet2[0]
         a2 = jnp.maximum(y2, 0.0)
         z3 = mm(a2, g_w3[0]) + g_b3[0]
-        pn = jnp.tanh(z3)                       # (B, LANE), pads exactly 0
+        # the baseline G ends in tanh; sigmoid_squash applies sigmoid ON TOP
+        # (constraint_optimizer.py:246 squashes the generator OUTPUT).
+        # tanh pads are exactly 0; squashed pads are 0.5 — every consumer is
+        # pad-safe either way (range/viol masked to lanes < 4, F's padded
+        # input rows are zero, lc/adv use lanes 0:4 only)
+        tn = jnp.tanh(z3)                                      # (B, LANE)
+        pn = jax.nn.sigmoid(tn) if sigmoid else tn
         pphys = (pn + 1.0) * 0.5 * (hi - lo) + lo   # pads 0 (lo=hi=0 there)
 
         # ---- D phase: update D on [real; stop_grad(fake)] ----------------
@@ -497,6 +532,7 @@ def _make_kernel(
             [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
             lr_d, inv1_d, inv2_d,
+            gate=d_gate if gate_d else None,
         )
 
         # ---- G phase: adversarial pass through the JUST-UPDATED D --------
@@ -550,16 +586,76 @@ def _make_kernel(
         th1 = 0.4 * pn4[:, 0:1] + 0.6 * pn4[:, 2:3]
         th2 = 0.3 * pn4[:, 1:2] + 0.7 * pn4[:, 3:4]
         lc_l = jnp.mean((f1 - th1) ** 2) + jnp.mean((f2 - th2) ** 2)
-        below = jnp.maximum(r_lo - pn, 0.0)                    # pads contribute 0
-        above = jnp.maximum(pn - r_hi, 0.0)
+        # range/violation reductions masked to the 4 REAL parameter lanes:
+        # padded lanes hold tanh(0)=0, which only drops out of the penalty
+        # while range_lo <= 0 <= range_hi — masking keeps any window exact
+        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        in_lane = blane < 4
+        below = jnp.where(in_lane, jnp.maximum(r_lo - pn, 0.0), 0.0)
+        above = jnp.where(in_lane, jnp.maximum(pn - r_hi, 0.0), 0.0)
         range_l = jnp.sum(below * below + above * above) / (B * 4)
         bad = jnp.max(
-            ((pn < r_lo) | (pn > r_hi)).astype(jnp.float32), axis=1, keepdims=True
+            jnp.where(in_lane, ((pn < r_lo) | (pn > r_hi)).astype(jnp.float32), 0.0),
+            axis=1, keepdims=True,
         )
         viol = jnp.mean(bad)
+
+        # ---- enhanced constraint loss (ops/losses.py enhanced_constraint_
+        # loss; unified_constraint_trainer.py:295-347), annealed by the
+        # per-epoch c_scale stream ---------------------------------------
+        if w_constraint:
+            oor = jnp.maximum(jnp.maximum(pn4 - 1.0, -pn4), 0.0)     # (B, 4)
+            hard = jnp.sum(oor * oor) / B
+            bdist = jnp.minimum(pn4, 1.0 - pn4)
+            bexp = jnp.exp(jnp.minimum(-20.0 * bdist, 25.0))
+            boundary = jnp.sum(bexp) / B
+            dpar = pn4[:, 1:] - pn4[:, :-1]                          # (B, 3)
+            smooth = jnp.sum(jnp.abs(dpar)) / (B * 3)
+            # NaN/Inf validity of the surrogate spectrum (stop-gradient in
+            # the XLA path too); pads are finite zeros -> no contribution
+            bad_r = (recon != recon) | (jnp.abs(recon) > 3e38)
+            validity = jnp.sum(bad_r.astype(jnp.float32)) / B
+            c_loss = (
+                10.0 * hard + 0.1 * boundary + 0.05 * smooth + 3.0 * validity
+            )
+        else:
+            c_loss = 0.0
+
+        # ---- cycle consistency G(F(G(s))) ~ G(s) (steps.py cycle_w):
+        # second G pass on the surrogate spectrum, batch stats of the
+        # cycled batch, running stats NOT updated (the XLA path discards
+        # the cycle pass's mutated extra) ---------------------------------
+        if w_cycle:
+            u1c = mm(recon, g_w1[0]) + g_b1[0]
+            mu1c = jnp.mean(u1c, axis=0, keepdims=True)
+            var1c = jnp.maximum(
+                0.0, jnp.mean(u1c * u1c, axis=0, keepdims=True) - mu1c * mu1c
+            )
+            iv1c = jax.lax.rsqrt(var1c + _BN_EPS)
+            xh1c = (u1c - mu1c) * iv1c
+            y1c = xh1c * g_gam1[0] + g_bet1[0]
+            a1c = jnp.maximum(y1c, 0.0)
+            u2c = mm(a1c, g_w2[0]) + g_b2[0]
+            mu2c = jnp.mean(u2c, axis=0, keepdims=True)
+            var2c = jnp.maximum(
+                0.0, jnp.mean(u2c * u2c, axis=0, keepdims=True) - mu2c * mu2c
+            )
+            iv2c = jax.lax.rsqrt(var2c + _BN_EPS)
+            xh2c = (u2c - mu2c) * iv2c
+            y2c = xh2c * g_gam2[0] + g_bet2[0]
+            a2c = jnp.maximum(y2c, 0.0)
+            z3c = mm(a2c, g_w3[0]) + g_b3[0]
+            tnc = jnp.tanh(z3c)
+            pnc = jax.nn.sigmoid(tnc) if sigmoid else tnc
+            cyc_diff = pnc[:, 0:4] - pn4                             # (B, 4)
+            cycle_l = jnp.sum(cyc_diff * cyc_diff) / (B * 4)
+        else:
+            cycle_l = 0.0
+
         g_loss = (
             w_adv * adv + w_recon * recon_l + w_pmet * met_l
             + w_maxwell * maxwell_l + w_lc * lc_l + w_range * range_l
+            + w_constraint * c_scale * c_loss + w_cycle * cycle_l
         )
 
         # ---- G backward ---------------------------------------------------
@@ -568,7 +664,66 @@ def _make_kernel(
         dpn4 = dpn4_adv + jnp.concatenate(
             [0.4 * g1, 0.3 * g2, 0.6 * g1, 0.7 * g2], axis=1
         )
-        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        if w_constraint:
+            # hand adjoint of enhanced_constraint_loss w.r.t. pn4 (validity
+            # is stop-gradient).  max/min branch signs: pn-1 wins the inner
+            # max iff pn > 0.5; pn wins the boundary min iff pn < 0.5.
+            wcs = w_constraint * c_scale
+            dhard = (2.0 * oor / B) * jnp.where(pn4 > 0.5, 1.0, -1.0)
+            noclip = (-20.0 * bdist < 25.0).astype(jnp.float32)
+            dbound = (
+                bexp * (-20.0) * noclip * jnp.where(pn4 < 0.5, 1.0, -1.0) / B
+            )
+            sgn = jnp.sign(dpar)
+            zc1 = jnp.zeros((B, 1), jnp.float32)
+            dsm = (
+                jnp.concatenate([zc1, sgn], axis=1)
+                - jnp.concatenate([sgn, zc1], axis=1)
+            ) / (B * 3)
+            dpn4 = dpn4 + wcs * (10.0 * dhard + 0.1 * dbound + 0.05 * dsm)
+        if w_cycle:
+            # cycle adjoint: first-arg path into pn4 directly; second-arg
+            # path backprops the SECOND G pass (weight grads accumulate
+            # into the main-chain grads below; the input gradient reaches
+            # recon only when gradients flow through F, i.e. not detach)
+            dcyc2 = w_cycle * 2.0 * cyc_diff / (B * 4)         # d/d pnc4
+            dpn4 = dpn4 - dcyc2
+            dsqc = pnc[:, 0:4] * (1.0 - pnc[:, 0:4]) if sigmoid else 1.0
+            dz3c4 = dcyc2 * dsqc * (1.0 - tnc[:, 0:4] * tnc[:, 0:4])
+            dz3c = jnp.concatenate(
+                [dz3c4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+            )
+            cWg3 = dotT0(a2c, dz3c)
+            cbg3 = csum(dz3c)
+            da2c = dotT1(dz3c, g_w3[0])
+            dy2c = da2c * (y2c > 0.0).astype(jnp.float32)
+            cgam2 = csum(dy2c * xh2c)
+            cbet2 = csum(dy2c)
+            dt2c = dy2c * g_gam2[0] * iv2c
+            dvar2c = csum(
+                dy2c * g_gam2[0] * (u2c - mu2c)
+            ) * (-0.5) * iv2c * iv2c * iv2c
+            du2c = (
+                dt2c - jnp.mean(dt2c, axis=0, keepdims=True)
+                + dvar2c * 2.0 * (u2c - mu2c) / B
+            )
+            cWg2 = dotT0(a1c, du2c)
+            cbg2 = csum(du2c)
+            da1c = dotT1(du2c, g_w2[0])
+            dy1c = da1c * (y1c > 0.0).astype(jnp.float32)
+            cgam1 = csum(dy1c * xh1c)
+            cbet1 = csum(dy1c)
+            dt1c = dy1c * g_gam1[0] * iv1c
+            dvar1c = csum(
+                dy1c * g_gam1[0] * (u1c - mu1c)
+            ) * (-0.5) * iv1c * iv1c * iv1c
+            du1c = (
+                dt1c - jnp.mean(dt1c, axis=0, keepdims=True)
+                + dvar1c * 2.0 * (u1c - mu1c) / B
+            )
+            cWg1 = dotT0(recon, du1c)
+            cbg1 = csum(du1c)
+            drecon_c = dotT1(du1c, g_w1[0])                    # (B, W)
         dpn = jnp.concatenate(
             [dpn4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
         )
@@ -598,6 +753,10 @@ def _make_kernel(
             sh2 = jnp.concatenate([zcol, zcol, d2p[:, : W - 2]], axis=1)
             coef = w_maxwell * 2.0 / (B * (S - 2))
             drecon = drecon + coef * (d2p - 2.0 * sh1 + sh2)
+            if w_cycle:
+                # cycle's second G pass reads recon: its input gradient
+                # joins the physics terms before the F backward
+                drecon = drecon + drecon_c
             da = dotT1(drecon, fw6s[:]) + dotT1(dmet, fw6m[:])  # (B, 256)
             for li in range(4, -1, -1):
                 fw, _, fg, _ = frozen[4 * li: 4 * li + 4]
@@ -613,7 +772,8 @@ def _make_kernel(
                 da = dotT1(dt, fw[:, :])
             dpn = dpn + da                                     # F input == pn
 
-        dz3 = dpn * (1.0 - pn * pn)
+        dsq = pn * (1.0 - pn) if sigmoid else 1.0
+        dz3 = dpn * dsq * (1.0 - tn * tn)
         dWg3 = dotT0(a2, dz3)
         dbg3 = csum(dz3)
         da2 = dotT1(dz3, g_w3[0])
@@ -634,6 +794,13 @@ def _make_kernel(
         du1 = dt1 - jnp.mean(dt1, axis=0, keepdims=True) + dvar1 * 2.0 * (u1 - mu1) / B
         dWg1 = dotT0(spectra, du1)
         dbg1 = csum(du1)
+        if w_cycle:
+            # G's params are used by BOTH passes: grads accumulate
+            dWg1, dbg1 = dWg1 + cWg1, dbg1 + cbg1
+            dgam1, dbet1 = dgam1 + cgam1, dbet1 + cbet1
+            dWg2, dbg2 = dWg2 + cWg2, dbg2 + cbg2
+            dgam2, dbet2 = dgam2 + cgam2, dbet2 + cbet2
+            dWg3, dbg3 = dWg3 + cWg3, dbg3 + cbg3
         adam_apply(
             [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
@@ -649,6 +816,8 @@ def _make_kernel(
         # ---- per-epoch metric means --------------------------------------
         vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
                 lc_l, range_l, viol)
+        if w_constraint:
+            vals = vals + (c_loss,)  # unscaled, like the XLA aux entry
         if _DEBUG_LANES:
             vals = vals + (
                 jnp.sum(jnp.abs(spectra)), jnp.sum(jnp.abs(params_phys)),
@@ -657,7 +826,7 @@ def _make_kernel(
                 jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
                 jnp.sum(jnp.abs(d_w1[1])), jnp.sum(jnp.abs(d_w1[2])),
                 jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
-                lr_g, inv2, jnp.sum(jnp.abs(sched_row)),
+                lr_g, inv2_g, jnp.sum(jnp.abs(sched_row)),
             )
         mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         mrow = jnp.zeros((1, LANE), jnp.float32)
@@ -685,22 +854,49 @@ def _make_kernel(
 
 
 def make_pallas_multi_epoch_fn(
-    cfg: PiGanConfig, settings, *, interpret: bool = False
+    cfg: PiGanConfig, settings, *, lr_g: float | None = None,
+    lr_d: float | None = None, schedule_g: str | None = None,
+    schedule_d: str | None = None, horizon_epochs: int | None = None,
+    interpret: bool = False,
 ):
     """multi_epoch(state, ds, key, scales) -> (state, per-epoch metrics) —
     same contract as train.steps.make_multi_epoch_fn(step, bs,
-    with_scale=True) for configurations inside `supports_megakernel`
-    (`scales` must be all-ones: the constraint path is XLA-only).
+    with_scale=True) for configurations inside `supports_megakernel`.
+    `scales` is the per-epoch constraint annealing multiplier (streamed
+    into the kernel; only consumed when settings.constraint_w > 0).
 
-    Requires the state's optimizers to be the make_optimizers defaults
-    (cosine G / step D, lr from cfg) — Trainer guards this."""
+    lr_g/lr_d/schedule_g/schedule_d mirror Trainer.train_pigan's per-phase
+    optimizer policy overrides (an overridden optimizer's schedule spans
+    `horizon_epochs`, the phase length, and its Adam state is freshly
+    initialized Trainer-side); with no overrides the state's optimizers
+    must be the make_optimizers defaults (cosine G / step D, lr from cfg)
+    — Trainer guards this."""
     reason = supports_megakernel(cfg, settings)
     if reason is not None:
         raise ValueError(f"megakernel unsupported here: {reason}")
+    g_overridden = lr_g is not None or schedule_g is not None
+    d_overridden = lr_d is not None or schedule_d is not None
+    if (g_overridden or d_overridden) and horizon_epochs is None:
+        raise ValueError("optimizer overrides need horizon_epochs")
     S = cfg.data.spectrum_dim
     B = cfg.train.batch_size
     W = _up(S + 4)
     clip = float(cfg.train.grad_clip)
+    k_d = int(settings.d_update_every)
+
+    def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
+        # mirrors train.schedules.build_optimizer's schedule parameters
+        if kind == "cosine":
+            return cosine_schedule(lr, total_epochs, spe, 0.01)
+        if kind == "step":
+            return step_schedule(lr, total_epochs, spe, 0.5, 0.25)
+        if kind == "linear":
+            from ..train.schedules import linear_schedule
+
+            return linear_schedule(lr, total_epochs, spe)
+        if kind == "constant":
+            return optax.constant_schedule(lr)
+        raise ValueError(f"unknown schedule: {kind!r}")
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
@@ -714,8 +910,20 @@ def make_pallas_multi_epoch_fn(
                 "the XLA path — Trainer's auto mode does this itself"
             )
         T = E * spe
-        g_sched = cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
-        d_sched = step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
+        if g_overridden:
+            g_sched = _mk_sched(
+                schedule_g or "cosine",
+                cfg.train.lr_g if lr_g is None else lr_g, horizon_epochs, spe,
+            )
+        else:
+            g_sched = cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
+        if d_overridden:
+            d_sched = _mk_sched(
+                schedule_d or "step",
+                cfg.train.lr_d if lr_d is None else lr_d, horizon_epochs, spe,
+            )
+        else:
+            d_sched = step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
 
         keys = jax.random.split(key, E)
         idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
@@ -724,9 +932,20 @@ def make_pallas_multi_epoch_fn(
         met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
 
         # per-OPTIMIZER counts: G and D can disagree after mixed-phase
-        # histories (e.g. a d_update_every>1 phase on the XLA path)
+        # histories (e.g. a d_update_every>1 phase) — and with skips, D's
+        # count advances only on its actual update steps (XLA skip-branch
+        # parity: the whole d_opt is untouched on skipped steps)
+        d_count = state.d_opt[1][0].count
+        if k_d > 1:
+            d_mask = ((state.step + jnp.arange(T)) % k_d == 0).astype(jnp.float32)
+            upd_before = (jnp.cumsum(d_mask) - d_mask).astype(d_count.dtype)
+            d_inc = jnp.sum(d_mask).astype(d_count.dtype)
+        else:
+            d_mask = jnp.ones((T,), jnp.float32)
+            upd_before = jnp.arange(T, dtype=d_count.dtype)
+            d_inc = None
         tg = state.g_opt[1][0].count + jnp.arange(T)
-        td = state.d_opt[1][0].count + jnp.arange(T)
+        td = d_count + upd_before
         tgf = (tg + 1).astype(jnp.float32)
         tdf = (td + 1).astype(jnp.float32)
         sched = jnp.stack([
@@ -735,7 +954,9 @@ def make_pallas_multi_epoch_fn(
             1.0 / (1.0 - jnp.power(_B2, tgf)),
             1.0 / (1.0 - jnp.power(_B1, tdf)),
             1.0 / (1.0 - jnp.power(_B2, tdf)),
-        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 6), axis=1)
+            d_mask,
+            jnp.repeat(scales.astype(jnp.float32), spe),
+        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 8), axis=1)
         sched = sched.reshape(T, 1, LANE)  # unit middle axis: TPU block
         # shapes need the last two dims (8,128)-divisible or array-equal
 
@@ -801,8 +1022,17 @@ def make_pallas_multi_epoch_fn(
         )
         train_out = bufs[: len(train)]
         stats_out = bufs[len(train):]
-        new_state = unpack_state(state, train_out, stats_out, T, S)
-        metrics = {k: mrows[:, 0, j] for j, k in enumerate(METRIC_KEYS)}
+        new_state = unpack_state(state, train_out, stats_out, T, S, d_steps=d_inc)
+        mkeys = METRIC_KEYS + (
+            ("constraint_loss",) if settings.constraint_w else ()
+        )
+        metrics = {k: mrows[:, 0, j] for j, k in enumerate(mkeys)}
+        if _DEBUG_LANES:
+            # forensic checksum lanes (see _make_kernel's debug tuple);
+            # per-epoch means like the regular metrics
+            for off in range(16):
+                j = len(mkeys) + off
+                metrics[f"dbg_{off}"] = mrows[:, 0, j]
         return new_state, metrics
 
     return multi_epoch

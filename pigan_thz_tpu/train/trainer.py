@@ -63,9 +63,12 @@ class Trainer:
         # tensor-parallel wide kernels (parallel/sharding.py rules).
         # megakernel: "auto" uses the VMEM-resident Pallas whole-epoch
         # kernel (ops/megakernel.py, measured 2.5x the XLA step on v5e-1)
-        # whenever on TPU + the baseline trio + default step semantics;
-        # "off" forces the XLA path; "force" demands the kernel (interpreted
-        # off-TPU — tests) and raises where unsupported.
+        # whenever on TPU + the baseline trio + in-envelope settings (since
+        # round 3 that includes the program-phase knobs: constraint loss +
+        # annealing, d_update_every, cycle consistency, sigmoid squash,
+        # per-phase optimizer overrides); "off" forces the XLA path;
+        # "force" demands the kernel (interpreted off-TPU — tests) and
+        # raises where unsupported.
         self.cfg = cfg
         self.ds = ds if ds is not None else load_or_synthesize(cfg.data, csv_path)
         if self.ds.spectrum_dim != cfg.data.spectrum_dim:
@@ -90,6 +93,7 @@ class Trainer:
         # the reference only checks NaN inside one constraint loss)
         assert megakernel in ("auto", "off", "force"), megakernel
         self.megakernel = megakernel
+        self.fallback_trips = 0  # megakernel->XLA reliability-net trips
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -120,16 +124,14 @@ class Trainer:
     def _maybe_megakernel(self, settings, override_key):
         """The Pallas whole-epoch kernel when eligible, else None (XLA path).
 
-        Eligibility: megakernel enabled, single-chip (no mesh), stock
-        optimizers (LR/schedule overrides change the schedule the kernel
-        precomputes), and the (model, settings) envelope of
-        ops.megakernel.supports_megakernel."""
-        if self.megakernel == "off" or self.mesh is not None or override_key:
-            if self.megakernel == "force":
-                raise ValueError(
-                    "megakernel='force' is incompatible with mesh/optimizer "
-                    "overrides"
-                )
+        Eligibility: megakernel enabled, single-chip (no mesh), and the
+        (model, settings) envelope of ops.megakernel.supports_megakernel.
+        Per-phase optimizer overrides (lr_g/lr_d/schedule_g/schedule_d) are
+        forwarded to the kernel builder, which precomputes the overridden
+        schedules over the phase horizon (round 3)."""
+        if self.megakernel == "off" or self.mesh is not None:
+            if self.megakernel == "force" and self.mesh is not None:
+                raise ValueError("megakernel='force' is incompatible with mesh")
             return None
         from ..ops.megakernel import (
             _MAX_GRID,
@@ -147,11 +149,22 @@ class Trainer:
             if self.megakernel == "force" and reason is not None:
                 raise ValueError(f"megakernel='force' but: {reason}")
             return None
-        cache_key = ("gan-mega", settings)
+        cache_key = ("gan-mega", settings, override_key)
         if cache_key not in self._epoch_fns:
             self._log("megakernel engaged: VMEM-resident Pallas epoch kernel")
+            kwargs = {}
+            if override_key:
+                # per-phase optimizer policy: same knobs train_pigan used to
+                # rebuild the optax chain (the overridden optimizer's Adam
+                # state is re-initialized there; the kernel reads counts
+                # from the state, so the two stay in lockstep)
+                lr_g, lr_d, schedule_g, schedule_d, epochs = override_key
+                kwargs = dict(
+                    lr_g=lr_g, lr_d=lr_d, schedule_g=schedule_g,
+                    schedule_d=schedule_d, horizon_epochs=epochs,
+                )
             self._epoch_fns[cache_key] = make_pallas_multi_epoch_fn(
-                self.cfg, settings, interpret=not on_tpu
+                self.cfg, settings, interpret=not on_tpu, **kwargs
             )
         return self._epoch_fns[cache_key]
 
@@ -160,6 +173,10 @@ class Trainer:
         the in-kernel dropout masks come from the TPU hardware PRNG — same
         distribution as the XLA path, different bitstream."""
         if self.megakernel == "off" or self.mesh is not None:
+            if self.megakernel == "force" and self.mesh is not None:
+                # mirror _maybe_megakernel's 'force' semantics: never
+                # silently downgrade a forced run to the XLA path
+                raise ValueError("megakernel='force' is incompatible with mesh")
             return None
         from ..ops.megakernel import (
             _MAX_GRID,
@@ -188,27 +205,42 @@ class Trainer:
             )
         return self._epoch_fns[cache_key]
 
+    @staticmethod
+    def _state_finite(state) -> bool:
+        """One-fetch probe: True iff every float leaf of the train state is
+        finite.  Guards the megakernel fallback net against corruption that
+        leaves the METRICS finite but poisons params/moments (the metric
+        lanes and the state buffers travel separately)."""
+        total = jnp.zeros((), jnp.float32)
+        for x in jax.tree.leaves(state):
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+                total = total + jnp.sum(x).astype(jnp.float32)
+        return math.isfinite(float(total))
+
     def _chunk_with_fallback(
         self, multi_epoch, mega_active, xla_factory, state, sub, scales, what
     ):
         """Run one multi-epoch chunk; if the megakernel produced non-finite
-        metrics, restore the pre-chunk state and rerun on the XLA path
-        (Mosaic reliability net — ops/megakernel.py _MAX_GRID note).  A
-        genuinely diverging run reproduces the non-finite metrics on the
-        retry and surfaces through the normal NaN guard.
+        metrics OR a non-finite state, restore the pre-chunk state and rerun
+        on the XLA path (Mosaic reliability net — ops/megakernel.py
+        _MAX_GRID note).  A genuinely diverging run reproduces the
+        non-finite metrics on the retry and surfaces through the normal NaN
+        guard.
 
         Returns (new_state, rows, multi_epoch, mega_active)."""
         backup = jax.tree.map(jnp.copy, state) if mega_active else None
         new_state, ms = multi_epoch(state, self.ds, sub, scales)
         rows = {k: [float(x) for x in v] for k, v in ms.items()}
-        if mega_active and not all(
-            math.isfinite(x) for v in rows.values() for x in v
+        if mega_active and not (
+            all(math.isfinite(x) for v in rows.values() for x in v)
+            and self._state_finite(new_state)
         ):
             self._log(
-                f"{what} megakernel chunk produced non-finite metrics; "
-                "retrying on the XLA path (megakernel disabled for the "
-                "rest of this run)"
+                f"{what} megakernel chunk produced non-finite metrics or "
+                "state; retrying on the XLA path (megakernel disabled for "
+                "the rest of this run)"
             )
+            self.fallback_trips += 1
             multi_epoch = xla_factory()
             mega_active = False
             new_state, ms = multi_epoch(backup, self.ds, sub, scales)
@@ -622,9 +654,12 @@ class Trainer:
             violation_window, use_ema=use_ema
         ).run_comprehensive_evaluation(self.ds, key)
 
-    def save_final(self, directory: str) -> None:
+    def save_final(self, directory: str, backup_tag: str | None = None) -> None:
+        """`backup_tag` (e.g. "unified"/"emergency"/a program name) also
+        writes per-mode backup copies next to the finals — the reference's
+        versioned `*_<mode>.pth` artifacts (unified_trainer.py:653-662)."""
         assert self.pigan_state is not None
-        ckpt.save_final_trio(directory, self.pigan_state)
+        ckpt.save_final_trio(directory, self.pigan_state, backup_tag=backup_tag)
         if self.forward_state is not None:
             ckpt.save_pytree(
                 directory, ckpt.FORWARD_MODEL_PRETRAINED, self.forward_state.f.variables

@@ -71,10 +71,18 @@ def test_supports_guard(cfg):
         cfg, dataclasses.replace(s, detach_forward=False)
     ) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
-    assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0))
     assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1))
-    assert supports_megakernel(cfg, dataclasses.replace(s, d_update_every=3))
     assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99))
+    assert supports_megakernel(cfg, dataclasses.replace(s, stability_w=0.5))
+    assert supports_megakernel(cfg, dataclasses.replace(s, window_w=0.5))
+    # round-3 envelope extension: the program-phase knobs are IN
+    assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0)) is None
+    assert supports_megakernel(cfg, dataclasses.replace(s, d_update_every=3)) is None
+    assert supports_megakernel(cfg, dataclasses.replace(s, sigmoid_squash=True)) is None
+    assert supports_megakernel(
+        cfg, dataclasses.replace(s, cycle_w=1.0, detach_forward=False)
+    ) is None
+    assert supports_megakernel(cfg, dataclasses.replace(s, adv_w=0.0)) is None
     bad = cfg.replace(generator=dataclasses.replace(cfg.generator, name="residual"))
     assert "generator" in supports_megakernel(bad, s)
     # review-hardened envelope: silent-divergence / trace-crash risks
@@ -388,3 +396,314 @@ def test_megakernel_continues_from_xla_state(cfg):
             np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=1e-6, err_msg=k
         )
     assert int(st2_p.g_opt[1][0].count) == int(st2_x.g_opt[1][0].count) == 4
+
+
+@pytest.mark.slow
+def test_megakernel_debug_instrumentation(cfg, monkeypatch):
+    """The forensic dev flags stay usable: _DEBUG_LANES compiles and fills
+    checksum lanes with the documented quantities; _DEBUG_PER_STEP emits one
+    metrics row per STEP (undivided) instead of per-epoch means."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_DEBUG_LANES", True)
+    ds, state, _, pallas = _setup(cfg, 128)
+    state_b = jax.tree.map(jnp.copy, state)
+    ones = jnp.ones((1,), jnp.float32)
+    st, m = pallas(state, ds, jax.random.PRNGKey(5), ones)
+    spe = 128 // 64
+    # lane 10 = sum|spectra| per step (epoch-mean): matches the data exactly
+    spec_sum = float(jnp.sum(jnp.abs(ds.spectra)))  # every sample used once
+    np.testing.assert_allclose(float(m["dbg_0"][0]) * spe, spec_sum, rtol=1e-5)
+    # lane 23 = lr_g: first-step cosine LR is ~cfg.train.lr_g
+    assert abs(float(m["dbg_13"][0]) - 2e-4) / 2e-4 < 0.05
+    # lane 24 = inv2_g bias correction: 1/(1-b2^t), large at t=1
+    assert float(m["dbg_14"][0]) > 100.0
+    for k, v in m.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+    monkeypatch.setattr(MK, "_DEBUG_LANES", False)
+    monkeypatch.setattr(MK, "_DEBUG_PER_STEP", True)
+    small = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    pallas2 = MK.make_pallas_multi_epoch_fn(
+        small, StepSettings.from_config(cfg), interpret=True
+    )
+    st2, m2 = pallas2(state_b, ds, jax.random.PRNGKey(5), ones)
+    assert m2["d_loss"].shape[0] == spe  # one row per step
+    assert np.all(np.isfinite(np.asarray(m2["d_loss"])))
+
+
+@pytest.mark.slow
+def test_megakernel_nondefault_range_window(cfg):
+    """range_lo/range_hi other than [0,1]: the kernel's range/violation
+    reductions are masked to the 4 real parameter lanes, so a window not
+    containing 0 (where padded tanh lanes sit) stays exact vs XLA."""
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=64))
+    ds = synthetic_dataset(c.data)
+    g, d, f = build_trio(c)
+    g_tx, d_tx, _ = make_optimizers(c, 1)
+    settings = StepSettings.from_config(c, range_lo=0.1, range_hi=0.9)
+    assert supports_megakernel(c, settings) is None
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    state_b = jax.tree.map(jnp.copy, state)
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, c.train.batch_size, with_scale=True, unroll=1)
+    pallas = make_pallas_multi_epoch_fn(c, settings, interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    st_x, m_x = xla(state, ds, jax.random.PRNGKey(3), ones)
+    st_p, m_p = pallas(state_b, ds, jax.random.PRNGKey(3), ones)
+    for k in ("param_range_loss", "violation_rate", "g_loss"):
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=1e-6, err_msg=k
+        )
+
+
+def test_launch_plan_uniform(monkeypatch):
+    """Launch decomposition is UNIFORM: n identical launches, no tail.
+    Covers the round-2 corrupting shape (epochs_per_call=25 at spe=15,
+    formerly scan 3x120-grid + tail 1x15-grid)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    assert MK._launch_plan(25, 15) == (5, 5)      # the corrupting shape
+    assert MK._launch_plan(100, 15) == (5, 20)    # bench chunk
+    assert MK._launch_plan(50, 15) == (5, 10)
+    assert MK._launch_plan(23, 15) == (1, 23)     # prime E -> per-epoch
+    assert MK._launch_plan(8, 15) == (8, 1)       # single launch fits
+    assert MK._launch_plan(1, 120) == (1, 1)
+    assert MK._launch_plan(6, 1) == (6, 1)
+    for E, spe in ((25, 15), (97, 13), (40, 7), (3, 120)):
+        inner, n = MK._launch_plan(E, spe)
+        assert inner * n == E                      # exact cover
+        assert inner * spe <= MK._MAX_GRID or inner == 1
+
+
+@pytest.mark.slow
+def test_megakernel_resume_shape_parity(cfg, monkeypatch):
+    """Parity over the E=25 launch pattern that corrupted on hardware when
+    mixed-shape (interpret mode; spe=1 keeps it cheap): 25 epochs decompose
+    into 5 uniform launches of 5 and match the XLA trajectory."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 8)
+    assert MK._launch_plan(25, 1) == (5, 5)
+    ds, state, xla, pallas = _setup(cfg, 64)  # batch 64 -> spe=1
+    state_b = jax.tree.map(jnp.copy, state)
+    scales = jnp.ones((25,), jnp.float32)
+    key = jax.random.PRNGKey(17)
+    st_x, m_x = xla(state, ds, key, scales)
+    st_p, m_p = pallas(state_b, ds, key, scales)
+    for k in METRIC_KEYS:
+        # tolerances sized for a 25-EPOCH trajectory: backend fp-ordering
+        # noise compounds through the adversarial dynamics (~0.3% on
+        # adv_loss by epoch 25), and d_accuracy is discontinuous (1/64
+        # jumps on knife-edge samples).  A structural decomposition error
+        # would give O(1) divergence, which these still catch.
+        atol = 2.0 / 64 if k == "d_accuracy" else 1e-4
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=2e-2, atol=atol, err_msg=k
+        )
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count) == 25
+
+
+# ---------------------------------------------------------------------------
+# Round-3 envelope extension: program-phase knobs in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _setup2(cfg, num_samples, settings, epochs=2, key=11):
+    """Run XLA and Pallas (interpret) trajectories from identical states
+    with arbitrary StepSettings; returns (st_x, m_x, st_p, m_p)."""
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
+    ds = synthetic_dataset(c.data)
+    g, d, f = build_trio(c)
+    spe = ds.num_samples // c.train.batch_size
+    g_tx, d_tx, _ = make_optimizers(c, spe)
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    state_b = jax.tree.map(jnp.copy, state)
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, c.train.batch_size, with_scale=True, unroll=1)
+    pallas = make_pallas_multi_epoch_fn(c, settings, interpret=True)
+    scales = jnp.linspace(0.5, 2.0, epochs).astype(jnp.float32)
+    k = jax.random.PRNGKey(key)
+    st_x, m_x = xla(state, ds, k, scales)
+    st_p, m_p = pallas(state_b, ds, k, scales)
+    return st_x, m_x, st_p, m_p
+
+
+def _assert_metric_parity(m_x, m_p, rtol=3e-3, atol=1e-6, skip=("d_accuracy",)):
+    """Multi-epoch metric closeness.  rtol is sized for benign fp-ordering
+    drift compounding over 2 epochs of adversarial dynamics (measured
+    ~6e-4 by epoch 2 on the extended-loss combos, while first-STEP
+    gradient parity is ~8e-6 — _assert_grad_parity is the strict check;
+    structural adjoint errors give O(1) metric divergence)."""
+    assert set(m_p) == set(m_x)
+    for k in m_x:
+        if k in skip:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=rtol, atol=atol, err_msg=k
+        )
+
+
+def _assert_grad_parity(cfg, settings, tol=1e-4, num_samples=64):
+    """STRICT first-step check: implied gradients (first Adam mu) of every
+    non-gauge tensor agree to `tol` at tensor-norm scale."""
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
+    ds = synthetic_dataset(c.data)
+    g, d, f = build_trio(c)
+    spe = ds.num_samples // c.train.batch_size
+    g_tx, d_tx, _ = make_optimizers(c, spe)
+    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    state_b = jax.tree.map(jnp.copy, state)
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, c.train.batch_size, with_scale=True, unroll=1)
+    pallas = make_pallas_multi_epoch_fn(c, settings, interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    st_x, _ = xla(state, ds, jax.random.PRNGKey(3), ones)
+    st_p, _ = pallas(state_b, ds, jax.random.PRNGKey(3), ones)
+    for net in ("g", "d"):
+        mx = jax.tree_util.tree_flatten_with_path(
+            getattr(st_x, f"{net}_opt")[1][0].mu
+        )[0]
+        mp = jax.tree.leaves(getattr(st_p, f"{net}_opt")[1][0].mu)
+        for (path, x), y in zip(mx, mp):
+            if net == "g" and _leafname(path) in _GAUGE:
+                continue
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            nrm = max(np.linalg.norm(x), 1e-12)
+            assert np.linalg.norm(x - y) / nrm < tol, f"{net}:{_leafname(path)}"
+
+
+def _assert_param_parity(st_x, st_p, atol=3e-3):
+    # atol covers Adam's ±lr-scale amplification of backend fp sign flips
+    # on knife-edge branch points (relu masks, |.| signs) over a 2-epoch
+    # run; _assert_grad_parity is the strict (first-step, 1e-4 norm-scale)
+    # correctness check and structural errors fail BOTH at O(1).
+    for net in ("g", "d"):
+        for (path, x), y in zip(
+            jax.tree_util.tree_flatten_with_path(getattr(st_x, net).params)[0],
+            jax.tree.leaves(getattr(st_p, net).params),
+        ):
+            if net == "g" and _leafname(path) in _GAUGE:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=0, atol=atol,
+                err_msg=f"{net}:{_leafname(path)}",
+            )
+
+
+@pytest.mark.slow
+def test_megakernel_d_update_every(cfg):
+    """d_update_every=2: D's optimizer steps/schedule/bias corrections only
+    advance on update steps; skipped steps leave D untouched (XLA
+    skip-branch parity)."""
+    s = StepSettings.from_config(cfg, d_update_every=2)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)  # spe=2, T=4: updates at 0,2
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count) == 2
+    assert int(st_p.d_opt[1][1].count) == 2
+    assert int(st_p.g_opt[1][0].count) == 4
+
+
+@pytest.mark.slow
+def test_megakernel_constraint_annealed(cfg):
+    """constraint_w with a non-trivial annealing scale stream: the enhanced
+    constraint loss (hard/boundary/smooth/validity) and its hand adjoint
+    match XLA, including the constraint_loss metric lane."""
+    s = StepSettings.from_config(cfg, constraint_w=10.0, detach_forward=False)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    assert "constraint_loss" in m_p
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+
+
+
+@pytest.mark.slow
+def test_megakernel_sigmoid_squash(cfg):
+    """sigmoid_squash (constraint_optimizer.py:246 semantics): sigmoid
+    output + its derivative, padded-lane masking keeps range/violation
+    exact (sigmoid pads are 0.5, not 0)."""
+    s = StepSettings.from_config(cfg, sigmoid_squash=True)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("detach", [True, False])
+def test_megakernel_cycle_consistency(cfg, detach):
+    """cycle_w: the second G pass (BN batch stats of the cycled batch) and
+    its full backward — both-args gradient, weight-grad accumulation
+    across passes, and the recon input path when gradients flow through F."""
+    s = StepSettings.from_config(cfg, cycle_w=1.0, detach_forward=detach)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+
+
+
+@pytest.mark.slow
+def test_megakernel_constraint_finetune_settings(cfg):
+    """The constraint_finetune phase settings (sigmoid + constraint 50 +
+    D every 3) run in one kernel — the reference's constraint_optimizer
+    semantics on the fast path."""
+    s = StepSettings.from_config(
+        cfg, adv_w=1.0, recon_w=20.0, physics_spec_w=0.0, constraint_w=50.0,
+        range_w=10.0, sigmoid_squash=True, d_update_every=3,
+        detach_forward=False,
+    )
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p, rtol=1e-3)
+    _assert_param_parity(st_x, st_p)
+    assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count) == 2
+    _assert_grad_parity(cfg, s)
+
+
+
+@pytest.mark.slow
+def test_megakernel_emergency_settings(cfg):
+    """The emergency_balanced_gan phase settings (adv 0.1, cycle, D every
+    2, through-F gradients) — the emergency pipeline's GAN phases fit the
+    kernel envelope."""
+    s = StepSettings.from_config(
+        cfg, adv_w=0.1, recon_w=10.0, physics_spec_w=2.0, cycle_w=1.0,
+        d_update_every=2, detach_forward=False,
+    )
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+
+
+
+@pytest.mark.slow
+def test_megakernel_optimizer_override_parity(cfg):
+    """Per-phase lr/schedule override (emergency lr_d=5e-5 pattern):
+    Trainer(megakernel='force') with overrides matches the XLA trainer
+    with identical overrides."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    ds = synth(c.data)
+    kw = dict(epochs=2, log_every=10**9, lr_d=5e-5, lr_g=1e-4,
+              schedule_g="linear")
+    t_p = Trainer(c, ds=ds, epochs_per_call=2, megakernel="force")
+    t_p.init_pigan()
+    t_p.train_pigan(**kw)
+    assert any(k[0] == "gan-mega" and k[2] is not None for k in t_p._epoch_fns)
+    t_x = Trainer(c, ds=ds, epochs_per_call=2, megakernel="off")
+    t_x.init_pigan()
+    t_x.train_pigan(**kw)
+    for k, v in t_x.train_history.items():
+        if "accuracy" in k:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(t_p.train_history[k]), np.asarray(v),
+            rtol=5e-4, atol=1e-6, err_msg=k,
+        )
