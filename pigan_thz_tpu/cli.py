@@ -54,12 +54,39 @@ def _make_cfg(args) -> PiGanConfig:
     return cfg.replace(workdir=args.workdir)
 
 
-def _make_trainer(cfg: PiGanConfig, args, name: str):
+def _make_trainer(cfg: PiGanConfig, args, name: str, ds=None):
     from .train.trainer import Trainer
     from .utils.logging import RunLogger
 
     logger = RunLogger(cfg.workdir, name=name)
-    return Trainer(cfg, logger=logger, csv_path=args.csv), logger
+    return Trainer(cfg, ds=ds, logger=logger, csv_path=args.csv), logger
+
+
+def _split_holdout(cfg: PiGanConfig, csv_path, frac: float, seed: int):
+    """Shuffled train/held-out split of the configured dataset — the honest
+    protocol of examples/holdout_eval.py (the reference's overlay declares
+    validation_split=0.2, training_optimization.py:103-111, but always
+    evaluates on its training CSV).  The SAME (frac, seed) pair at train
+    and evaluate time reproduces the identical split."""
+    import jax
+
+    from .data import load_or_synthesize, split_dataset
+
+    full = load_or_synthesize(cfg.data, csv_path)
+    return split_dataset(full, val_frac=frac, key=jax.random.PRNGKey(seed))
+
+
+def _holdout_row(ev: dict) -> dict:
+    return {
+        "param_r2": round(ev["pigan_evaluation"]["parameter_prediction"]["r2"], 4),
+        "spectrum_r2": round(
+            ev["forward_network_evaluation"]["spectrum_prediction"]["r2"], 4),
+        "metrics_r2": round(
+            ev["forward_network_evaluation"]["metrics_prediction"]["r2"], 4),
+        "cycle": round(ev["model_validation"]["cycle_consistency_error_mean"], 6),
+        "violation_rate": round(
+            ev["structural_prediction_evaluation"]["param_range_violation_rate"], 4),
+    }
 
 
 def cmd_generate_data(args) -> int:
@@ -104,7 +131,13 @@ def cmd_train(args) -> int:
         horizon_overrides.append(f"train.fwd_pretrain_epochs={args.forward_epochs}")
     if horizon_overrides:
         cfg = apply_overrides(cfg, horizon_overrides)
-    trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}")
+    holdout_ds = None
+    train_ds = None
+    if args.holdout:
+        train_ds, holdout_ds = _split_holdout(
+            cfg, args.csv, args.holdout, args.holdout_seed
+        )
+    trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}", ds=train_ds)
     from .train.steps import StepSettings
 
     settings = StepSettings.from_config(
@@ -139,8 +172,25 @@ def cmd_train(args) -> int:
         trainer.init_pigan()
         trainer.train_pigan(epochs=args.epochs, settings=settings,
                             checkpoint_manager=mgr)
-        trainer.save_final(out)
+        trainer.save_final(out, backup_tag=args.backup_tag)
         logger.info(f"saved final models under {out}")
+        if holdout_ds is not None:
+            ev = trainer.evaluator()
+            summary = {
+                "holdout_frac": args.holdout,
+                "holdout_seed": args.holdout_seed,
+                "train": _holdout_row(
+                    ev.run_comprehensive_evaluation(trainer.ds)
+                ),
+                "heldout": _holdout_row(
+                    ev.run_comprehensive_evaluation(holdout_ds)
+                ),
+            }
+            logger.info("held-out evaluation: " + json.dumps(summary))
+            with open(os.path.join(logger.run_dir, "holdout_eval.json"),
+                      "w") as fh:
+                json.dump(summary, fh, indent=2)
+            print(json.dumps(summary, indent=2))
     if mgr is not None:
         mgr.close()
     if args.plot:
@@ -188,7 +238,9 @@ def cmd_program(args) -> int:
     result = P.run_program(trainer, phases)
     logger.info(f"phases run: {result.phases_run}; skipped: {result.phases_skipped}")
     out = args.out or os.path.join(cfg.workdir, "saved_models")
-    trainer.save_final(out)
+    # per-mode backup copies next to the finals (the reference's versioned
+    # *_unified/_emergency.pth artifacts)
+    trainer.save_final(out, backup_tag=args.name)
     with open(os.path.join(logger.run_dir, "final_eval.json"), "w") as fh:
         json.dump(result.final_eval, fh, indent=2)
     logger.close()
@@ -207,7 +259,17 @@ def cmd_evaluate(args) -> int:
     )
     from .train.trainer import Trainer
 
-    trainer = Trainer(cfg, csv_path=args.csv)
+    holdout = getattr(args, "holdout", 0.0)
+    if holdout:
+        # honest protocol: evaluate on cells the model never trained on
+        # (same frac+seed as `train --holdout` reproduces the exact split)
+        train_split, val_split = _split_holdout(
+            cfg, args.csv, holdout, args.holdout_seed
+        )
+        trainer = Trainer(cfg, ds=val_split, csv_path=args.csv)
+    else:
+        train_split = None
+        trainer = Trainer(cfg, csv_path=args.csv)
     trainer.load_final(args.models)
     window = (-1.0, 1.0) if args.violation_window == "sane" else (0.0, 1.0)
     use_ema = getattr(args, "use_ema", False)
@@ -258,6 +320,18 @@ def cmd_evaluate(args) -> int:
         oracle=oracle,
     )
     print(report)
+    if holdout:
+        comparison = {
+            "holdout_frac": holdout,
+            "holdout_seed": args.holdout_seed,
+            "heldout": _holdout_row(results),
+            "train": _holdout_row(
+                ev.run_comprehensive_evaluation(train_split)
+            ),
+        }
+        results["holdout_comparison"] = comparison
+        print("\nholdout comparison (train split vs held-out split):")
+        print(json.dumps(comparison, indent=2))
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(results, fh, indent=2)
@@ -557,6 +631,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="let physics-loss gradients flow through frozen F "
                         "(recommended; default reproduces the reference's "
                         "no_grad behaviour)")
+    g.add_argument("--holdout", type=float, default=0.0, metavar="FRAC",
+                   help="train on a (1-FRAC) split and report train vs "
+                        "held-out metrics (the honest protocol of "
+                        "examples/holdout_eval.py; the reference's "
+                        "validation_split knob, made real)")
+    g.add_argument("--holdout-seed", type=int, default=9,
+                   help="split shuffle seed; reuse at evaluate time to "
+                        "reproduce the identical split")
+    g.add_argument("--backup-tag", default=None, metavar="TAG",
+                   help="also write versioned backup artifacts "
+                        "generator_<TAG>/... next to the finals (reference "
+                        "*_unified.pth parity)")
     g.add_argument("--out", default=None)
     g.add_argument("--plot", action="store_true")
     g.add_argument("--checkpoint-dir", default=None,
@@ -583,6 +669,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["parity", "sane"],
                    help="parity: reference's [0,1] window on tanh outputs; "
                         "sane: [-1,1] convention-consistent window")
+    g.add_argument("--holdout", type=float, default=0.0, metavar="FRAC",
+                   help="evaluate on the held-out FRAC split (same "
+                        "frac+seed as `train --holdout` reproduces that "
+                        "run's exact split); the main report then scores "
+                        "UNSEEN cells, with a train-vs-heldout comparison")
+    g.add_argument("--holdout-seed", type=int, default=9)
     g.add_argument("--json", default=None, help="also dump results JSON")
     g.add_argument("--plot", action="store_true")
     g.set_defaults(fn=cmd_evaluate)

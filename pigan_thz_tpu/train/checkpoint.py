@@ -57,11 +57,16 @@ def exists(directory: str, name: str) -> bool:
     return os.path.isdir(_path(directory, name))
 
 
-def save_final_trio(directory: str, state) -> None:
+def save_final_trio(directory: str, state, backup_tag: str | None = None) -> None:
     """Write the three final model artifacts under their contract names
     (train_pigan.py:299-304), plus the EMA generator when the state carries
     one (saved as full generator variables: EMA params + live aux
-    collections, loadable anywhere a generator checkpoint is)."""
+    collections, loadable anywhere a generator checkpoint is).
+
+    `backup_tag` additionally writes per-mode backup copies — the
+    reference's `*_unified/_optimized/_emergency.pth` versioned artifacts
+    (unified_trainer.py:653-662, optimized_trainer.py:500-506) as
+    `generator_<tag>` etc. alongside the finals."""
     save_pytree(directory, GENERATOR_FINAL, state.g.variables)
     save_pytree(directory, DISCRIMINATOR_FINAL, state.d.variables)
     save_pytree(directory, FORWARD_MODEL_FINAL, state.f.variables)
@@ -69,6 +74,10 @@ def save_final_trio(directory: str, state) -> None:
         save_pytree(
             directory, GENERATOR_EMA, {"params": state.g_ema, **state.g.extra}
         )
+    if backup_tag:
+        save_pytree(directory, f"generator_{backup_tag}", state.g.variables)
+        save_pytree(directory, f"discriminator_{backup_tag}", state.d.variables)
+        save_pytree(directory, f"forward_model_{backup_tag}", state.f.variables)
 
 
 def load_final_trio(directory: str, g_template, d_template, f_template):

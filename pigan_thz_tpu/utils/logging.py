@@ -22,8 +22,12 @@ class RunLogger:
         workdir: str,
         name: str = "pigan",
         use_tensorboard: bool = False,
+        use_wandb: bool = False,
         stdout: bool = True,
     ):
+        # use_wandb mirrors the reference monitoring config's (off-by-
+        # default) wandb toggle (training_optimization.py:220); gated —
+        # silently disabled when the wandb package is absent.
         ts = time.strftime("%Y%m%d-%H%M%S")
         self.run_dir = os.path.join(workdir, f"{name}_{ts}")
         os.makedirs(self.run_dir, exist_ok=True)
@@ -48,6 +52,17 @@ class RunLogger:
                 self._tb = SummaryWriter(log_dir=os.path.join(self.run_dir, "tb"))
             except Exception:  # tensorboard optional
                 self._tb = None
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb.init(
+                    project=name, dir=self.run_dir, reinit=True
+                )
+            except Exception:  # wandb optional (not in the base image)
+                self._logger.warning("wandb requested but unavailable; skipping")
+                self._wandb = None
 
     def info(self, msg: str) -> None:
         self._logger.info(msg)
@@ -58,6 +73,8 @@ class RunLogger:
         )
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
+        if self._wandb is not None:
+            self._wandb.log({tag: float(value)}, step=int(step))
 
     def add_scalars(self, scalars: Mapping[str, float], step: int, prefix: str = "") -> None:
         for k, v in scalars.items():
@@ -68,6 +85,8 @@ class RunLogger:
         self._scalars.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
         for h in list(self._logger.handlers):
             h.close()
             self._logger.removeHandler(h)

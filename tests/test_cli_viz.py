@@ -135,7 +135,7 @@ def test_cli_epochs_sets_schedule_horizon(monkeypatch):
 
     captured = {}
 
-    def fake_make_trainer(cfg, args, name):
+    def fake_make_trainer(cfg, args, name, ds=None):
         captured["cfg"] = cfg
         raise RuntimeError("stop-after-config")
 
@@ -165,3 +165,43 @@ def test_cli_profile_writes_trace(tmp_path, capsys):
     # a profile plugin directory with at least one capture
     profile_dir = tmp_path / "trace" / "plugins" / "profile"
     assert profile_dir.exists() and any(profile_dir.iterdir())
+
+
+@pytest.mark.slow
+def test_cli_holdout_protocol(tmp_path):
+    """`train --holdout` trains on the (1-frac) split and reports both
+    splits; `evaluate --holdout` with the same frac+seed scores the SAME
+    held-out cells (round-2 VERDICT #5: the honest protocol in the CLI)."""
+    wd = str(tmp_path)
+    runs = os.path.join(wd, "runs")
+    common = ["--set", "data.num_samples=128", "--set", "train.batch_size=32"]
+    assert main([
+        "train", "--mode", "full", "--epochs", "2", "--forward-epochs", "2",
+        "--fixed-physics", "--workdir", runs,
+        "--holdout", "0.25", "--holdout-seed", "4", *common,
+    ]) == 0
+    run_dirs = [d for d in os.listdir(runs) if d.startswith("train_full")]
+    hpath = None
+    for d in run_dirs:
+        cand = os.path.join(runs, d, "holdout_eval.json")
+        if os.path.exists(cand):
+            hpath = cand
+    assert hpath is not None
+    with open(hpath) as fh:
+        summary = json.load(fh)
+    assert set(summary) >= {"train", "heldout"}
+    assert "param_r2" in summary["heldout"]
+
+    models = os.path.join(runs, "saved_models")
+    ev_json = os.path.join(wd, "eval_holdout.json")
+    assert main([
+        "evaluate", "--models", models, "--json", ev_json,
+        "--holdout", "0.25", "--holdout-seed", "4", *common,
+    ]) == 0
+    with open(ev_json) as fh:
+        results = json.load(fh)
+    comp = results["holdout_comparison"]
+    # identical split at train and evaluate time: same held-out metrics
+    assert comp["heldout"]["param_r2"] == pytest.approx(
+        summary["heldout"]["param_r2"], abs=1e-6
+    )
