@@ -5,7 +5,7 @@
 test:
 	python -m pytest tests/ -q
 
-# unit tier: ~2.5 min (end-to-end training tests are marked slow)
+# unit tier: ~5-6 min (end-to-end training tests are marked slow)
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
