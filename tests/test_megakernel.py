@@ -707,3 +707,42 @@ def test_megakernel_optimizer_override_parity(cfg):
             np.asarray(t_p.train_history[k]), np.asarray(v),
             rtol=5e-4, atol=1e-6, err_msg=k,
         )
+
+
+@pytest.mark.slow
+def test_program_phases_engage_megakernel(cfg):
+    """The canonical reference programs (standard -> constraint ->
+    emergency) run END TO END with megakernel='force' (interpret mode):
+    every GAN phase's settings now fit the kernel envelope, including the
+    per-phase lr_d override of emergency_balanced_gan, with zero
+    reliability-net trips."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+    from pigan_thz_tpu.train.programs import (
+        constraint_phase,
+        emergency_phases,
+        run_program,
+        standard_phases,
+    )
+
+    c = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=128),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    ds = synth(c.data)
+    t = Trainer(c, ds=ds, epochs_per_call=2, megakernel="force")
+    phases = [
+        *standard_phases(forward_epochs=2, gan_epochs=2),
+        constraint_phase(2),
+        *emergency_phases(forward_epochs=2, warmup_epochs=2, gan_epochs=2),
+    ]
+    result = run_program(t, phases, log_every=10**9)
+    assert "gan_standard" in result.phases_run
+    gan_keys = [k for k in t._epoch_fns if k[0] == "gan-mega"]
+    # standard + (gated) constraint/emergency GAN phases each compiled a
+    # distinct megakernel; at minimum the ungated standard phase did
+    assert len(gan_keys) >= 1
+    assert t.fallback_trips == 0
+    assert all(
+        np.isfinite(np.asarray(v)).all() for v in t.train_history.values()
+    )
