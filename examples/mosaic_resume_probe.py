@@ -41,6 +41,18 @@ def _jax_setup(cpu: bool = False):
     return jax
 
 
+def _save(mgr, step, t):
+    """Idempotent save: a killed-after-save attempt leaves the step behind;
+    the retry must not crash on it."""
+    try:
+        mgr.save(step, t.pigan_state, history=t.train_history, config=t.cfg)
+    except Exception as e:  # orbax StepAlreadyExistsError
+        if "already exists" not in str(e):
+            raise
+        print(f"checkpoint step {step} already exists (prior attempt); "
+              "continuing", file=sys.stderr)
+
+
 def _make_trainer(args):
     import dataclasses as dc
 
@@ -65,6 +77,16 @@ def run_phase(args) -> int:
     )
     out: dict = {"phase": args.phase, "backend": jax.default_backend()}
     if args.phase == "train":
+        existing = mgr.latest_epoch()
+        if existing:
+            # a prior attempt trained+saved before being killed (tunnel
+            # stall AFTER the save) — idempotent skip, evidence comes
+            # from the resume cycles
+            print(json.dumps({**out, "ok": True, "fallback_trips": 0,
+                              "mega_engaged": None, "skipped": True,
+                              "epochs_total": existing}))
+            mgr.close()
+            return 0
         # forward pretrain under "auto": the GAN kernel is the probe's
         # subject, and forced forward-megakernel is invalid off-TPU
         # (in-kernel dropout needs the hardware PRNG)
@@ -78,7 +100,7 @@ def run_phase(args) -> int:
                       checkpoint_manager=None, seed=0)
         start = args.chunk_epochs
         # explicit save (maybe_save's interval logic skips short phases)
-        mgr.save(start, t.pigan_state, history=t.train_history, config=t.cfg)
+        _save(mgr, start, t)
     else:  # resume: fresh process restores and continues — THE scenario
         mk, t.megakernel = t.megakernel, (
             "auto" if args.megakernel == "force" else args.megakernel
@@ -92,8 +114,7 @@ def run_phase(args) -> int:
         t.train_pigan(epochs=args.chunk_epochs, log_every=10**9,
                       checkpoint_manager=None, seed=start)
         # save under the TOTAL epoch counter so the next resume advances
-        mgr.save(start + args.chunk_epochs, t.pigan_state,
-                 history=t.train_history, config=t.cfg)
+        _save(mgr, start + args.chunk_epochs, t)
         start = start + args.chunk_epochs
     mega_engaged = any(k[0] == "gan-mega" for k in t._epoch_fns)
     hist = t.train_history.get("pigan/g_loss", [])
@@ -133,7 +154,7 @@ def supervise(args) -> int:
             "--megakernel", args.megakernel,
         ] + (["--evaluate"] if last else []) + (["--cpu"] if args.cpu else [])
         line = None
-        for attempt in range(3):
+        for attempt in range(args.attempts):
             proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                     stderr=subprocess.STDOUT, text=True)
             try:
@@ -176,7 +197,12 @@ def main() -> int:
                     help="resume cycles after the initial train phase")
     ap.add_argument("--total-epochs", type=int, default=3000,
                     help="LR-schedule horizon (train.num_epochs)")
-    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="per-attempt kill timeout; once compiles are "
+                         "cached a healthy cycle takes ~90 s, so a tight "
+                         "timeout + many attempts beats waiting out "
+                         "tunnel stalls")
+    ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--num-samples", type=int, default=1000)
     ap.add_argument("--megakernel", default="auto",
