@@ -14,6 +14,7 @@ exactly the split XLA wants.
 from __future__ import annotations
 
 import math
+import sys
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -94,6 +95,7 @@ class Trainer:
         assert megakernel in ("auto", "off", "force"), megakernel
         self.megakernel = megakernel
         self.fallback_trips = 0  # megakernel->XLA reliability-net trips
+        self.fallback_events: List[str] = []  # one "<what>@epoch<N>" per trip
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -151,7 +153,7 @@ class Trainer:
             return None
         cache_key = ("gan-mega", settings, override_key)
         if cache_key not in self._epoch_fns:
-            self._log("megakernel engaged: VMEM-resident Pallas epoch kernel")
+            self._log_always("megakernel engaged: VMEM-resident Pallas epoch kernel")
             kwargs = {}
             if override_key:
                 # per-phase optimizer policy: same knobs train_pigan used to
@@ -197,7 +199,7 @@ class Trainer:
             return None
         cache_key = ("fwd-mega", settings, lr, epochs if lr is not None else None)
         if cache_key not in self._epoch_fns:
-            self._log("megakernel engaged for forward pretrain")
+            self._log_always("megakernel engaged for forward pretrain")
             self._epoch_fns[cache_key] = make_pallas_forward_epoch_fn(
                 self.cfg, settings,
                 lr=lr, total_epochs=epochs if lr is not None else None,
@@ -218,7 +220,8 @@ class Trainer:
         return math.isfinite(float(total))
 
     def _chunk_with_fallback(
-        self, multi_epoch, mega_active, xla_factory, state, sub, scales, what
+        self, multi_epoch, mega_active, xla_factory, state, sub, scales, what,
+        at: int = -1,
     ):
         """Run one multi-epoch chunk; if the megakernel produced non-finite
         metrics OR a non-finite state, restore the pre-chunk state and rerun
@@ -235,12 +238,13 @@ class Trainer:
             all(math.isfinite(x) for v in rows.values() for x in v)
             and self._state_finite(new_state)
         ):
-            self._log(
-                f"{what} megakernel chunk produced non-finite metrics or "
-                "state; retrying on the XLA path (megakernel disabled for "
-                "the rest of this run)"
+            self._log_always(
+                f"{what} megakernel chunk at epoch {at} produced non-finite "
+                "metrics or state; retrying on the XLA path (megakernel "
+                "disabled for the rest of this run)"
             )
             self.fallback_trips += 1
+            self.fallback_events.append(f"{what}@epoch{at}")
             multi_epoch = xla_factory()
             mega_active = False
             new_state, ms = multi_epoch(backup, self.ds, sub, scales)
@@ -258,6 +262,14 @@ class Trainer:
     def _log(self, msg: str) -> None:
         if self.logger:
             self.logger.info(msg)
+
+    def _log_always(self, msg: str) -> None:
+        """Reliability events (megakernel engagement / fallback trips) must
+        never be silent: loggerless Trainers report them to stderr."""
+        if self.logger:
+            self.logger.info(msg)
+        else:
+            print(f"[trainer] {msg}", file=sys.stderr)
 
     def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
         for k, v in metrics.items():
@@ -337,7 +349,7 @@ class Trainer:
                 self._chunk_with_fallback(
                     multi_epoch, mega_active, _xla_epoch_fn,
                     self.forward_state, sub, jnp.ones((chunk,), jnp.float32),
-                    "forward",
+                    "forward", at=epoch,
                 )
             )
             improved_in_chunk = False
@@ -505,7 +517,7 @@ class Trainer:
             self.pigan_state, rows, multi_epoch, mega_active = (
                 self._chunk_with_fallback(
                     multi_epoch, mega_active, _xla_epoch_fn,
-                    self.pigan_state, sub, scales, "pigan",
+                    self.pigan_state, sub, scales, "pigan", at=epoch,
                 )
             )
             chunk_has_best = False

@@ -213,7 +213,7 @@ def test_trainer_engages_megakernel(cfg):
     t = Trainer(cfg, ds=ds, epochs_per_call=2, megakernel="force")
     t.init_pigan()
     t.train_pigan(epochs=2, log_every=10**9)
-    assert ("gan-mega", StepSettings.from_config(cfg)) in t._epoch_fns
+    assert ("gan-mega", StepSettings.from_config(cfg), None) in t._epoch_fns
     assert np.isfinite(t.train_history["pigan/g_loss"][-1])
     assert len(t.train_history["pigan/d_loss"]) == 2
 
@@ -329,11 +329,13 @@ def test_megakernel_bf16_mode(cfg):
 
 
 @pytest.mark.slow
-def test_trainer_falls_back_on_nonfinite_megakernel(cfg, monkeypatch):
+def test_trainer_falls_back_on_nonfinite_megakernel(cfg, monkeypatch, capsys):
     """Reliability net: if a megakernel chunk returns non-finite metrics
     (observed Mosaic operand-corruption mode, ops/megakernel.py _MAX_GRID
     note), the Trainer restores the pre-chunk state, reruns the chunk on
-    the XLA path, and keeps training — history stays finite throughout."""
+    the XLA path, and keeps training — history stays finite throughout.
+    The trip is recorded (fallback_events with the chunk's start epoch) and
+    reported on stderr even for loggerless Trainers."""
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.train import Trainer
 
@@ -354,6 +356,9 @@ def test_trainer_falls_back_on_nonfinite_megakernel(cfg, monkeypatch):
     t.init_pigan()
     t.train_pigan(epochs=2, log_every=10**9)
     assert calls["n"] == 1  # poisoned chunk ran once, then XLA took over
+    assert t.fallback_trips == 1
+    assert t.fallback_events == ["pigan@epoch0"]
+    assert "epoch 0" in capsys.readouterr().err  # loggerless -> stderr
     assert all(np.isfinite(v).all() for v in
                (np.asarray(x) for x in t.train_history.values()))
     assert all(np.isfinite(x).all() for x in jax.tree.leaves(t.pigan_state.g.params))
