@@ -121,6 +121,7 @@ def run_phase(args) -> int:
     out.update(
         ok=(t.fallback_trips == 0 and mega_engaged),
         fallback_trips=t.fallback_trips,
+        fallback_events=t.fallback_events,
         mega_engaged=mega_engaged,
         epochs_total=start,
         g_loss_last=(hist[-1] if hist else None),
@@ -166,7 +167,12 @@ def supervise(args) -> int:
                       file=sys.stderr)
                 continue
             lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-            if proc.returncode == 0 and lines:
+            if lines:
+                # the inner prints its JSON only at completion — accept it
+                # even with rc!=0 (ok:false), so a completed-but-tripped
+                # attempt's trips are COUNTED rather than masked by the
+                # idempotent-skip retry (round-3 forensics: the forward
+                # trip hid behind exactly this)
                 line = json.loads(lines[-1])
                 break
             print(f"[{phase}] attempt {attempt + 1} rc={proc.returncode}:\n"

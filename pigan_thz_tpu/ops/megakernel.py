@@ -332,6 +332,19 @@ def _make_adam(b1: float, b2: float, clip: float):
 # between launches (~0.3 us/step amortized at spe=15) and, as a bonus, ONE
 # compiled kernel serves every chunk size instead of one per size.
 _MAX_GRID = 120
+# The FORWARD kernel has a tighter bound, and on the TOTAL grid steps per
+# jitted program, not per launch: round-3 hardware bisection (v5e, fresh
+# init state, deterministic) found every program with >= 120 total grid
+# steps across its launches NaNs from epoch 0 — single launches of 120, two
+# launches of 75, and scans of 15s alike — while <= 105 total is clean
+# (75+30 etc.), interpreter mode exact, dropout/aliasing irrelevant.
+# Multi-launch decomposition does NOT help this kernel (2x75 fails where
+# 1x75 works), so the only safe driver is one launch per jit call with
+# E*spe <= _FWD_MAX_TOTAL, chained from Python (Trainer.pretrain_forward
+# clamps its per-call chunk accordingly; chained calls were soaked 100+
+# epochs clean).  The GAN kernel tolerates 5x75=375 per program (3000-epoch
+# hardware soaks) — the thresholds are genuinely per-kernel.
+_FWD_MAX_TOTAL = 105
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
@@ -1350,11 +1363,12 @@ def make_pallas_forward_epoch_fn(
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
-        if spe > _MAX_GRID:
+        if not interpret and E * spe > _FWD_MAX_TOTAL:
             raise ValueError(
-                f"steps_per_epoch={spe} exceeds the per-launch grid cap "
-                f"{_MAX_GRID}; use the XLA path — Trainer's auto mode does "
-                "this itself"
+                f"E*steps_per_epoch={E * spe} exceeds the forward kernel's "
+                f"per-program grid bound {_FWD_MAX_TOTAL} (Mosaic corruption "
+                "above it — see _FWD_MAX_TOTAL note); chain smaller calls "
+                "from Python — Trainer.pretrain_forward does this itself"
             )
         T = E * spe
         sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)

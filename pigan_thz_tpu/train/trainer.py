@@ -181,14 +181,16 @@ class Trainer:
                 raise ValueError("megakernel='force' is incompatible with mesh")
             return None
         from ..ops.megakernel import (
-            _MAX_GRID,
+            _FWD_MAX_TOTAL,
             make_pallas_forward_epoch_fn,
             supports_forward_megakernel,
         )
 
         reason = supports_forward_megakernel(self.cfg)
-        if reason is None and self.steps_per_epoch > _MAX_GRID:
-            reason = f"steps_per_epoch {self.steps_per_epoch} > grid cap"
+        if reason is None and self.steps_per_epoch > _FWD_MAX_TOTAL:
+            # the forward kernel's per-PROGRAM grid bound (tighter than the
+            # GAN kernel's per-launch cap; see megakernel._FWD_MAX_TOTAL)
+            reason = f"steps_per_epoch {self.steps_per_epoch} > grid bound"
         on_tpu = jax.default_backend() == "tpu"
         if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
             # interpret mode has no TPU PRNG for the dropout masks
@@ -344,6 +346,15 @@ class Trainer:
         stop = False
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
+            if mega_active:
+                # forward kernel: one launch per jitted program, total grid
+                # <= _FWD_MAX_TOTAL (Mosaic corrupts above it; chained
+                # separate calls are proven clean — megakernel.py note)
+                from ..ops.megakernel import _FWD_MAX_TOTAL
+
+                chunk = min(
+                    chunk, max(1, _FWD_MAX_TOTAL // self.steps_per_epoch)
+                )
             key, sub = jax.random.split(key)
             self.forward_state, rows, multi_epoch, mega_active = (
                 self._chunk_with_fallback(
