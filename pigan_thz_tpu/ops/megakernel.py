@@ -332,6 +332,14 @@ def _make_adam(b1: float, b2: float, clip: float):
 # between launches (~0.3 us/step amortized at spe=15) and, as a bonus, ONE
 # compiled kernel serves every chunk size instead of one per size.
 _MAX_GRID = 120
+# Multi-launch programs are tighter still: a lax.scan of 120-grid GAN
+# launches corrupts (E=24 -> 3x120 NaN from a restored state, round-3
+# hardware probe) even though a SINGLE 120-grid launch is clean and
+# XLA-matching.  Scanned launches of 75 are proven clean at scale (5x75
+# per program through 3,000-epoch soaks; 20x75 in bench chunks), so when a
+# call needs more than one launch, each launch is capped at
+# _MAX_GRID_MULTI grid steps.
+_MAX_GRID_MULTI = 75
 # The FORWARD kernel has a tighter bound, and on the TOTAL grid steps per
 # jitted program, not per launch: round-3 hardware bisection (v5e, fresh
 # init state, deterministic) found every program with >= 120 total grid
@@ -352,9 +360,15 @@ _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
 
 def _launch_plan(E: int, spe: int) -> tuple[int, int]:
     """(inner, n): E epochs decompose into n IDENTICAL launches of `inner`
-    epochs each — inner is the largest divisor of E with inner*spe <=
-    _MAX_GRID (worst case 1: n = E single-epoch launches)."""
-    max_inner = max(1, _MAX_GRID // spe)
+    epochs each.  A single launch may use up to _MAX_GRID grid steps
+    (proven clean); once more than one launch is needed, each is capped at
+    the tighter _MAX_GRID_MULTI (scanned 120-grid launches corrupt where
+    scanned 75s are clean — see the cap notes above).  inner is the
+    largest divisor of E fitting the applicable cap (worst case 1: n = E
+    single-epoch launches)."""
+    if E * spe <= _MAX_GRID:
+        return E, 1
+    max_inner = max(1, min(_MAX_GRID, _MAX_GRID_MULTI) // spe)
     for d in range(min(E, max_inner), 0, -1):
         if E % d == 0:
             return d, E // d

@@ -170,6 +170,20 @@ class Trainer:
             )
         return self._epoch_fns[cache_key]
 
+    def _mega_gan_chunk_cap(self, chunk: int) -> int:
+        """Per-call epoch cap for the GAN megakernel path.  For spe in
+        (_MAX_GRID_MULTI, _MAX_GRID] a multi-epoch call would decompose
+        into SCANNED launches with grid > the proven multi-launch cap
+        (scanned 120-grid launches corrupt on v5e where scanned 75s are
+        clean — ops/megakernel.py cap notes), so each jitted call is kept
+        single-launch (grid <= _MAX_GRID, proven clean) and the calls are
+        chained from Python instead."""
+        from ..ops.megakernel import _MAX_GRID, _MAX_GRID_MULTI
+
+        if self.steps_per_epoch > _MAX_GRID_MULTI:
+            return min(chunk, max(1, _MAX_GRID // self.steps_per_epoch))
+        return chunk
+
     def _maybe_forward_megakernel(self, settings, lr, epochs):
         """Pallas forward-pretrain kernel when eligible, else None.  Note
         the in-kernel dropout masks come from the TPU hardware PRNG — same
@@ -517,6 +531,8 @@ class Trainer:
         stop = False
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
+            if mega_active:
+                chunk = self._mega_gan_chunk_cap(chunk)
             key, sub = jax.random.split(key)
             scales = jnp.asarray(
                 [

@@ -510,13 +510,37 @@ def test_launch_plan_uniform(monkeypatch):
     assert MK._launch_plan(100, 15) == (5, 20)    # bench chunk
     assert MK._launch_plan(50, 15) == (5, 10)
     assert MK._launch_plan(23, 15) == (1, 23)     # prime E -> per-epoch
-    assert MK._launch_plan(8, 15) == (8, 1)       # single launch fits
+    assert MK._launch_plan(8, 15) == (8, 1)       # single launch: up to 120
+    assert MK._launch_plan(24, 15) == (4, 6)      # multi-launch: <= 75 each
+    assert MK._launch_plan(16, 15) == (4, 4)      # (3x120 corrupts, round 3)
     assert MK._launch_plan(1, 120) == (1, 1)
     assert MK._launch_plan(6, 1) == (6, 1)
-    for E, spe in ((25, 15), (97, 13), (40, 7), (3, 120)):
+    for E, spe in ((25, 15), (97, 13), (40, 7), (3, 120), (24, 15)):
         inner, n = MK._launch_plan(E, spe)
         assert inner * n == E                      # exact cover
-        assert inner * spe <= MK._MAX_GRID or inner == 1
+        if n == 1:
+            assert inner * spe <= MK._MAX_GRID or E == 1
+        else:
+            assert inner * spe <= MK._MAX_GRID_MULTI or inner == 1
+
+
+def test_mega_gan_chunk_cap():
+    """For spe in (_MAX_GRID_MULTI, _MAX_GRID], the Trainer keeps each
+    megakernel call SINGLE-launch (scanned launches with grid > 75 are the
+    unproven/corrupt class); below the boundary chunks pass through."""
+    from types import SimpleNamespace
+
+    from pigan_thz_tpu.train.trainer import Trainer
+
+    cap = lambda spe, chunk: Trainer._mega_gan_chunk_cap(
+        SimpleNamespace(steps_per_epoch=spe), chunk
+    )
+    assert cap(15, 25) == 25          # spe <= 75: untouched
+    assert cap(75, 25) == 25
+    assert cap(76, 25) == 1           # (75, 120]: single-launch calls
+    assert cap(100, 25) == 1
+    assert cap(120, 25) == 1
+    assert cap(80, 1) == 1            # already single-epoch
 
 
 @pytest.mark.slow
