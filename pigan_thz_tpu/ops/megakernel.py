@@ -353,32 +353,59 @@ _MAX_GRID_MULTI = 75
 # epochs clean).  The GAN kernel tolerates 5x75=375 per program (3000-epoch
 # hardware soaks) — the thresholds are genuinely per-kernel.
 _FWD_MAX_TOTAL = 105
+# Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
+# bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
+# jitted program; beyond that is unprobed, so the Trainer clamps its
+# per-call epoch chunk to keep each program inside it (plenty for the
+# default epochs_per_call=25 at the reference shape: 375 total).
+_MAX_PROGRAM_GRID = 1500
+# Minimum useful sub-epoch launch size: when steps_per_epoch exceeds the
+# multi-launch cap, an epoch is decomposed into launches of the largest
+# divisor of spe that fits (_launch_plan).  Datasets whose spe has no
+# divisor >= this floor (e.g. prime spe) would degrade to near-per-step
+# launches, where launch overhead dominates — they use the XLA path.
+_MIN_SUB_LAUNCH = 8
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
 
 
-def _launch_plan(E: int, spe: int) -> tuple[int, int]:
-    """(inner, n): E epochs decompose into n IDENTICAL launches of `inner`
-    epochs each.  A single launch may use up to _MAX_GRID grid steps
-    (proven clean); once more than one launch is needed, each is capped at
-    the tighter _MAX_GRID_MULTI (scanned 120-grid launches corrupt where
-    scanned 75s are clean — see the cap notes above).  inner is the
-    largest divisor of E fitting the applicable cap (worst case 1: n = E
-    single-epoch launches)."""
-    if E * spe <= _MAX_GRID:
-        return E, 1
-    max_inner = max(1, min(_MAX_GRID, _MAX_GRID_MULTI) // spe)
-    for d in range(min(E, max_inner), 0, -1):
-        if E % d == 0:
-            return d, E // d
-    return 1, E
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _launch_plan(E: int, spe: int) -> tuple[int, int, int]:
+    """(launch_steps, n, row_steps): E epochs (T = E*spe grid steps)
+    decompose into n IDENTICAL launches of launch_steps grid steps each;
+    row_steps is the metric-row granularity (divides both launch_steps and
+    spe, so a metric row never straddles a launch or an epoch).
+
+    A single launch may use up to _MAX_GRID grid steps (proven clean);
+    multi-launch programs cap each launch at the tighter _MAX_GRID_MULTI
+    (scanned 120-grid launches corrupt where scanned 75s are clean — see
+    the cap notes above).  When spe itself exceeds the multi-launch cap,
+    each EPOCH decomposes into uniform SUB-EPOCH launches of the largest
+    divisor of spe that fits; metric rows then cover row_steps < spe steps
+    and _chunked_launch sums them into per-epoch rows.  This lifts the
+    megakernel's former spe <= 120 dataset boundary (round 3)."""
+    T = E * spe
+    if T <= _MAX_GRID:
+        return T, 1, spe
+    cap = min(_MAX_GRID, _MAX_GRID_MULTI)
+    if spe <= cap:
+        inner = _largest_divisor(E, max(1, cap // spe))
+        return inner * spe, E // inner, spe
+    L = _largest_divisor(spe, cap)
+    return L, T // L, L
 
 
 def _chunked_launch(launch, bufs, streams, E: int, spe: int):
-    """Drive launch(bufs, stream_slices, Ec) over E epochs as a lax.scan of
-    UNIFORM sub-chunks (_launch_plan); returns (bufs, per-epoch metrics
-    (E, 1, LANE)).
+    """Drive launch(bufs, stream_slices, n_steps, row_steps) over E epochs
+    as a lax.scan of UNIFORM sub-chunks (_launch_plan); returns (bufs,
+    per-epoch metrics (E, 1, LANE)).
 
     Uniformity is a reliability invariant, not a convenience: round-2
     forensics found MIXED launch shapes in one program — a scanned run of
@@ -386,28 +413,41 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int):
     same aliased state buffers (e.g. scan 3x120-grid + tail 1x15-grid, the
     default epochs_per_call=25 checkpoint resume at spe=15) — corrupting
     kernel operands on v5e, while uniform-shape programs ran clean.  Every
-    launch in a call now has the SAME grid size, eliminating the
-    mixed-shape program class entirely (at worst a few extra HBM hops for
-    the state bufs, ~0.3 us/step amortized)."""
-    inner, n = _launch_plan(E, spe)
-    xs = tuple(s.reshape((n, inner * spe) + s.shape[1:]) for s in streams)
+    launch in a call has the SAME grid size, eliminating the mixed-shape
+    program class entirely (at worst a few extra HBM hops for the state
+    bufs, ~0.3 us/step amortized).
+
+    With sub-epoch launches (row_steps < spe) each launch emits partial
+    metric rows (epoch-mean contributions: the kernel divides by the TRUE
+    steps_per_epoch) which are summed into per-epoch rows here."""
+    ls, n, rs = _launch_plan(E, spe)
+    xs = tuple(s.reshape((n, ls) + s.shape[1:]) for s in streams)
     bufs, mets = jax.lax.scan(
-        lambda carry, x: launch(carry, x, inner), tuple(bufs), xs
+        lambda carry, x: launch(carry, x, ls, rs), tuple(bufs), xs
     )
-    return list(bufs), mets.reshape((-1,) + mets.shape[2:])
+    mets = mets.reshape((-1,) + mets.shape[2:])
+    if not _DEBUG_PER_STEP and rs != spe:
+        mets = mets.reshape((E, spe // rs) + mets.shape[1:]).sum(axis=1)
+    return list(bufs), mets
 
 
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
-    bf16: bool = False,
+    bf16: bool = False, row_steps: int | None = None,
 ):
-    """With bf16=True, matmul OPERANDS are cast to bfloat16 (f32
+    """`row_steps` (default steps_per_epoch) is the metric-ROW granularity:
+    with sub-epoch launches each row accumulates row_steps < spe steps and
+    the driver sums rows into epochs (division stays by the TRUE
+    steps_per_epoch, so rows are epoch-mean contributions).
+
+    With bf16=True, matmul OPERANDS are cast to bfloat16 (f32
     accumulation via preferred_element_type) — classic mixed precision:
     params, optimizer math, norm stats and every elementwise op stay f32.
     Zero-padding exactness is dtype-independent, so the padding invariants
     hold unchanged."""
     W = _up(S + 4)
     mm_in = jnp.bfloat16 if bf16 else jnp.float32
+    rs = row_steps or steps_per_epoch
     w_adv = float(settings.adv_w)
     w_recon = float(settings.recon_w + settings.physics_spec_w)  # double-count
     w_pmet = float(settings.physics_metrics_w)
@@ -864,11 +904,11 @@ def _make_kernel(
             return
         mrow = mrow / steps_per_epoch
 
-        @pl.when(i % steps_per_epoch == 0)
+        @pl.when(i % rs == 0)
         def _():
             metrics_ref[0] = mrow
 
-        @pl.when(i % steps_per_epoch != 0)
+        @pl.when(i % rs != 0)
         def _():
             metrics_ref[0] = metrics_ref[0] + mrow
 
@@ -930,11 +970,16 @@ def make_pallas_multi_epoch_fn(
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
-        if spe > _MAX_GRID:
+        if (
+            spe > _MAX_GRID
+            and _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
+            < _MIN_SUB_LAUNCH
+        ):
             raise ValueError(
                 f"steps_per_epoch={spe} exceeds the per-launch grid cap "
-                f"{_MAX_GRID} (sub-chunking is whole-epoch-granular); use "
-                "the XLA path — Trainer's auto mode does this itself"
+                f"{_MAX_GRID} and has no uniform sub-epoch launch divisor "
+                f">= {_MIN_SUB_LAUNCH}; use the XLA path — Trainer's auto "
+                "mode does this itself"
             )
         T = E * spe
         if g_overridden:
@@ -996,12 +1041,14 @@ def make_pallas_multi_epoch_fn(
         )
         n_state = len(train) + len(stats)
         aliases = {} if _NO_ALIAS else {30 + k: k for k in range(n_state)}
+        _, _, plan_rs = _launch_plan(E, spe)
         kernel = _make_kernel(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
+            row_steps=plan_rs,
         )
 
-        def launch(bufs, streams, Ec):
+        def launch(bufs, streams, n_steps, rsl):
             spec_c, par_c, met_c, sched_c = streams
             in_specs = (
                 [
@@ -1018,9 +1065,9 @@ def make_pallas_multi_epoch_fn(
                 + [const(f.shape) for f in frozen]
                 + [const(b.shape) for b in bufs]
             )
-            n_rows = Ec * spe if _DEBUG_PER_STEP else Ec
+            n_rows = n_steps if _DEBUG_PER_STEP else n_steps // rsl
             midx = (lambda i: (i, 0, 0)) if _DEBUG_PER_STEP else (
-                lambda i: (i // spe, 0, 0))
+                lambda i: (i // rsl, 0, 0))
             out_specs = (
                 [const(b.shape) for b in bufs]
                 + [pl.BlockSpec((1, 1, LANE), midx, memory_space=pltpu.VMEM)]
@@ -1031,7 +1078,7 @@ def make_pallas_multi_epoch_fn(
             )
             outs = pl.pallas_call(
                 kernel,
-                grid=(Ec * spe,),
+                grid=(n_steps,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
@@ -1192,8 +1239,9 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
 
 def _make_forward_kernel(
     S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
-    dropout_rate: float, bf16: bool = False,
+    dropout_rate: float, bf16: bool = False, row_steps: int | None = None,
 ):
+    rs = row_steps or steps_per_epoch
     W = _up(S + 4)
     w_spec = float(fsettings.spectrum_w)
     w_met = float(fsettings.metrics_w)
@@ -1340,11 +1388,11 @@ def _make_forward_kernel(
             mrow = jnp.where(mlane1 == k, v, mrow)
         mrow = mrow / steps_per_epoch
 
-        @pl.when(i % steps_per_epoch == 0)
+        @pl.when(i % rs == 0)
         def _():
             metrics_ref[0] = mrow
 
-        @pl.when(i % steps_per_epoch != 0)
+        @pl.when(i % rs != 0)
         def _():
             metrics_ref[0] = metrics_ref[0] + mrow
 
@@ -1417,9 +1465,10 @@ def make_pallas_forward_epoch_fn(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
+            row_steps=_launch_plan(E, spe)[2],
         )
 
-        def launch(bufs, streams, Ec):
+        def launch(bufs, streams, n_steps, rsl):
             par_c, spec_c, met_c, sched_c, seed_c = streams
             in_specs = (
                 [
@@ -1435,16 +1484,16 @@ def make_pallas_forward_epoch_fn(
             )
             out_specs = (
                 [const(b.shape) for b in bufs]
-                + [pl.BlockSpec((1, 1, LANE), lambda i: (i // spe, 0, 0),
+                + [pl.BlockSpec((1, 1, LANE), lambda i: (i // rsl, 0, 0),
                                 memory_space=pltpu.VMEM)]
             )
             out_shape = (
                 [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs]
-                + [jax.ShapeDtypeStruct((Ec, 1, LANE), jnp.float32)]
+                + [jax.ShapeDtypeStruct((n_steps // rsl, 1, LANE), jnp.float32)]
             )
             outs = pl.pallas_call(
                 kernel,
-                grid=(Ec * spe,),
+                grid=(n_steps,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,

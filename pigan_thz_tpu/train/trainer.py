@@ -136,16 +136,28 @@ class Trainer:
                 raise ValueError("megakernel='force' is incompatible with mesh")
             return None
         from ..ops.megakernel import (
+            _largest_divisor,
             _MAX_GRID,
+            _MAX_GRID_MULTI,
+            _MIN_SUB_LAUNCH,
             make_pallas_multi_epoch_fn,
             supports_megakernel,
         )
 
         reason = supports_megakernel(self.cfg, settings)
         if reason is None and self.steps_per_epoch > _MAX_GRID:
-            # sub-chunking is whole-epoch-granular; large datasets exceed
-            # the per-launch grid reliability cap -> XLA path
-            reason = f"steps_per_epoch {self.steps_per_epoch} > grid cap"
+            # large datasets decompose each epoch into uniform sub-epoch
+            # launches of the largest divisor of spe within the
+            # multi-launch grid cap (round 3); only shapes with no usable
+            # divisor (e.g. prime spe) fall back to XLA
+            L = _largest_divisor(
+                self.steps_per_epoch, min(_MAX_GRID, _MAX_GRID_MULTI)
+            )
+            if L < _MIN_SUB_LAUNCH:
+                reason = (
+                    f"steps_per_epoch {self.steps_per_epoch} > grid cap "
+                    f"with no sub-epoch launch divisor >= {_MIN_SUB_LAUNCH}"
+                )
         on_tpu = jax.default_backend() == "tpu"
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:
@@ -171,18 +183,34 @@ class Trainer:
         return self._epoch_fns[cache_key]
 
     def _mega_gan_chunk_cap(self, chunk: int) -> int:
-        """Per-call epoch cap for the GAN megakernel path.  For spe in
-        (_MAX_GRID_MULTI, _MAX_GRID] a multi-epoch call would decompose
-        into SCANNED launches with grid > the proven multi-launch cap
-        (scanned 120-grid launches corrupt on v5e where scanned 75s are
-        clean — ops/megakernel.py cap notes), so each jitted call is kept
-        single-launch (grid <= _MAX_GRID, proven clean) and the calls are
-        chained from Python instead."""
-        from ..ops.megakernel import _MAX_GRID, _MAX_GRID_MULTI
+        """Per-call epoch cap for the GAN megakernel path (reliability
+        envelope, ops/megakernel.py cap notes):
 
-        if self.steps_per_epoch > _MAX_GRID_MULTI:
-            return min(chunk, max(1, _MAX_GRID // self.steps_per_epoch))
-        return chunk
+        - spe in (_MAX_GRID_MULTI, _MAX_GRID] with no usable sub-epoch
+          divisor: a multi-epoch call would scan launches with grid > the
+          proven multi-launch cap (scanned 120-grid launches corrupt on
+          v5e where scanned 75s are clean), so each jitted call is kept
+          single-launch (grid <= _MAX_GRID, proven clean) and calls are
+          chained from Python.
+        - otherwise: cap the per-PROGRAM grid total at _MAX_PROGRAM_GRID
+          (the proven scanned-launch scale); this also bounds the
+          per-call HBM stream footprint for large datasets."""
+        from ..ops.megakernel import (
+            _largest_divisor,
+            _MAX_GRID,
+            _MAX_GRID_MULTI,
+            _MAX_PROGRAM_GRID,
+            _MIN_SUB_LAUNCH,
+        )
+
+        spe = self.steps_per_epoch
+        if (
+            spe > _MAX_GRID_MULTI
+            and _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
+            < _MIN_SUB_LAUNCH
+        ):
+            return min(chunk, max(1, _MAX_GRID // spe))
+        return min(chunk, max(1, _MAX_PROGRAM_GRID // spe))
 
     def _maybe_forward_megakernel(self, settings, lr, epochs):
         """Pallas forward-pretrain kernel when eligible, else None.  Note

@@ -103,19 +103,22 @@ def test_supports_guard(cfg):
 
 
 def test_trainer_grid_cap_fallback(cfg):
-    """Datasets whose steps_per_epoch exceed the per-launch grid cap fall
-    back to the XLA path instead of launching into the hazardous regime."""
+    """steps_per_epoch above the grid cap: eligible when spe has a usable
+    sub-epoch launch divisor (round 3), XLA fallback when it does not
+    (prime spe would degrade to near-per-step launches)."""
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.train import Trainer
 
     big = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
     ds = synth(big.data)
     t = Trainer(big, ds=ds, megakernel="force")
-    t.steps_per_epoch = 500  # simulate a 32k-sample dataset
+    t.steps_per_epoch = 499  # prime: largest divisor <= 75 is 1
     with pytest.raises(ValueError, match="grid cap"):
         t._maybe_megakernel(StepSettings.from_config(big), None)
+    t.steps_per_epoch = 500  # divisor 50: sub-epoch launches engage
+    assert t._maybe_megakernel(StepSettings.from_config(big), None) is not None
     t2 = Trainer(big, ds=ds, megakernel="auto")
-    t2.steps_per_epoch = 500
+    t2.steps_per_epoch = 499
     assert t2._maybe_megakernel(StepSettings.from_config(big), None) is None
     assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
 
@@ -503,25 +506,36 @@ def test_megakernel_nondefault_range_window(cfg):
 def test_launch_plan_uniform(monkeypatch):
     """Launch decomposition is UNIFORM: n identical launches, no tail.
     Covers the round-2 corrupting shape (epochs_per_call=25 at spe=15,
-    formerly scan 3x120-grid + tail 1x15-grid)."""
+    formerly scan 3x120-grid + tail 1x15-grid) and the round-3 sub-epoch
+    decomposition for spe above the grid cap."""
     from pigan_thz_tpu.ops import megakernel as MK
 
-    assert MK._launch_plan(25, 15) == (5, 5)      # the corrupting shape
-    assert MK._launch_plan(100, 15) == (5, 20)    # bench chunk
-    assert MK._launch_plan(50, 15) == (5, 10)
-    assert MK._launch_plan(23, 15) == (1, 23)     # prime E -> per-epoch
-    assert MK._launch_plan(8, 15) == (8, 1)       # single launch: up to 120
-    assert MK._launch_plan(24, 15) == (4, 6)      # multi-launch: <= 75 each
-    assert MK._launch_plan(16, 15) == (4, 4)      # (3x120 corrupts, round 3)
-    assert MK._launch_plan(1, 120) == (1, 1)
-    assert MK._launch_plan(6, 1) == (6, 1)
-    for E, spe in ((25, 15), (97, 13), (40, 7), (3, 120), (24, 15)):
-        inner, n = MK._launch_plan(E, spe)
-        assert inner * n == E                      # exact cover
+    # (launch_steps, n_launches, row_steps); epoch-aligned shapes
+    assert MK._launch_plan(25, 15) == (75, 5, 15)    # the corrupting shape
+    assert MK._launch_plan(100, 15) == (75, 20, 15)  # bench chunk
+    assert MK._launch_plan(50, 15) == (75, 10, 15)
+    assert MK._launch_plan(23, 15) == (15, 23, 15)   # prime E -> per-epoch
+    assert MK._launch_plan(8, 15) == (120, 1, 15)    # single launch: <= 120
+    assert MK._launch_plan(24, 15) == (60, 6, 15)    # multi-launch: <= 75
+    assert MK._launch_plan(16, 15) == (60, 4, 15)    # (3x120 corrupts, r3)
+    assert MK._launch_plan(1, 120) == (120, 1, 120)
+    assert MK._launch_plan(6, 1) == (6, 1, 1)
+    # sub-epoch shapes (spe > multi-launch cap)
+    assert MK._launch_plan(4, 312) == (52, 24, 52)   # 20k corpus @ B=64
+    assert MK._launch_plan(1, 150) == (75, 2, 75)
+    assert MK._launch_plan(2, 80) == (40, 4, 40)
+    assert MK._launch_plan(25, 97) == (1, 2425, 1)   # prime spe: degenerate
+    for E, spe in (
+        (25, 15), (97, 13), (40, 7), (3, 120), (24, 15), (4, 312),
+        (1, 150), (2, 80),
+    ):
+        ls, n, rs = MK._launch_plan(E, spe)
+        assert ls * n == E * spe                     # exact cover
+        assert ls % rs == 0 and spe % rs == 0        # rows align
         if n == 1:
-            assert inner * spe <= MK._MAX_GRID or E == 1
+            assert ls <= MK._MAX_GRID or E == 1
         else:
-            assert inner * spe <= MK._MAX_GRID_MULTI or inner == 1
+            assert ls <= MK._MAX_GRID_MULTI or ls == rs == 1
 
 
 def test_mega_gan_chunk_cap():
@@ -535,12 +549,46 @@ def test_mega_gan_chunk_cap():
     cap = lambda spe, chunk: Trainer._mega_gan_chunk_cap(
         SimpleNamespace(steps_per_epoch=spe), chunk
     )
-    assert cap(15, 25) == 25          # spe <= 75: untouched
-    assert cap(75, 25) == 25
-    assert cap(76, 25) == 1           # (75, 120]: single-launch calls
-    assert cap(100, 25) == 1
-    assert cap(120, 25) == 1
+    assert cap(15, 25) == 25          # default shape: untouched
+    assert cap(15, 100) == 100        # bench chunk: exactly the proven 1500
+    assert cap(75, 25) == 20          # program-grid cap 1500 // spe
+    assert cap(100, 25) == 15         # divisor 50 >= 8: sub-epoch launches
+    assert cap(120, 25) == 12
+    assert cap(312, 25) == 4          # 20k corpus @ B=64 (divisor 52)
+    assert cap(97, 25) == 1           # prime spe <= 120: single-launch calls
     assert cap(80, 1) == 1            # already single-epoch
+
+
+@pytest.mark.slow
+def test_megakernel_sub_epoch_launch_parity(cfg, monkeypatch):
+    """Sub-epoch decomposition (spe > multi-launch grid cap, round 3):
+    each epoch splits into uniform launches of a divisor of spe; partial
+    metric rows sum back into exact per-epoch means and the state matches
+    the XLA trajectory.  Caps are monkeypatched small so interpret mode
+    stays cheap (spe=6, launches of 3)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 8)
+    monkeypatch.setattr(MK, "_MAX_GRID_MULTI", 5)
+    monkeypatch.setattr(MK, "_MIN_SUB_LAUNCH", 2)
+    assert MK._launch_plan(2, 6) == (3, 4, 3)     # 2 rows/epoch, summed
+    ds, state, xla, pallas = _setup(cfg, 384)     # batch 64 -> spe=6
+    state_b = jax.tree.map(jnp.copy, state)
+    scales = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(23)
+    st_x, m_x = xla(state, ds, key, scales)
+    st_p, m_p = pallas(state_b, ds, key, scales)
+    for k in METRIC_KEYS:
+        # d_accuracy and violation_rate are 1/384-quantized and
+        # discontinuous: backend fp-ordering noise flips knife-edge
+        # samples (same allowance as the resume-shape test); the smooth
+        # losses stay tight
+        atol = 2.0 / 64 if k in ("d_accuracy", "violation_rate") else 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=atol,
+            err_msg=k,
+        )
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count) == 12
 
 
 @pytest.mark.slow
@@ -551,7 +599,7 @@ def test_megakernel_resume_shape_parity(cfg, monkeypatch):
     from pigan_thz_tpu.ops import megakernel as MK
 
     monkeypatch.setattr(MK, "_MAX_GRID", 8)
-    assert MK._launch_plan(25, 1) == (5, 5)
+    assert MK._launch_plan(25, 1) == (5, 5, 1)
     ds, state, xla, pallas = _setup(cfg, 64)  # batch 64 -> spe=1
     state_b = jax.tree.map(jnp.copy, state)
     scales = jnp.ones((25,), jnp.float32)
