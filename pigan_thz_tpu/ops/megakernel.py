@@ -232,7 +232,16 @@ def pack_state(state, S: int):
     return train, stats, frozen
 
 
-def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None):
+def pack_ema(state, S: int):
+    """state.g_ema -> 10 padded (1, r, c) buffers (G tensor order)."""
+    out = []
+    for path, (r, c) in _train_tensor_specs(S)[:_N_G]:
+        out.append(_pad2(_get(state.g_ema, path[1:]), r, c).reshape(1, r, c))
+    return out
+
+
+def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None,
+                 ema_out=None):
     """Rebuild a PiGanState from the kernel's updated buffers.  `d_steps`
     (default n_steps) is D's ACTUAL update count — with d_update_every > 1
     the skipped steps leave D's optimizer state untouched, exactly like the
@@ -435,7 +444,10 @@ def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False, row_steps: int | None = None,
 ):
-    """`row_steps` (default steps_per_epoch) is the metric-ROW granularity:
+    """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
+    tensor) lerped after each G update, VMEM-resident like the params.
+
+    `row_steps` (default steps_per_epoch) is the metric-ROW granularity:
     with sub-epoch launches each row accumulates row_steps < spe steps and
     the driver sums rows into epochs (division stays by the TRUE
     steps_per_epoch, so rows are epoch-mean contributions).
@@ -461,6 +473,8 @@ def _make_kernel(
     detach = bool(settings.detach_forward)
     sigmoid = bool(settings.sigmoid_squash)
     gate_d = settings.d_update_every > 1
+    ema = float(settings.ema_decay) > 0.0
+    mu_ema = float(settings.ema_decay)
 
     def leaky_mask(pre):
         return jnp.where(pre >= 0.0, 1.0, _SLOPE)
@@ -489,13 +503,17 @@ def _make_kernel(
 
     adam_apply = _make_adam(_B1, _B2, clip)
 
+    n_state = 18 + (10 if ema else 0)  # 16 train + 2 stats (+ 10 G EMA)
+
     def kernel(*refs):
         (spec_ref, par_ref, met_ref, sched_ref, lo_ref, hi_ref) = refs[:6]
         frozen = refs[6:30]
-        # refs[30:48] are the aliased state inputs; use the output refs
-        train = list(refs[48:64])
-        stats = list(refs[64:66])
-        metrics_ref = refs[66]
+        # refs[30:30+n_state] are the aliased state inputs; use output refs
+        out0 = 30 + n_state
+        train = list(refs[out0: out0 + 16])
+        stats = list(refs[out0 + 16: out0 + 18])
+        ema_bufs = list(refs[out0 + 18: out0 + n_state])
+        metrics_ref = refs[out0 + n_state]
 
         i = pl.program_id(0)
         sched_row = sched_ref[0]       # (1, LANE)
@@ -873,6 +891,15 @@ def _make_kernel(
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
             lr_g, inv1_g, inv2_g,
         )
+
+        if ema:
+            # generator EMA track (steps.py:474-484): lerp of the JUST-
+            # updated params; zero-padded areas stay exactly zero.  EMA
+            # bufs are packed (1, r, c).
+            g_bufs = (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2,
+                      g_bet2, g_w3, g_b3)
+            for eref, gref in zip(ema_bufs, g_bufs):
+                eref[0] = mu_ema * eref[0] + (1.0 - mu_ema) * gref[0]
 
         # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
         st1[0] = _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1
