@@ -25,9 +25,10 @@ train.steps.make_pigan_step) with the baseline MLP trio:
   knobs: d_update_every (gated D Adam + per-update D schedule counts),
   enhanced constraint loss with per-epoch annealing scales, cycle
   consistency (full second G pass forward + backward), sigmoid_squash,
-  and per-phase lr/schedule optimizer overrides.  Still XLA-only:
-  augment / instance noise / stability / window losses, EMA, WGAN-GP
-  (`supports_megakernel` guards the exact envelope).
+  per-phase lr/schedule optimizer overrides, and the generator EMA track
+  (VMEM-resident lerp).  Still XLA-only: augment / instance noise /
+  stability / window losses, WGAN-GP (`supports_megakernel` guards the
+  exact envelope).
 
 Measured on v5e-1 (60k-step runs, device_get sync; RESULTS.md table):
 16.7 us/step detached / 19.0 us through-F vs 41.9 / 45.3 for the best XLA
@@ -109,8 +110,6 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return "stability/window losses enabled"
     if s.instance_noise or s.augment_noise or s.augment_shift or s.augment_scale:
         return "stochastic augmentation enabled"
-    if s.ema_decay:
-        return "EMA track not supported in-kernel yet"
     if s.kl_w:
         return "kl_w != 0"
     return None
@@ -278,6 +277,13 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None
         return jax.random.split(r, 9)[0], None
 
     rng, _ = jax.lax.scan(_advance, state.rng, None, length=n_steps)
+    extra = {}
+    if ema_out is not None:
+        g_ema = state.g_ema
+        for (path, _), buf in zip(_train_tensor_specs(S)[:_N_G], ema_out):
+            shape = _get(g_ema, path[1:]).shape
+            g_ema = _set(g_ema, path[1:], _crop(buf[0], shape))
+        extra["g_ema"] = g_ema
     return state.replace(
         step=state.step + n_steps,
         rng=rng,
@@ -285,6 +291,7 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None
         d=state.d.replace(params=new["d"][0]),
         g_opt=g_opt,
         d_opt=d_opt,
+        **extra,
     )
 
 
@@ -977,6 +984,7 @@ def make_pallas_multi_epoch_fn(
     W = _up(S + 4)
     clip = float(cfg.train.grad_clip)
     k_d = int(settings.d_update_every)
+    use_ema = float(settings.ema_decay) > 0.0
 
     def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
         # mirrors train.schedules.build_optimizer's schedule parameters
@@ -1062,6 +1070,14 @@ def make_pallas_multi_epoch_fn(
         lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
         hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
         train, stats, frozen = pack_state(state, S)
+        if use_ema:
+            if state.g_ema is None:
+                raise ValueError(
+                    "StepSettings.ema_decay > 0 requires a state carrying "
+                    "g_ema — init with init_pigan_state(..., ema=True) "
+                    "(Trainer does this automatically)"
+                )
+            stats = stats + pack_ema(state, S)
 
         const = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array block
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1122,8 +1138,11 @@ def make_pallas_multi_epoch_fn(
             launch, train + stats, (spec_g, par_g, met_g, sched), E, spe
         )
         train_out = bufs[: len(train)]
-        stats_out = bufs[len(train):]
-        new_state = unpack_state(state, train_out, stats_out, T, S, d_steps=d_inc)
+        stats_out = bufs[len(train): len(train) + 2]
+        ema_out = bufs[len(train) + 2:] if use_ema else None
+        new_state = unpack_state(
+            state, train_out, stats_out, T, S, d_steps=d_inc, ema_out=ema_out
+        )
         mkeys = METRIC_KEYS + (
             ("constraint_loss",) if settings.constraint_w else ()
         )

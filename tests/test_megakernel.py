@@ -72,7 +72,8 @@ def test_supports_guard(cfg):
     ) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
     assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1))
-    assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99))
+    # round-3: the generator EMA track is IN-envelope (VMEM-resident lerp)
+    assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, stability_w=0.5))
     assert supports_megakernel(cfg, dataclasses.replace(s, window_w=0.5))
     # round-3 envelope extension: the program-phase knobs are IN
@@ -633,7 +634,10 @@ def _setup2(cfg, num_samples, settings, epochs=2, key=11):
     g, d, f = build_trio(c)
     spe = ds.num_samples // c.train.batch_size
     g_tx, d_tx, _ = make_optimizers(c, spe)
-    state = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    state = init_pigan_state(
+        g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
+        ema=settings.ema_decay > 0,
+    )
     state_b = jax.tree.map(jnp.copy, state)
     step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
     xla = make_multi_epoch_fn(step, c.train.batch_size, with_scale=True, unroll=1)
@@ -720,6 +724,35 @@ def test_megakernel_d_update_every(cfg):
     assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count) == 2
     assert int(st_p.d_opt[1][1].count) == 2
     assert int(st_p.g_opt[1][0].count) == 4
+
+
+@pytest.mark.slow
+def test_megakernel_ema_track(cfg):
+    """ema_decay > 0 (round 3): the in-kernel VMEM-resident G-EMA lerp
+    matches the XLA track leafwise (post-update params, per step), and the
+    non-EMA state is unchanged by the extra buffers."""
+    s = StepSettings.from_config(cfg)
+    s = dataclasses.replace(s, ema_decay=0.97)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    assert st_p.g_ema is not None
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.g_ema)[0],
+        jax.tree.leaves(st_p.g_ema),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=3e-3,
+            err_msg=f"g_ema:{_leafname(path)}",
+        )
+    # EMA stays between init and current params (a lerp, not a copy)
+    lx = jax.tree.leaves(st_p.g_ema)
+    lp = jax.tree.leaves(st_p.g.params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(lx, lp)
+    )
 
 
 @pytest.mark.slow
