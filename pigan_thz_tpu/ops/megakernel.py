@@ -25,10 +25,13 @@ train.steps.make_pigan_step) with the baseline MLP trio:
   knobs: d_update_every (gated D Adam + per-update D schedule counts),
   enhanced constraint loss with per-epoch annealing scales, cycle
   consistency (full second G pass forward + backward), sigmoid_squash,
-  per-phase lr/schedule optimizer overrides, and the generator EMA track
-  (VMEM-resident lerp).  Still XLA-only: augment / instance noise /
-  stability / window losses, WGAN-GP (`supports_megakernel` guards the
-  exact envelope).
+  per-phase lr/schedule optimizer overrides, the generator EMA track
+  (VMEM-resident lerp), and the stochastic knobs — data augmentation,
+  D-input instance noise, input-noise stability loss (second G pass with
+  hand adjoint), resonance-window loss — whose noise streams are
+  precomputed OUTSIDE the kernel from the exact per-step rng chain the
+  XLA step splits, making parity bitwise in the inputs.  Still XLA-only:
+  WGAN-GP and kl_w (`supports_megakernel` guards the exact envelope).
 
 Measured on v5e-1 (60k-step runs, device_get sync; RESULTS.md table):
 16.7 us/step detached / 19.0 us through-F vs 41.9 / 45.3 for the best XLA
@@ -106,10 +109,6 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return "gan_loss is not bce"
     if s.d_update_every < 1:
         return "d_update_every < 1"
-    if s.stability_w or s.window_w:
-        return "stability/window losses enabled"
-    if s.instance_noise or s.augment_noise or s.augment_shift or s.augment_scale:
-        return "stochastic augmentation enabled"
     if s.kl_w:
         return "kl_w != 0"
     return None
@@ -482,6 +481,17 @@ def _make_kernel(
     gate_d = settings.d_update_every > 1
     ema = float(settings.ema_decay) > 0.0
     mu_ema = float(settings.ema_decay)
+    # round-3 stochastic knobs: the noise/augment streams are precomputed
+    # OUTSIDE the kernel from the exact per-step rng chain the XLA step
+    # uses (the driver already mirrors it), so parity is bitwise in the
+    # inputs — the kernel just consumes extra streamed operands.
+    use_inoise = float(settings.instance_noise) > 0.0
+    use_stab = float(settings.stability_w) > 0.0
+    w_stab = float(settings.stability_w)
+    w_window = float(settings.window_w)
+    # physics_window_loss defaults as invoked by steps.py:443-447
+    # (consistency_weight=0, window_weight=1, f_lo=0.5, f_hi=3.0)
+    _F_LO, _F_HI = 0.5, 3.0
 
     def leaky_mask(pre):
         return jnp.where(pre >= 0.0, 1.0, _SLOPE)
@@ -513,14 +523,18 @@ def _make_kernel(
     n_state = 18 + (10 if ema else 0)  # 16 train + 2 stats (+ 10 G EMA)
 
     def kernel(*refs):
-        (spec_ref, par_ref, met_ref, sched_ref, lo_ref, hi_ref) = refs[:6]
-        frozen = refs[6:30]
-        # refs[30:30+n_state] are the aliased state inputs; use output refs
-        out0 = 30 + n_state
-        train = list(refs[out0: out0 + 16])
-        stats = list(refs[out0 + 16: out0 + 18])
-        ema_bufs = list(refs[out0 + 18: out0 + n_state])
-        metrics_ref = refs[out0 + n_state]
+        it = iter(refs)
+        spec_ref, par_ref, met_ref, sched_ref = (next(it) for _ in range(4))
+        inoise_ref = next(it) if use_inoise else None
+        stab_ref = next(it) if use_stab else None
+        lo_ref, hi_ref = next(it), next(it)
+        frozen = [next(it) for _ in range(24)]
+        for _ in range(n_state):   # aliased state inputs; use output refs
+            next(it)
+        train = [next(it) for _ in range(16)]
+        stats = [next(it) for _ in range(2)]
+        ema_bufs = [next(it) for _ in range(n_state - 18)]
+        metrics_ref = next(it)
 
         i = pl.program_id(0)
         sched_row = sched_ref[0]       # (1, LANE)
@@ -591,6 +605,10 @@ def _make_kernel(
         real_in = spectra + place_params(params_phys)
         fake_in = spectra + place_params(pphys[:, 0:4])
         x0 = jnp.concatenate([real_in, fake_in], axis=0)      # (2B, W)
+        if use_inoise:
+            # D-phase-only spectrum noise (steps.py:295-298); the stream
+            # is zero beyond col S, so param lanes and pads stay clean
+            x0 = x0 + inoise_ref[0]
         p1 = mm(x0, d_w1[0]) + d_b1[0]
         h1 = jnp.where(p1 >= 0.0, p1, _SLOPE * p1)
         p2 = mm(h1, d_w2[0]) + d_b2[0]
@@ -713,6 +731,50 @@ def _make_kernel(
         else:
             c_loss = 0.0
 
+        # ---- physics window loss (steps.py:443-447 invocation of
+        # ops/losses.py physics_window_loss with consistency_weight=0,
+        # window_weight=1): SUM over batch of relu(f1 - f_hi) +
+        # relu(f_lo - f1) on the first predicted metric ------------------
+        if w_window:
+            window_l = jnp.sum(
+                jnp.maximum(f1 - _F_HI, 0.0) + jnp.maximum(_F_LO - f1, 0.0)
+            )
+        else:
+            window_l = 0.0
+
+        # ---- stability loss (steps.py:448-457): re-predict under input
+        # noise; second G pass on the pre-noised stream (exact XLA keys),
+        # MSE between the two predictions.  Gradients flow through BOTH
+        # passes; the noisy pass's batch stats are discarded like the
+        # cycle pass's --------------------------------------------------
+        if use_stab:
+            noisy = stab_ref[0]                                # (B, W)
+            u1s = mm(noisy, g_w1[0]) + g_b1[0]
+            mu1s = jnp.mean(u1s, axis=0, keepdims=True)
+            var1s = jnp.maximum(
+                0.0, jnp.mean(u1s * u1s, axis=0, keepdims=True) - mu1s * mu1s
+            )
+            iv1s = jax.lax.rsqrt(var1s + _BN_EPS)
+            xh1s = (u1s - mu1s) * iv1s
+            y1s = xh1s * g_gam1[0] + g_bet1[0]
+            a1s = jnp.maximum(y1s, 0.0)
+            u2s = mm(a1s, g_w2[0]) + g_b2[0]
+            mu2s = jnp.mean(u2s, axis=0, keepdims=True)
+            var2s = jnp.maximum(
+                0.0, jnp.mean(u2s * u2s, axis=0, keepdims=True) - mu2s * mu2s
+            )
+            iv2s = jax.lax.rsqrt(var2s + _BN_EPS)
+            xh2s = (u2s - mu2s) * iv2s
+            y2s = xh2s * g_gam2[0] + g_bet2[0]
+            a2s = jnp.maximum(y2s, 0.0)
+            z3s = mm(a2s, g_w3[0]) + g_b3[0]
+            tns = jnp.tanh(z3s)
+            pns = jax.nn.sigmoid(tns) if sigmoid else tns
+            stab_diff = pn[:, 0:4] - pns[:, 0:4]               # (B, 4)
+            stab_l = jnp.sum(stab_diff * stab_diff) / (B * 4)
+        else:
+            stab_l = 0.0
+
         # ---- cycle consistency G(F(G(s))) ~ G(s) (steps.py cycle_w):
         # second G pass on the surrogate spectrum, batch stats of the
         # cycled batch, running stats NOT updated (the XLA path discards
@@ -747,7 +809,8 @@ def _make_kernel(
         g_loss = (
             w_adv * adv + w_recon * recon_l + w_pmet * met_l
             + w_maxwell * maxwell_l + w_lc * lc_l + w_range * range_l
-            + w_constraint * c_scale * c_loss + w_cycle * cycle_l
+            + w_constraint * c_scale * c_loss + w_window * window_l
+            + w_stab * stab_l + w_cycle * cycle_l
         )
 
         # ---- G backward ---------------------------------------------------
@@ -773,6 +836,49 @@ def _make_kernel(
                 - jnp.concatenate([sgn, zc1], axis=1)
             ) / (B * 3)
             dpn4 = dpn4 + wcs * (10.0 * dhard + 0.1 * dbound + 0.05 * dsm)
+        if use_stab:
+            # stability adjoint: mse(pn4, pns4) reaches G through BOTH
+            # passes — the main chain via pn4 and the noisy pass via its
+            # own full BN backward (weight grads accumulate; the input
+            # gradient lands on the noise stream and is discarded)
+            dstab = w_stab * 2.0 * stab_diff / (B * 4)         # d/d pn4
+            dpn4 = dpn4 + dstab
+            dsqs = pns[:, 0:4] * (1.0 - pns[:, 0:4]) if sigmoid else 1.0
+            dz3s4 = -dstab * dsqs * (1.0 - tns[:, 0:4] * tns[:, 0:4])
+            dz3s = jnp.concatenate(
+                [dz3s4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+            )
+            sWg3 = dotT0(a2s, dz3s)
+            sbg3 = csum(dz3s)
+            da2s = dotT1(dz3s, g_w3[0])
+            dy2s = da2s * (y2s > 0.0).astype(jnp.float32)
+            sgam2 = csum(dy2s * xh2s)
+            sbet2 = csum(dy2s)
+            dt2s = dy2s * g_gam2[0] * iv2s
+            dvar2s = csum(
+                dy2s * g_gam2[0] * (u2s - mu2s)
+            ) * (-0.5) * iv2s * iv2s * iv2s
+            du2s = (
+                dt2s - jnp.mean(dt2s, axis=0, keepdims=True)
+                + dvar2s * 2.0 * (u2s - mu2s) / B
+            )
+            sWg2 = dotT0(a1s, du2s)
+            sbg2 = csum(du2s)
+            da1s = dotT1(du2s, g_w2[0])
+            dy1s = da1s * (y1s > 0.0).astype(jnp.float32)
+            sgam1 = csum(dy1s * xh1s)
+            sbet1 = csum(dy1s)
+            dt1s = dy1s * g_gam1[0] * iv1s
+            dvar1s = csum(
+                dy1s * g_gam1[0] * (u1s - mu1s)
+            ) * (-0.5) * iv1s * iv1s * iv1s
+            du1s = (
+                dt1s - jnp.mean(dt1s, axis=0, keepdims=True)
+                + dvar1s * 2.0 * (u1s - mu1s) / B
+            )
+            sWg1 = dotT0(noisy, du1s)
+            sbg1 = csum(du1s)
+
         if w_cycle:
             # cycle adjoint: first-arg path into pn4 directly; second-arg
             # path backprops the SECOND G pass (weight grads accumulate
@@ -833,6 +939,14 @@ def _make_kernel(
             )
             dmet = dmet + jnp.where(blane == 0, w_lc * 2.0 * (f1 - th1) / B, 0.0)
             dmet = dmet + jnp.where(blane == 1, w_lc * 2.0 * (f2 - th2) / B, 0.0)
+            if w_window:
+                # window adjoint (batch SUM, no /B): relu'(f1-hi) -
+                # relu'(lo-f1), strict at the kink like jax.nn.relu
+                dwin = w_window * (
+                    (f1 > _F_HI).astype(jnp.float32)
+                    - (f1 < _F_LO).astype(jnp.float32)
+                )
+                dmet = dmet + jnp.where(blane == 0, dwin, 0.0)
             drecon = w_recon * 2.0 * (recon - spectra) / (B * S)
             # maxwell adjoint: d/ds_k of mean(d2^2) with d2_j = s_j - 2 s_{j+1}
             # + s_{j+2}; with m = masked d2, ds = c*(m_k - 2 m_{k-1} + m_{k-2})
@@ -893,6 +1007,12 @@ def _make_kernel(
             dWg2, dbg2 = dWg2 + cWg2, dbg2 + cbg2
             dgam2, dbet2 = dgam2 + cgam2, dbet2 + cbet2
             dWg3, dbg3 = dWg3 + cWg3, dbg3 + cbg3
+        if use_stab:
+            dWg1, dbg1 = dWg1 + sWg1, dbg1 + sbg1
+            dgam1, dbet1 = dgam1 + sgam1, dbet1 + sbet1
+            dWg2, dbg2 = dWg2 + sWg2, dbg2 + sbg2
+            dgam2, dbet2 = dgam2 + sgam2, dbet2 + sbet2
+            dWg3, dbg3 = dWg3 + sWg3, dbg3 + sbg3
         adam_apply(
             [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
@@ -985,6 +1105,13 @@ def make_pallas_multi_epoch_fn(
     clip = float(cfg.train.grad_clip)
     k_d = int(settings.d_update_every)
     use_ema = float(settings.ema_decay) > 0.0
+    use_aug = (
+        float(settings.augment_noise) > 0.0
+        or float(settings.augment_shift) > 0.0
+        or float(settings.augment_scale) > 0.0
+    )
+    use_inoise = float(settings.instance_noise) > 0.0
+    use_stab = float(settings.stability_w) > 0.0
 
     def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
         # mirrors train.schedules.build_optimizer's schedule parameters
@@ -1034,9 +1161,50 @@ def make_pallas_multi_epoch_fn(
 
         keys = jax.random.split(key, E)
         idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
-        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]        # (T,B,W)
         par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
         met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+
+        extra_streams = ()
+        if use_aug or use_inoise or use_stab:
+            # per-step keys from the EXACT rng chain the XLA step splits
+            # (steps.py:257-259; unpack_state advances the same chain), so
+            # every stochastic stream is bitwise-identical to the XLA run
+            def _collect(r, _):
+                ks = jax.random.split(r, 9)
+                return ks[0], (ks[5], ks[6], ks[7])  # k_noise, k_aug, k_in
+
+            _, (k_noise_t, k_aug_t, k_in_t) = jax.lax.scan(
+                _collect, state.rng, None, length=T
+            )
+        if use_aug:
+            from .augment import augment_spectra
+
+            raw = ds.spectra[idx]                               # (T, B, S)
+            raw = jax.vmap(
+                lambda k, sp: augment_spectra(
+                    k, sp,
+                    noise_level=settings.augment_noise,
+                    freq_shift=settings.augment_shift,
+                    amp_scale=settings.augment_scale,
+                )
+            )(k_aug_t, raw)
+            spec_g = jnp.pad(raw, ((0, 0), (0, 0), (0, W - S)))
+        else:
+            spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]    # (T,B,W)
+        if use_inoise:
+            sig = float(settings.instance_noise)
+            inoise = jax.vmap(
+                lambda k: sig * jax.random.normal(k, (2 * B, S))
+            )(k_in_t)
+            extra_streams += (jnp.pad(inoise, ((0, 0), (0, 0), (0, W - S))),)
+        if use_stab:
+            sig = float(settings.stability_noise)
+            stab_noise = jax.vmap(
+                lambda k: sig * jax.random.normal(k, (B, S))
+            )(k_noise_t)
+            # noise on top of the (possibly augmented) spectrum stream —
+            # steps.py noises the post-augment spectra; pads stay zero
+            extra_streams += (spec_g.at[:, :, :S].add(stab_noise),)
 
         # per-OPTIMIZER counts: G and D can disagree after mixed-phase
         # histories (e.g. a d_update_every>1 phase) — and with skips, D's
@@ -1083,7 +1251,10 @@ def make_pallas_multi_epoch_fn(
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
         n_state = len(train) + len(stats)
-        aliases = {} if _NO_ALIAS else {30 + k: k for k in range(n_state)}
+        n_extra = int(use_inoise) + int(use_stab)
+        aliases = {} if _NO_ALIAS else {
+            30 + n_extra + k: k for k in range(n_state)
+        }
         _, _, plan_rs = _launch_plan(E, spe)
         kernel = _make_kernel(
             S, B, spe, settings, clip,
@@ -1092,19 +1263,15 @@ def make_pallas_multi_epoch_fn(
         )
 
         def launch(bufs, streams, n_steps, rsl):
-            spec_c, par_c, met_c, sched_c = streams
+            spec_c, par_c, met_c, sched_c, *extra_c = streams
+            row = lambda *shape: pl.BlockSpec(  # noqa: E731 — per-step block
+                (1,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
             in_specs = (
-                [
-                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    const((1, LANE)), const((1, LANE)),
-                ]
+                [row(B, W), row(B, LANE), row(B, LANE), row(1, LANE)]
+                + ([row(2 * B, W)] if use_inoise else [])
+                + ([row(B, W)] if use_stab else [])
+                + [const((1, LANE)), const((1, LANE))]
                 + [const(f.shape) for f in frozen]
                 + [const(b.shape) for b in bufs]
             )
@@ -1131,11 +1298,12 @@ def make_pallas_multi_epoch_fn(
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=100 * 2**20,
                     ))),
-            )(spec_c, par_c, met_c, sched_c, lo, hi, *frozen, *bufs)
+            )(spec_c, par_c, met_c, sched_c, *extra_c, lo, hi, *frozen, *bufs)
             return tuple(outs[:n_state]), outs[n_state]
 
         bufs, mrows = _chunked_launch(
-            launch, train + stats, (spec_g, par_g, met_g, sched), E, spe
+            launch, train + stats,
+            (spec_g, par_g, met_g, sched) + extra_streams, E, spe,
         )
         train_out = bufs[: len(train)]
         stats_out = bufs[len(train): len(train) + 2]

@@ -71,11 +71,15 @@ def test_supports_guard(cfg):
         cfg, dataclasses.replace(s, detach_forward=False)
     ) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
-    assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1))
-    # round-3: the generator EMA track is IN-envelope (VMEM-resident lerp)
+    # round-3: EMA, instance noise, augmentation, stability and window are
+    # all IN-envelope (VMEM-resident lerp / exact-key precomputed streams)
+    assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99)) is None
-    assert supports_megakernel(cfg, dataclasses.replace(s, stability_w=0.5))
-    assert supports_megakernel(cfg, dataclasses.replace(s, window_w=0.5))
+    assert supports_megakernel(cfg, dataclasses.replace(s, stability_w=0.5)) is None
+    assert supports_megakernel(cfg, dataclasses.replace(s, window_w=0.5)) is None
+    assert supports_megakernel(
+        cfg, dataclasses.replace(s, augment_noise=0.05, augment_shift=0.02)
+    ) is None
     # round-3 envelope extension: the program-phase knobs are IN
     assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, d_update_every=3)) is None
@@ -724,6 +728,68 @@ def test_megakernel_d_update_every(cfg):
     assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count) == 2
     assert int(st_p.d_opt[1][1].count) == 2
     assert int(st_p.g_opt[1][0].count) == 4
+
+
+@pytest.mark.slow
+def test_megakernel_window_loss(cfg):
+    """window_w (unified_trainer.py:240-256 semantics as invoked by
+    steps.py): batch-SUM resonance-window penalty on f1; gradient reaches
+    G only through F (non-detach)."""
+    s = StepSettings.from_config(cfg, window_w=0.5, detach_forward=False)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+    # detach mode: the loss VALUE still enters g_loss, gradient does not
+    s_d = StepSettings.from_config(cfg, window_w=0.5)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s_d)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+
+
+@pytest.mark.slow
+def test_megakernel_stability_loss(cfg):
+    """stability_w: noise stream precomputed from the EXACT XLA key chain
+    (k_noise of the 9-way split), second G pass + hand adjoint through
+    both branches of the MSE."""
+    s = StepSettings.from_config(cfg, stability_w=0.8)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+
+
+@pytest.mark.slow
+def test_megakernel_instance_noise_and_augment(cfg):
+    """instance_noise (D-input spectrum noise, steps.py:295-298) and data
+    augmentation (applied to the spectrum stream outside the kernel):
+    both use bitwise-identical key chains, so parity is exact."""
+    s = StepSettings.from_config(cfg, instance_noise=0.05)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+    s_a = StepSettings.from_config(
+        cfg, augment_noise=0.05, augment_shift=0.02, augment_scale=0.1
+    )
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s_a)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+
+
+@pytest.mark.slow
+def test_megakernel_optimized_overlay_combo(cfg):
+    """The OptimizedTrainer overlay's full knob set (instance noise +
+    stability + window + constraint) runs in ONE kernel with XLA parity —
+    every reference trainer variant's loss surface is now in-envelope."""
+    s = StepSettings.from_config(
+        cfg, instance_noise=0.05, stability_w=0.3, window_w=0.2,
+        constraint_w=1.0, detach_forward=False,
+    )
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
 
 
 @pytest.mark.slow
