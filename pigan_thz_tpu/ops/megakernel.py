@@ -31,7 +31,8 @@ train.steps.make_pigan_step) with the baseline MLP trio:
   hand adjoint), resonance-window loss — whose noise streams are
   precomputed OUTSIDE the kernel from the exact per-step rng chain the
   XLA step splits, making parity bitwise in the inputs.  Still XLA-only:
-  WGAN-GP and kl_w (`supports_megakernel` guards the exact envelope).
+  WGAN-GP (`supports_megakernel` guards the exact envelope; kl_w is
+  identically zero on both backends).
 
 Measured on v5e-1 (60k-step runs, device_get sync; RESULTS.md table):
 16.7 us/step detached / 19.0 us through-F vs 41.9 / 45.3 for the best XLA
@@ -109,8 +110,9 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return "gan_loss is not bce"
     if s.d_update_every < 1:
         return "d_update_every < 1"
-    if s.kl_w:
-        return "kl_w != 0"
+    # kl_w needs no in-kernel support: bnn_kl_loss is identically zero
+    # (ops/losses.py:105-107, loss.py:129-147 parity), so kl_w * 0
+    # contributes nothing on either backend.
     return None
 
 

@@ -80,6 +80,8 @@ def test_supports_guard(cfg):
     assert supports_megakernel(
         cfg, dataclasses.replace(s, augment_noise=0.05, augment_shift=0.02)
     ) is None
+    # kl_w is identically zero on both backends -> trivially in-envelope
+    assert supports_megakernel(cfg, dataclasses.replace(s, kl_w=1.0)) is None
     # round-3 envelope extension: the program-phase knobs are IN
     assert supports_megakernel(cfg, dataclasses.replace(s, constraint_w=1.0)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, d_update_every=3)) is None
