@@ -30,9 +30,12 @@ train.steps.make_pigan_step) with the baseline MLP trio:
   D-input instance noise, input-noise stability loss (second G pass with
   hand adjoint), resonance-window loss — whose noise streams are
   precomputed OUTSIDE the kernel from the exact per-step rng chain the
-  XLA step splits, making parity bitwise in the inputs.  Still XLA-only:
-  WGAN-GP (`supports_megakernel` guards the exact envelope; kl_w is
-  identically zero on both backends).
+  XLA step splits, making parity bitwise in the inputs; and WGAN-GP with
+  a hand-derived SECOND-order backward for the gradient penalty (the
+  leaky-relu masks are piecewise constant, so grad-of-grad holds them
+  fixed — identical to XLA autodiff).  The FULL StepSettings surface is
+  in-envelope; `supports_megakernel` now guards only model/config shape
+  (baseline MLP trio, default dims/slopes, clip > 0, batch % 8).
 
 Measured on v5e-1 (60k-step runs, device_get sync; RESULTS.md table):
 16.7 us/step detached / 19.0 us through-F vs 41.9 / 45.3 for the best XLA
@@ -106,8 +109,8 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
     if cfg.train.batch_size % 8 != 0:
         return "batch_size not a multiple of 8 (TPU sublane tiling)"
     s = settings
-    if s.gan_loss != "bce":
-        return "gan_loss is not bce"
+    if s.gan_loss not in ("bce", "wgan_gp"):
+        return f"gan_loss {s.gan_loss!r} unsupported"
     if s.d_update_every < 1:
         return "d_update_every < 1"
     # kl_w needs no in-kernel support: bnn_kl_loss is identically zero
@@ -489,6 +492,8 @@ def _make_kernel(
     # inputs — the kernel just consumes extra streamed operands.
     use_inoise = float(settings.instance_noise) > 0.0
     use_stab = float(settings.stability_w) > 0.0
+    wgan = settings.gan_loss == "wgan_gp"
+    w_gp = float(settings.gp_weight)
     w_stab = float(settings.stability_w)
     w_window = float(settings.window_w)
     # physics_window_loss defaults as invoked by steps.py:443-447
@@ -529,6 +534,7 @@ def _make_kernel(
         spec_ref, par_ref, met_ref, sched_ref = (next(it) for _ in range(4))
         inoise_ref = next(it) if use_inoise else None
         stab_ref = next(it) if use_stab else None
+        eps_ref = next(it) if wgan else None
         lo_ref, hi_ref = next(it), next(it)
         frozen = [next(it) for _ in range(24)]
         for _ in range(n_state):   # aliased state inputs; use output refs
@@ -618,16 +624,50 @@ def _make_kernel(
         zf = mm(h2, d_w3[0]) + d_b3[0]                        # (2B, LANE)
         z = zf[:, 0:1]
         row = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
-        labels = jnp.where(row < B, lab_r, lab_f)
-        d_loss = 2.0 * jnp.mean(
-            jnp.maximum(z, 0.0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
-        )
         probs = jax.nn.sigmoid(z)
         d_acc = 0.5 * (
             jnp.mean((probs[:B] > 0.5).astype(jnp.float32))
             + jnp.mean((probs[B:] <= 0.5).astype(jnp.float32))
         )
-        dz = 2.0 * (probs - labels) / (2.0 * B)               # (2B, 1)
+        if wgan:
+            # Wasserstein critic loss + gradient penalty (steps.py:311-337)
+            wass = jnp.mean(z[B:]) - jnp.mean(z[:B])
+            # ---- GP forward: critic gradient w.r.t. its INPUT at
+            # (clean spectra, eps-interpolated params).  With leaky-relu,
+            # grad_x z = W1 (m1 . (W2 (m2 . w3))) with the masks m
+            # piecewise-constant — XLA's autodiff also treats them as
+            # constants (relu'' = 0 a.e.), so the hand second-order
+            # backward below matches exactly.
+            eps = eps_ref[0][:, 0:1]                           # (B, 1)
+            interp4 = eps * params_phys + (1.0 - eps) * pphys[:, 0:4]
+            xg_in = spectra + place_params(interp4)            # (B, W)
+            p1g = mm(xg_in, d_w1[0]) + d_b1[0]
+            m1g = leaky_mask(p1g)
+            h1g = jnp.where(p1g >= 0.0, p1g, _SLOPE * p1g)
+            p2g = mm(h1g, d_w2[0]) + d_b2[0]
+            m2g = leaky_mask(p2g)
+            # w3 column 0 as a row vector (Mosaic-safe 1x256 transpose
+            # via a tiny contraction)
+            w3row = dotT1(jnp.ones((1, 1), jnp.float32), d_w3[0][:, 0:1])
+            v = m2g * w3row                                    # (B, 256)
+            u = dotT1(v, d_w2[0])                              # (B, 512)
+            a_m = m1g * u
+            gvec = dotT1(a_m, d_w1[0])                         # (B, W); pads 0
+            gn = jnp.sqrt(
+                jnp.sum(gvec * gvec, axis=1, keepdims=True) + 1e-12
+            )
+            gp = jnp.sum((gn - 1.0) ** 2) / B
+            # skip steps report the critic loss WITHOUT the gp term
+            # (steps.py d_skip_branch); d_gate is 1.0 on update steps
+            d_loss = wass + w_gp * d_gate * gp
+            dz = jnp.where(row < B, -1.0, 1.0) / B             # (2B, 1)
+        else:
+            labels = jnp.where(row < B, lab_r, lab_f)
+            d_loss = 2.0 * jnp.mean(
+                jnp.maximum(z, 0.0) - z * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            )
+            dz = 2.0 * (probs - labels) / (2.0 * B)            # (2B, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (2 * B, LANE), 1)
         dzf = jnp.where(lane == 0, dz, 0.0)                   # (2B, LANE)
         dWd3 = dotT0(h2, dzf)
@@ -640,6 +680,23 @@ def _make_kernel(
         dp1 = dh1 * leaky_mask(p1)
         dWd1 = dotT0(x0, dp1)
         dbd1 = csum(dp1)
+        if wgan:
+            # ---- GP backward (second-order, masks constant): gp depends
+            # on W1 (twice: through gvec's outer factor and through a_m's
+            # inner chain), W2, and w3 — never on the biases (autodiff
+            # agrees: the mask derivative is zero)
+            c = w_gp * 2.0 * (gn - 1.0) / (B * gn)             # (B, 1)
+            Gt = c * gvec                                      # (B, W)
+            dA = mm(Gt, d_w1[0])                               # (B, 512)
+            dU = m1g * dA
+            dV = mm(dU, d_w2[0])                               # (B, 256)
+            one0 = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1) == 0,
+                1.0, 0.0,
+            )
+            dWd1 = dWd1 + dotT0(Gt, a_m)
+            dWd2 = dWd2 + dotT0(dU, v)
+            dWd3 = dWd3 + dotT0(dV * m2g, one0)
         adam_apply(
             [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
@@ -653,10 +710,14 @@ def _make_kernel(
         q2 = mm(hg1, d_w2[0]) + d_b2[0]
         hg2 = jnp.where(q2 >= 0.0, q2, _SLOPE * q2)
         zg = (mm(hg2, d_w3[0]) + d_b3[0])[:, 0:1]             # (B, 1)
-        adv = jnp.mean(
-            jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
-        )
-        dzg = (jax.nn.sigmoid(zg) - 1.0) / B
+        if wgan:
+            adv = -jnp.mean(zg)                                # steps.py:397
+            dzg = jnp.full((B, 1), -1.0 / B)
+        else:
+            adv = jnp.mean(
+                jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
+            )
+            dzg = (jax.nn.sigmoid(zg) - 1.0) / B
         dhg2 = dotT1(dzg, d_w3[0][:, 0:1])
         dq2 = dhg2 * leaky_mask(q2)
         dhg1 = dotT1(dq2, d_w2[0])
@@ -1114,6 +1175,7 @@ def make_pallas_multi_epoch_fn(
     )
     use_inoise = float(settings.instance_noise) > 0.0
     use_stab = float(settings.stability_w) > 0.0
+    wgan = settings.gan_loss == "wgan_gp"
 
     def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
         # mirrors train.schedules.build_optimizer's schedule parameters
@@ -1167,15 +1229,16 @@ def make_pallas_multi_epoch_fn(
         met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
 
         extra_streams = ()
-        if use_aug or use_inoise or use_stab:
+        if use_aug or use_inoise or use_stab or wgan:
             # per-step keys from the EXACT rng chain the XLA step splits
             # (steps.py:257-259; unpack_state advances the same chain), so
             # every stochastic stream is bitwise-identical to the XLA run
             def _collect(r, _):
                 ks = jax.random.split(r, 9)
-                return ks[0], (ks[5], ks[6], ks[7])  # k_noise, k_aug, k_in
+                # k_noise, k_aug, k_in, k_gp
+                return ks[0], (ks[5], ks[6], ks[7], ks[8])
 
-            _, (k_noise_t, k_aug_t, k_in_t) = jax.lax.scan(
+            _, (k_noise_t, k_aug_t, k_in_t, k_gp_t) = jax.lax.scan(
                 _collect, state.rng, None, length=T
             )
         if use_aug:
@@ -1207,6 +1270,12 @@ def make_pallas_multi_epoch_fn(
             # noise on top of the (possibly augmented) spectrum stream —
             # steps.py noises the post-augment spectra; pads stay zero
             extra_streams += (spec_g.at[:, :, :S].add(stab_noise),)
+        if wgan:
+            # GP interpolation coefficients (steps.py:316) in lane 0
+            eps_t = jax.vmap(
+                lambda k: jax.random.uniform(k, (B, 1))
+            )(k_gp_t)
+            extra_streams += (jnp.pad(eps_t, ((0, 0), (0, 0), (0, LANE - 1))),)
 
         # per-OPTIMIZER counts: G and D can disagree after mixed-phase
         # histories (e.g. a d_update_every>1 phase) — and with skips, D's
@@ -1253,7 +1322,7 @@ def make_pallas_multi_epoch_fn(
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
         n_state = len(train) + len(stats)
-        n_extra = int(use_inoise) + int(use_stab)
+        n_extra = int(use_inoise) + int(use_stab) + int(wgan)
         aliases = {} if _NO_ALIAS else {
             30 + n_extra + k: k for k in range(n_state)
         }
@@ -1273,6 +1342,7 @@ def make_pallas_multi_epoch_fn(
                 [row(B, W), row(B, LANE), row(B, LANE), row(1, LANE)]
                 + ([row(2 * B, W)] if use_inoise else [])
                 + ([row(B, W)] if use_stab else [])
+                + ([row(B, LANE)] if wgan else [])
                 + [const((1, LANE)), const((1, LANE))]
                 + [const(f.shape) for f in frozen]
                 + [const(b.shape) for b in bufs]

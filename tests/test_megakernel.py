@@ -70,9 +70,11 @@ def test_supports_guard(cfg):
     assert supports_megakernel(                       # both detach modes OK
         cfg, dataclasses.replace(s, detach_forward=False)
     ) is None
-    assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp"))
-    # round-3: EMA, instance noise, augmentation, stability and window are
-    # all IN-envelope (VMEM-resident lerp / exact-key precomputed streams)
+    # round-3: WGAN-GP, EMA, instance noise, augmentation, stability and
+    # window are all IN-envelope (hand second-order backward / VMEM lerp /
+    # exact-key precomputed streams) — the FULL StepSettings surface
+    assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="wgan_gp")) is None
+    assert supports_megakernel(cfg, dataclasses.replace(s, gan_loss="hinge"))
     assert supports_megakernel(cfg, dataclasses.replace(s, instance_noise=0.1)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, ema_decay=0.99)) is None
     assert supports_megakernel(cfg, dataclasses.replace(s, stability_w=0.5)) is None
@@ -792,6 +794,25 @@ def test_megakernel_optimized_overlay_combo(cfg):
     _assert_metric_parity(m_x, m_p)
     _assert_param_parity(st_x, st_p)
     _assert_grad_parity(cfg, s)
+
+
+@pytest.mark.slow
+def test_megakernel_wgan_gp(cfg):
+    """gan_loss='wgan_gp': Wasserstein critic loss + gradient penalty with
+    a HAND-DERIVED second-order backward (leaky-relu masks are piecewise
+    constant, so grad-of-grad keeps them fixed — exactly what XLA's
+    autodiff computes).  eps stream from the exact k_gp chain."""
+    s = StepSettings.from_config(cfg)
+    s = dataclasses.replace(s, gan_loss="wgan_gp", gp_weight=10.0)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    _assert_grad_parity(cfg, s)
+    # skip-gated: the reported critic loss omits gp on skip steps
+    s2 = dataclasses.replace(s, d_update_every=2)
+    st_x, m_x, st_p, m_p = _setup2(cfg, 128, s2)
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
 
 
 @pytest.mark.slow
