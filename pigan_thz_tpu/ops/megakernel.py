@@ -1800,3 +1800,128 @@ def make_pallas_forward_epoch_fn(
         return new_state, metrics
 
     return multi_epoch
+
+
+def make_pallas_forward_subepoch_fn(
+    cfg: PiGanConfig, fsettings, *, lr: float | None = None,
+    total_epochs: int | None = None, interpret: bool = False,
+):
+    """Forward-pretrain driver for steps_per_epoch > _FWD_MAX_TOTAL.
+
+    The forward kernel's Mosaic bound is per-PROGRAM (decomposing a
+    program into smaller launches does NOT help — see the _FWD_MAX_TOTAL
+    note), so large datasets cannot run an epoch as one jitted program.
+    This driver runs each epoch as spe/L separate jitted calls of L steps
+    each (L = largest divisor of spe within the bound), chained from
+    Python — chained calls are the hardware-proven-clean pattern.  Same
+    contract as make_pallas_forward_epoch_fn; per-epoch metric rows are
+    the sums of the calls' partial rows (the kernel divides by the TRUE
+    steps_per_epoch).  Dispatch is async, so per-call overhead is one
+    host enqueue, not a device round trip."""
+    reason = supports_forward_megakernel(cfg)
+    if reason is not None:
+        raise ValueError(f"forward megakernel unsupported here: {reason}")
+    S = cfg.data.spectrum_dim
+    B = cfg.train.batch_size
+    W = _up(S + 4)
+    clip = float(cfg.train.grad_clip)
+    base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
+    horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def sub_call(state, ds, key_e, seed_key, offset):
+        N = ds.spectra.shape[0]
+        spe = max(1, N // B)
+        L = _largest_divisor(spe, _FWD_MAX_TOTAL)
+        sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
+        idx_full = epoch_indices(key_e, N, B)                  # (spe, B)
+        idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
+        par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
+        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
+        met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+        t0 = state.opt[1][0].count
+        t = t0 + jnp.arange(L)
+        tf = (t + 1).astype(jnp.float32)
+        sched = jnp.stack([
+            sched_fn(t),
+            1.0 / (1.0 - jnp.power(0.9, tf)),
+            1.0 / (1.0 - jnp.power(_B2, tf)),
+        ] + [jnp.zeros((L,), jnp.float32)] * (LANE - 3), axis=1).reshape(L, 1, LANE)
+        seeds = jax.random.randint(
+            seed_key, (L, 1, LANE), 0, 2**31 - 1, jnp.int32
+        )
+        train = pack_forward_state(state, S)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        row3 = lambda: pl.BlockSpec(  # noqa: E731
+            (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
+        kernel = _make_forward_kernel(
+            S, B, spe, fsettings, clip,
+            dropout_rate=cfg.forward_model.dropout_rate,
+            bf16=cfg.train.compute_dtype == "bfloat16",
+            row_steps=L,
+        )
+        in_specs = (
+            [
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                row3(), row3(),
+            ]
+            + [const(b.shape) for b in train]
+        )
+        out_specs = (
+            [const(b.shape) for b in train]
+            + [pl.BlockSpec((1, 1, LANE), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
+            + [jax.ShapeDtypeStruct((1, 1, LANE), jnp.float32)]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(L,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20,
+                ))),
+        )(par_g, spec_g, met_g, sched, seeds, *train)
+        new_state = unpack_forward_state(state, list(outs[:-1]), L, S)
+        return new_state, outs[-1][0, 0]                       # (LANE,)
+
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        E = int(scales.shape[0])
+        N = int(ds.spectra.shape[0])
+        spe = max(1, N // B)
+        L = _largest_divisor(spe, _FWD_MAX_TOTAL)
+        n_sub = spe // L
+        keys = jax.random.split(key, E)
+        rows = []
+        for e in range(E):
+            acc = None
+            for j in range(n_sub):
+                skey = jax.random.fold_in(keys[e], 0x5EED + j)
+                state, mrow = sub_call(
+                    state, ds, keys[e], skey, jnp.int32(j * L)
+                )
+                acc = mrow if acc is None else acc + mrow
+            rows.append(acc)
+        mets = jnp.stack(rows)                                 # (E, LANE)
+        return state, {
+            k: mets[:, j] for j, k in enumerate(FWD_METRIC_KEYS)
+        }
+
+    multi_epoch.sub_epoch = True  # Trainer: skip the per-call chunk clamp
+    return multi_epoch

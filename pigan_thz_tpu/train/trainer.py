@@ -224,15 +224,30 @@ class Trainer:
             return None
         from ..ops.megakernel import (
             _FWD_MAX_TOTAL,
+            _largest_divisor,
+            _MIN_SUB_LAUNCH,
             make_pallas_forward_epoch_fn,
+            make_pallas_forward_subepoch_fn,
             supports_forward_megakernel,
         )
 
         reason = supports_forward_megakernel(self.cfg)
+        sub = False
         if reason is None and self.steps_per_epoch > _FWD_MAX_TOTAL:
-            # the forward kernel's per-PROGRAM grid bound (tighter than the
-            # GAN kernel's per-launch cap; see megakernel._FWD_MAX_TOTAL)
-            reason = f"steps_per_epoch {self.steps_per_epoch} > grid bound"
+            # the forward kernel's per-PROGRAM grid bound (tighter than
+            # the GAN kernel's per-launch cap; _FWD_MAX_TOTAL note):
+            # large datasets drive each epoch as chained sub-epoch jitted
+            # calls (round 3) when spe has a usable divisor, else XLA
+            if (
+                _largest_divisor(self.steps_per_epoch, _FWD_MAX_TOTAL)
+                >= _MIN_SUB_LAUNCH
+            ):
+                sub = True
+            else:
+                reason = (
+                    f"steps_per_epoch {self.steps_per_epoch} > grid bound "
+                    f"with no sub-epoch call divisor >= {_MIN_SUB_LAUNCH}"
+                )
         on_tpu = jax.default_backend() == "tpu"
         if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
             # interpret mode has no TPU PRNG for the dropout masks
@@ -244,7 +259,11 @@ class Trainer:
         cache_key = ("fwd-mega", settings, lr, epochs if lr is not None else None)
         if cache_key not in self._epoch_fns:
             self._log_always("megakernel engaged for forward pretrain")
-            self._epoch_fns[cache_key] = make_pallas_forward_epoch_fn(
+            factory = (
+                make_pallas_forward_subepoch_fn if sub
+                else make_pallas_forward_epoch_fn
+            )
+            self._epoch_fns[cache_key] = factory(
                 self.cfg, settings,
                 lr=lr, total_epochs=epochs if lr is not None else None,
                 interpret=not on_tpu,
@@ -388,10 +407,11 @@ class Trainer:
         stop = False
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
-            if mega_active:
+            if mega_active and not getattr(multi_epoch, "sub_epoch", False):
                 # forward kernel: one launch per jitted program, total grid
                 # <= _FWD_MAX_TOTAL (Mosaic corrupts above it; chained
-                # separate calls are proven clean — megakernel.py note)
+                # separate calls are proven clean — megakernel.py note).
+                # The sub-epoch driver enforces the bound internally.
                 from ..ops.megakernel import _FWD_MAX_TOTAL
 
                 chunk = min(

@@ -290,6 +290,55 @@ def test_forward_megakernel_parity(cfg, fset):
 
 
 @pytest.mark.slow
+def test_forward_subepoch_driver_parity(cfg, monkeypatch):
+    """Sub-epoch forward driver (round 3, spe above the per-PROGRAM grid
+    bound): each epoch runs as spe/L chained jitted calls of L steps;
+    partial metric rows sum to the exact per-epoch means and the state
+    matches the one-program megakernel AND the XLA trajectory.  The bound
+    is monkeypatched small so interpret mode stays cheap (spe=8 -> two
+    calls of 4 steps per epoch)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.ops.megakernel import make_pallas_forward_subepoch_fn
+    from pigan_thz_tpu.train import ForwardStepSettings
+
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=512),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    fset = ForwardStepSettings()
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size   # 8
+    _, _, f_tx = make_optimizers(cfg, spe)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    st_b = jax.tree.map(jnp.copy, st)
+    xla = make_multi_epoch_fn(make_forward_step(f, f_tx, fset),
+                              cfg.train.batch_size, with_scale=False, unroll=1)
+    monkeypatch.setattr(MK, "_FWD_MAX_TOTAL", 4)   # spe=8 -> L=4, 2 calls
+    sub = make_pallas_forward_subepoch_fn(cfg, fset, interpret=True)
+    assert getattr(sub, "sub_epoch", False)
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    st_x, m_x = xla(st, ds, key, ones)
+    st_p, m_p = sub(st_b, ds, key, ones)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, err_msg=k
+        )
+    assert int(st_p.step) == int(st_x.step) == 16
+    assert bool(jnp.all(st_p.rng == st_x.rng))
+    assert int(st_p.opt[1][0].count) == int(st_x.opt[1][0].count) == 16
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.f.params)[0],
+        jax.tree.leaves(st_p.f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=5e-4,
+            err_msg=_leafname(path),
+        )
+
+
+@pytest.mark.slow
 def test_forward_megakernel_dropout_runs(cfg):
     """With dropout on, the kernel draws masks from the hardware PRNG —
     check the training trajectory is healthy (loss decreases) even though
