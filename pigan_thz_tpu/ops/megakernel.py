@@ -383,7 +383,12 @@ _MAX_PROGRAM_GRID = 1500
 # multi-launch cap, an epoch is decomposed into launches of the largest
 # divisor of spe that fits (_launch_plan).  Datasets whose spe has no
 # divisor >= this floor (e.g. prime spe) would degrade to near-per-step
-# launches, where launch overhead dominates — they use the XLA path.
+# launches, where launch overhead dominates — instead each epoch is
+# PADDED to the nearest step count with a divisor in
+# [_MIN_SUB_LAUNCH, cap] and the tail steps are gated into no-ops via
+# the sched stream's `live` lane (zero update, zero metric contribution),
+# keeping every launch uniform.  GAN kernel only; the forward kernel's
+# per-program bound already forces chained single-launch calls.
 _MIN_SUB_LAUNCH = 8
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
@@ -397,11 +402,11 @@ def _largest_divisor(n: int, cap: int) -> int:
     return 1
 
 
-def _launch_plan(E: int, spe: int) -> tuple[int, int, int]:
-    """(launch_steps, n, row_steps): E epochs (T = E*spe grid steps)
-    decompose into n IDENTICAL launches of launch_steps grid steps each;
-    row_steps is the metric-row granularity (divides both launch_steps and
-    spe, so a metric row never straddles a launch or an epoch).
+def _launch_plan(E: int, spe: int) -> tuple[int, int, int, int]:
+    """(launch_steps, n, row_steps, spe_pad): E epochs decompose into n
+    IDENTICAL launches of launch_steps grid steps each; row_steps is the
+    metric-row granularity (divides both launch_steps and spe_pad, so a
+    metric row never straddles a launch or an epoch).
 
     A single launch may use up to _MAX_GRID grid steps (proven clean);
     multi-launch programs cap each launch at the tighter _MAX_GRID_MULTI
@@ -410,16 +415,56 @@ def _launch_plan(E: int, spe: int) -> tuple[int, int, int]:
     each EPOCH decomposes into uniform SUB-EPOCH launches of the largest
     divisor of spe that fits; metric rows then cover row_steps < spe steps
     and _chunked_launch sums them into per-epoch rows.  This lifts the
-    megakernel's former spe <= 120 dataset boundary (round 3)."""
+    megakernel's former spe <= 120 dataset boundary (round 3).
+
+    spe_pad > spe marks a GATED plan (spe with no usable divisor, e.g.
+    prime): each epoch is padded to spe_pad grid steps — the smallest
+    count with a sub-launch divisor in [_MIN_SUB_LAUNCH, cap] — and the
+    padded tail steps are streamed with a zero `live` gate that turns
+    them into complete no-ops (no param/moment/BN/EMA update, zero metric
+    contribution).  Every launch keeps one uniform, proven-clean shape;
+    the overhead is (spe_pad - spe)/spe wasted compute, typically <= 2%
+    (a divisor-rich count is never far above spe)."""
     T = E * spe
     if T <= _MAX_GRID:
-        return T, 1, spe
+        return T, 1, spe, spe
     cap = min(_MAX_GRID, _MAX_GRID_MULTI)
     if spe <= cap:
         inner = _largest_divisor(E, max(1, cap // spe))
-        return inner * spe, E // inner, spe
+        return inner * spe, E // inner, spe, spe
     L = _largest_divisor(spe, cap)
-    return L, T // L, L
+    floor = min(_MIN_SUB_LAUNCH, cap)  # caps may be test-shrunk below it
+    if L >= floor:
+        return L, T // L, L, spe
+    best_L, best_pad = 1, None
+    for Lc in range(cap, floor - 1, -1):
+        pad = (-spe) % Lc
+        if best_pad is None or pad < best_pad:
+            best_L, best_pad = Lc, pad
+    spe_pad = spe + best_pad
+    return best_L, E * spe_pad // best_L, best_L, spe_pad
+
+
+def _fwd_sub_plan(spe: int) -> tuple[int, int]:
+    """(call_steps, spe_pad) for the forward SUB-EPOCH driver: each epoch
+    runs as spe_pad/call_steps chained jitted calls (the forward kernel's
+    Mosaic bound is per PROGRAM, so each call is one launch of call_steps
+    <= _FWD_MAX_TOTAL).  Divisor-less spe (e.g. prime) pads to the nearest
+    count with a divisor in [_MIN_SUB_LAUNCH, _FWD_MAX_TOTAL]; the tail
+    call's padded steps are gated no-ops exactly like the GAN kernel's
+    gated plans (_launch_plan)."""
+    if spe <= _FWD_MAX_TOTAL:
+        return spe, spe
+    L = _largest_divisor(spe, _FWD_MAX_TOTAL)
+    floor = min(_MIN_SUB_LAUNCH, _FWD_MAX_TOTAL)  # caps may be test-shrunk
+    if L >= floor:
+        return L, spe
+    best_L, best_pad = 1, None
+    for Lc in range(_FWD_MAX_TOTAL, floor - 1, -1):
+        pad = (-spe) % Lc
+        if best_pad is None or pad < best_pad:
+            best_L, best_pad = Lc, pad
+    return best_L, spe + best_pad
 
 
 def _chunked_launch(launch, bufs, streams, E: int, spe: int):
@@ -439,21 +484,30 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int):
 
     With sub-epoch launches (row_steps < spe) each launch emits partial
     metric rows (epoch-mean contributions: the kernel divides by the TRUE
-    steps_per_epoch) which are summed into per-epoch rows here."""
-    ls, n, rs = _launch_plan(E, spe)
+    steps_per_epoch) which are summed into per-epoch rows here.  On a
+    gated plan (spe_pad > spe) the caller streams E*spe_pad padded steps;
+    padded rows contribute exact zeros, so the per-epoch sums are
+    unchanged."""
+    ls, n, rs, spe_pad = _launch_plan(E, spe)
+    if spe_pad != spe and streams[0].shape[0] == E * spe:
+        # caller streams are ungated (forward path, interpret-mode only:
+        # the hardware forward driver never exceeds one launch/program):
+        # fall back to exact-divisor decomposition, possibly per-step
+        ls = rs = _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
+        n, spe_pad = E * spe // ls, spe
     xs = tuple(s.reshape((n, ls) + s.shape[1:]) for s in streams)
     bufs, mets = jax.lax.scan(
         lambda carry, x: launch(carry, x, ls, rs), tuple(bufs), xs
     )
     mets = mets.reshape((-1,) + mets.shape[2:])
-    if not _DEBUG_PER_STEP and rs != spe:
-        mets = mets.reshape((E, spe // rs) + mets.shape[1:]).sum(axis=1)
+    if not _DEBUG_PER_STEP and rs != spe_pad:
+        mets = mets.reshape((E, spe_pad // rs) + mets.shape[1:]).sum(axis=1)
     return list(bufs), mets
 
 
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
-    bf16: bool = False, row_steps: int | None = None,
+    bf16: bool = False, row_steps: int | None = None, padded: bool = False,
 ):
     """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
     tensor) lerped after each G update, VMEM-resident like the params.
@@ -554,6 +608,11 @@ def _make_kernel(
         inv2_d = sched_row[0, 5]
         d_gate = sched_row[0, 6]   # 1.0 on D-update steps (d_update_every)
         c_scale = sched_row[0, 7]  # per-epoch constraint annealing scale
+        # gated launch padding (spe_pad > spe): 0.0 on padded tail steps —
+        # every state update below is skipped and the metric row zeroed,
+        # so a padded step is a complete no-op (lane 6 is also 0 there,
+        # gating D through the d_gate path)
+        live = sched_row[0, 8] if padded else None
 
         spectra = spec_ref[0]          # (B, W), cols >= S are zero
         params_phys = par_ref[0][:, 0:4]
@@ -701,7 +760,7 @@ def _make_kernel(
             [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
             lr_d, inv1_d, inv2_d,
-            gate=d_gate if gate_d else None,
+            gate=d_gate if (gate_d or padded) else None,
         )
 
         # ---- G phase: adversarial pass through the JUST-UPDATED D --------
@@ -1080,6 +1139,7 @@ def _make_kernel(
             [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
             lr_g, inv1_g, inv2_g,
+            gate=live,
         )
 
         if ema:
@@ -1089,13 +1149,21 @@ def _make_kernel(
             g_bufs = (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2,
                       g_bet2, g_w3, g_b3)
             for eref, gref in zip(ema_bufs, g_bufs):
-                eref[0] = mu_ema * eref[0] + (1.0 - mu_ema) * gref[0]
+                lerped = mu_ema * eref[0] + (1.0 - mu_ema) * gref[0]
+                eref[0] = (
+                    lerped if not padded
+                    else jnp.where(live > 0.0, lerped, eref[0])
+                )
 
         # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
-        st1[0] = _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1
-        st1[1] = _BN_MOM * st1[1] + (1.0 - _BN_MOM) * var1
-        st2[0] = _BN_MOM * st2[0] + (1.0 - _BN_MOM) * mu2
-        st2[1] = _BN_MOM * st2[1] + (1.0 - _BN_MOM) * var2
+        upd = (
+            (lambda ref, j, x: x) if not padded
+            else (lambda ref, j, x: jnp.where(live > 0.0, x, ref[j]))
+        )
+        st1[0] = upd(st1, 0, _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1)
+        st1[1] = upd(st1, 1, _BN_MOM * st1[1] + (1.0 - _BN_MOM) * var1)
+        st2[0] = upd(st2, 0, _BN_MOM * st2[0] + (1.0 - _BN_MOM) * mu2)
+        st2[1] = upd(st2, 1, _BN_MOM * st2[1] + (1.0 - _BN_MOM) * var2)
 
         # ---- per-epoch metric means --------------------------------------
         vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
@@ -1116,6 +1184,9 @@ def _make_kernel(
         mrow = jnp.zeros((1, LANE), jnp.float32)
         for k, v in enumerate(vals):
             mrow = jnp.where(mlane1 == k, v, mrow)
+        if padded:
+            # padded tail steps contribute exact zeros to the epoch row
+            mrow = mrow * live
         if _DEBUG_PER_STEP:
             metrics_ref[0] = mrow
             return
@@ -1196,18 +1267,20 @@ def make_pallas_multi_epoch_fn(
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
-        if (
-            spe > _MAX_GRID
-            and _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
-            < _MIN_SUB_LAUNCH
-        ):
-            raise ValueError(
-                f"steps_per_epoch={spe} exceeds the per-launch grid cap "
-                f"{_MAX_GRID} and has no uniform sub-epoch launch divisor "
-                f">= {_MIN_SUB_LAUNCH}; use the XLA path — Trainer's auto "
-                "mode does this itself"
-            )
         T = E * spe
+        # divisor-less spe (e.g. prime) pads each epoch to spe_pad gated
+        # steps (see _launch_plan) — streams gain zero-filled tail slots
+        # per epoch and the sched stream carries a `live` lane the kernel
+        # gates every state update and metric contribution on
+        _, _, plan_rs, spe_pad = _launch_plan(E, spe)
+        pad = spe_pad - spe
+
+        def _pad_steps(x):
+            if pad == 0:
+                return x
+            x = x.reshape((E, spe) + x.shape[1:])
+            widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+            return jnp.pad(x, widths).reshape((E * spe_pad,) + x.shape[2:])
         if g_overridden:
             g_sched = _mk_sched(
                 schedule_g or "cosine",
@@ -1294,7 +1367,7 @@ def make_pallas_multi_epoch_fn(
         td = d_count + upd_before
         tgf = (tg + 1).astype(jnp.float32)
         tdf = (td + 1).astype(jnp.float32)
-        sched = jnp.stack([
+        lanes = [
             g_sched(tg), d_sched(td),
             1.0 / (1.0 - jnp.power(_B1, tgf)),
             1.0 / (1.0 - jnp.power(_B2, tgf)),
@@ -1302,8 +1375,17 @@ def make_pallas_multi_epoch_fn(
             1.0 / (1.0 - jnp.power(_B2, tdf)),
             d_mask,
             jnp.repeat(scales.astype(jnp.float32), spe),
-        ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 8), axis=1)
-        sched = sched.reshape(T, 1, LANE)  # unit middle axis: TPU block
+            jnp.ones((T,), jnp.float32),   # `live` gate (0 on padded tail)
+        ]
+        # zero-pad every lane per epoch: padded steps get lr/inv/d_mask/
+        # live all 0 — the kernel's gated updates never consume them
+        lanes = [_pad_steps(v) for v in lanes]
+        Tp = E * spe_pad
+        sched = jnp.stack(
+            lanes + [jnp.zeros((Tp,), jnp.float32)] * (LANE - len(lanes)),
+            axis=1,
+        )
+        sched = sched.reshape(Tp, 1, LANE)  # unit middle axis: TPU block
         # shapes need the last two dims (8,128)-divisible or array-equal
 
         lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
@@ -1326,11 +1408,10 @@ def make_pallas_multi_epoch_fn(
         aliases = {} if _NO_ALIAS else {
             30 + n_extra + k: k for k in range(n_state)
         }
-        _, _, plan_rs = _launch_plan(E, spe)
         kernel = _make_kernel(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=plan_rs,
+            row_steps=plan_rs, padded=pad > 0,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -1373,9 +1454,12 @@ def make_pallas_multi_epoch_fn(
             )(spec_c, par_c, met_c, sched_c, *extra_c, lo, hi, *frozen, *bufs)
             return tuple(outs[:n_state]), outs[n_state]
 
+        data_streams = tuple(
+            _pad_steps(s) for s in (spec_g, par_g, met_g) + extra_streams
+        )
         bufs, mrows = _chunked_launch(
             launch, train + stats,
-            (spec_g, par_g, met_g, sched) + extra_streams, E, spe,
+            data_streams[:3] + (sched,) + data_streams[3:], E, spe,
         )
         train_out = bufs[: len(train)]
         stats_out = bufs[len(train): len(train) + 2]
@@ -1526,6 +1610,7 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
 def _make_forward_kernel(
     S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
     dropout_rate: float, bf16: bool = False, row_steps: int | None = None,
+    padded: bool = False,
 ):
     rs = row_steps or steps_per_epoch
     W = _up(S + 4)
@@ -1574,6 +1659,10 @@ def _make_forward_kernel(
         lr = sched_row[0, 0]
         inv1 = sched_row[0, 1]
         inv2 = sched_row[0, 2]
+        # gated tail-call padding (_fwd_sub_plan): 0.0 on padded steps —
+        # the Adam update is skipped and the metric row zeroed, making a
+        # padded step a complete no-op (mirrors the GAN kernel's `live`)
+        live = sched_row[0, 3] if padded else None
         if use_drop:
             pltpu.prng_seed(seed_ref[0][0, 0])
 
@@ -1665,13 +1754,18 @@ def _make_forward_kernel(
             grads[4 * li] = dotT0(a_in, dt)                # dW
             grads[4 * li + 1] = csum(dt)                   # db
             da = dotT1(dt, wb[0])
-        adam_apply(train, grads + [dW6s, db6s, dW6m, db6m], lr, inv1, inv2)
+        adam_apply(
+            train, grads + [dW6s, db6s, dW6m, db6m], lr, inv1, inv2,
+            gate=live,
+        )
 
         vals = (loss, spec_l, met_l)
         mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         mrow = jnp.zeros((1, LANE), jnp.float32)
         for k, v in enumerate(vals):
             mrow = jnp.where(mlane1 == k, v, mrow)
+        if padded:
+            mrow = mrow * live
         mrow = mrow / steps_per_epoch
 
         @pl.when(i % rs == 0)
@@ -1747,11 +1841,16 @@ def make_pallas_forward_epoch_fn(
             (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
+        # mirror _chunked_launch's plan, incl. its ungated-stream fallback
+        # (this driver never pads; gated plans are a GAN-kernel feature)
+        _pls, _pn, _prs, _pspe = _launch_plan(E, spe)
+        if _pspe != spe:
+            _prs = _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
         kernel = _make_forward_kernel(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=_launch_plan(E, spe)[2],
+            row_steps=_prs,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -1811,9 +1910,12 @@ def make_pallas_forward_subepoch_fn(
     The forward kernel's Mosaic bound is per-PROGRAM (decomposing a
     program into smaller launches does NOT help — see the _FWD_MAX_TOTAL
     note), so large datasets cannot run an epoch as one jitted program.
-    This driver runs each epoch as spe/L separate jitted calls of L steps
-    each (L = largest divisor of spe within the bound), chained from
-    Python — chained calls are the hardware-proven-clean pattern.  Same
+    This driver runs each epoch as spe_pad/L separate jitted calls of L
+    steps each (_fwd_sub_plan), chained from Python — chained calls are
+    the hardware-proven-clean pattern.  Divisor-less spe pads each epoch
+    to spe_pad and gates the tail call's padded steps into no-ops via the
+    sched stream's `live` lane (zero Adam update, zero metric
+    contribution, rng/step/count advanced by REAL steps only).  Same
     contract as make_pallas_forward_epoch_fn; per-epoch metric rows are
     the sums of the calls' partial rows (the kernel divides by the TRUE
     steps_per_epoch).  Dispatch is async, so per-call overhead is one
@@ -1828,92 +1930,111 @@ def make_pallas_forward_subepoch_fn(
     base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def sub_call(state, ds, key_e, seed_key, offset):
-        N = ds.spectra.shape[0]
-        spe = max(1, N // B)
-        L = _largest_divisor(spe, _FWD_MAX_TOTAL)
-        sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
-        idx_full = epoch_indices(key_e, N, B)                  # (spe, B)
-        idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
-        par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
-        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
-        met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
-        t0 = state.opt[1][0].count
-        t = t0 + jnp.arange(L)
-        tf = (t + 1).astype(jnp.float32)
-        sched = jnp.stack([
-            sched_fn(t),
-            1.0 / (1.0 - jnp.power(0.9, tf)),
-            1.0 / (1.0 - jnp.power(_B2, tf)),
-        ] + [jnp.zeros((L,), jnp.float32)] * (LANE - 3), axis=1).reshape(L, 1, LANE)
-        seeds = jax.random.randint(
-            seed_key, (L, 1, LANE), 0, 2**31 - 1, jnp.int32
-        )
-        train = pack_forward_state(state, S)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-        )
-        row3 = lambda: pl.BlockSpec(  # noqa: E731
-            (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
-        kernel = _make_forward_kernel(
-            S, B, spe, fsettings, clip,
-            dropout_rate=cfg.forward_model.dropout_rate,
-            bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=L,
-        )
-        in_specs = (
-            [
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                row3(), row3(),
-            ]
-            + [const(b.shape) for b in train]
-        )
-        out_specs = (
-            [const(b.shape) for b in train]
-            + [pl.BlockSpec((1, 1, LANE), lambda i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)]
-        )
-        out_shape = (
-            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
-            + [jax.ShapeDtypeStruct((1, 1, LANE), jnp.float32)]
-        )
-        outs = pl.pallas_call(
-            kernel,
-            grid=(L,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            input_output_aliases=aliases,
-            interpret=interpret,
-            **({} if interpret else dict(
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20,
-                ))),
-        )(par_g, spec_g, met_g, sched, seeds, *train)
-        new_state = unpack_forward_state(state, list(outs[:-1]), L, S)
-        return new_state, outs[-1][0, 0]                       # (LANE,)
+    def _mk_sub_call(live_steps: int):
+        @partial(jax.jit, donate_argnums=(0,))
+        def sub_call(state, ds, key_e, seed_key, offset):
+            N = ds.spectra.shape[0]
+            spe = max(1, N // B)
+            L, spe_pad = _fwd_sub_plan(spe)
+            padded = spe_pad != spe
+            sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
+            idx_full = epoch_indices(key_e, N, B)                  # (spe, B)
+            if padded:
+                # gated tail rows index sample 0 — data content is irrelevant
+                # (the kernel's live gate zeroes their effect) but must be a
+                # valid, finite batch
+                idx_full = jnp.pad(idx_full, ((0, spe_pad - spe), (0, 0)))
+            idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
+            par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
+            spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
+            met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+            t0 = state.opt[1][0].count
+            t = t0 + jnp.arange(L)
+            tf = (t + 1).astype(jnp.float32)
+            mask = (jnp.arange(L) < live_steps).astype(jnp.float32)
+            sched = jnp.stack([
+                mask * sched_fn(t),
+                mask / (1.0 - jnp.power(0.9, tf)),
+                mask / (1.0 - jnp.power(_B2, tf)),
+                mask,                                # `live` gate (lane 3)
+            ] + [jnp.zeros((L,), jnp.float32)] * (LANE - 4), axis=1).reshape(L, 1, LANE)
+            seeds = jax.random.randint(
+                seed_key, (L, 1, LANE), 0, 2**31 - 1, jnp.int32
+            )
+            train = pack_forward_state(state, S)
+            const = lambda shape: pl.BlockSpec(  # noqa: E731
+                shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+            )
+            row3 = lambda: pl.BlockSpec(  # noqa: E731
+                (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+            aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
+            kernel = _make_forward_kernel(
+                S, B, spe, fsettings, clip,
+                dropout_rate=cfg.forward_model.dropout_rate,
+                bf16=cfg.train.compute_dtype == "bfloat16",
+                row_steps=L, padded=padded,
+            )
+            in_specs = (
+                [
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    row3(), row3(),
+                ]
+                + [const(b.shape) for b in train]
+            )
+            out_specs = (
+                [const(b.shape) for b in train]
+                + [pl.BlockSpec((1, 1, LANE), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+            )
+            out_shape = (
+                [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in train]
+                + [jax.ShapeDtypeStruct((1, 1, LANE), jnp.float32)]
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(L,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases=aliases,
+                interpret=interpret,
+                **({} if interpret else dict(
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 2**20,
+                    ))),
+            )(par_g, spec_g, met_g, sched, seeds, *train)
+            new_state = unpack_forward_state(
+                state, list(outs[:-1]), live_steps, S
+            )
+            return new_state, outs[-1][0, 0]                       # (LANE,)
+
+        return sub_call
+
+    calls: dict = {}
 
     def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
         E = int(scales.shape[0])
         N = int(ds.spectra.shape[0])
         spe = max(1, N // B)
-        L = _largest_divisor(spe, _FWD_MAX_TOTAL)
-        n_sub = spe // L
+        L, spe_pad = _fwd_sub_plan(spe)
+        n_sub = spe_pad // L
+        tail_live = L - (spe_pad - spe)     # == L on ungated plans
         keys = jax.random.split(key, E)
         rows = []
         for e in range(E):
             acc = None
             for j in range(n_sub):
+                live = tail_live if j == n_sub - 1 else L
+                if live not in calls:
+                    calls[live] = _mk_sub_call(live)
                 skey = jax.random.fold_in(keys[e], 0x5EED + j)
-                state, mrow = sub_call(
+                state, mrow = calls[live](
                     state, ds, keys[e], skey, jnp.int32(j * L)
                 )
                 acc = mrow if acc is None else acc + mrow

@@ -136,28 +136,15 @@ class Trainer:
                 raise ValueError("megakernel='force' is incompatible with mesh")
             return None
         from ..ops.megakernel import (
-            _largest_divisor,
-            _MAX_GRID,
-            _MAX_GRID_MULTI,
-            _MIN_SUB_LAUNCH,
             make_pallas_multi_epoch_fn,
             supports_megakernel,
         )
 
+        # every dataset size is in-envelope: large spe decomposes each
+        # epoch into uniform sub-epoch launches, and divisor-less spe
+        # (e.g. prime) pads each epoch with gated no-op steps
+        # (ops/megakernel.py _launch_plan)
         reason = supports_megakernel(self.cfg, settings)
-        if reason is None and self.steps_per_epoch > _MAX_GRID:
-            # large datasets decompose each epoch into uniform sub-epoch
-            # launches of the largest divisor of spe within the
-            # multi-launch grid cap (round 3); only shapes with no usable
-            # divisor (e.g. prime spe) fall back to XLA
-            L = _largest_divisor(
-                self.steps_per_epoch, min(_MAX_GRID, _MAX_GRID_MULTI)
-            )
-            if L < _MIN_SUB_LAUNCH:
-                reason = (
-                    f"steps_per_epoch {self.steps_per_epoch} > grid cap "
-                    f"with no sub-epoch launch divisor >= {_MIN_SUB_LAUNCH}"
-                )
         on_tpu = jax.default_backend() == "tpu"
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:
@@ -184,33 +171,18 @@ class Trainer:
 
     def _mega_gan_chunk_cap(self, chunk: int) -> int:
         """Per-call epoch cap for the GAN megakernel path (reliability
-        envelope, ops/megakernel.py cap notes):
+        envelope, ops/megakernel.py cap notes): keep each jitted
+        program's grid total within _MAX_PROGRAM_GRID (the proven
+        scanned-launch scale) counting the GATED per-epoch grid size
+        spe_pad (= spe unless a divisor-less spe pads each epoch with
+        no-op steps); this also bounds the per-call HBM stream footprint
+        for large datasets."""
+        from ..ops.megakernel import _launch_plan, _MAX_PROGRAM_GRID
 
-        - spe in (_MAX_GRID_MULTI, _MAX_GRID] with no usable sub-epoch
-          divisor: a multi-epoch call would scan launches with grid > the
-          proven multi-launch cap (scanned 120-grid launches corrupt on
-          v5e where scanned 75s are clean), so each jitted call is kept
-          single-launch (grid <= _MAX_GRID, proven clean) and calls are
-          chained from Python.
-        - otherwise: cap the per-PROGRAM grid total at _MAX_PROGRAM_GRID
-          (the proven scanned-launch scale); this also bounds the
-          per-call HBM stream footprint for large datasets."""
-        from ..ops.megakernel import (
-            _largest_divisor,
-            _MAX_GRID,
-            _MAX_GRID_MULTI,
-            _MAX_PROGRAM_GRID,
-            _MIN_SUB_LAUNCH,
-        )
-
-        spe = self.steps_per_epoch
-        if (
-            spe > _MAX_GRID_MULTI
-            and _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
-            < _MIN_SUB_LAUNCH
-        ):
-            return min(chunk, max(1, _MAX_GRID // spe))
-        return min(chunk, max(1, _MAX_PROGRAM_GRID // spe))
+        # E=2 forces the multi-launch branch, whose spe_pad applies to
+        # every multi-epoch call; single-epoch calls never pad
+        spe_pad = _launch_plan(2, self.steps_per_epoch)[3]
+        return min(chunk, max(1, _MAX_PROGRAM_GRID // spe_pad))
 
     def _maybe_forward_megakernel(self, settings, lr, epochs):
         """Pallas forward-pretrain kernel when eligible, else None.  Note
@@ -224,30 +196,18 @@ class Trainer:
             return None
         from ..ops.megakernel import (
             _FWD_MAX_TOTAL,
-            _largest_divisor,
-            _MIN_SUB_LAUNCH,
             make_pallas_forward_epoch_fn,
             make_pallas_forward_subepoch_fn,
             supports_forward_megakernel,
         )
 
         reason = supports_forward_megakernel(self.cfg)
-        sub = False
-        if reason is None and self.steps_per_epoch > _FWD_MAX_TOTAL:
-            # the forward kernel's per-PROGRAM grid bound (tighter than
-            # the GAN kernel's per-launch cap; _FWD_MAX_TOTAL note):
-            # large datasets drive each epoch as chained sub-epoch jitted
-            # calls (round 3) when spe has a usable divisor, else XLA
-            if (
-                _largest_divisor(self.steps_per_epoch, _FWD_MAX_TOTAL)
-                >= _MIN_SUB_LAUNCH
-            ):
-                sub = True
-            else:
-                reason = (
-                    f"steps_per_epoch {self.steps_per_epoch} > grid bound "
-                    f"with no sub-epoch call divisor >= {_MIN_SUB_LAUNCH}"
-                )
+        # the forward kernel's per-PROGRAM grid bound (tighter than the
+        # GAN kernel's per-launch cap; _FWD_MAX_TOTAL note): large
+        # datasets drive each epoch as chained sub-epoch jitted calls
+        # (round 3); divisor-less spe pads the tail call with gated
+        # no-op steps (_fwd_sub_plan), so every dataset size is eligible
+        sub = reason is None and self.steps_per_epoch > _FWD_MAX_TOTAL
         on_tpu = jax.default_backend() == "tpu"
         if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
             # interpret mode has no TPU PRNG for the dropout masks

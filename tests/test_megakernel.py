@@ -112,24 +112,29 @@ def test_supports_guard(cfg):
 
 
 def test_trainer_grid_cap_fallback(cfg):
-    """steps_per_epoch above the grid cap: eligible when spe has a usable
-    sub-epoch launch divisor (round 3), XLA fallback when it does not
-    (prime spe would degrade to near-per-step launches)."""
+    """steps_per_epoch above the grid cap: sub-epoch launches when spe has
+    a usable divisor, GATED padding when it does not (round 3) — BOTH
+    kernels now cover every dataset size (the forward kernel pads the tail
+    of its chained sub-epoch calls, _fwd_sub_plan)."""
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.train import Trainer
 
     big = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
     ds = synth(big.data)
     t = Trainer(big, ds=ds, megakernel="force")
-    t.steps_per_epoch = 499  # prime: largest divisor <= 75 is 1
-    with pytest.raises(ValueError, match="grid cap"):
-        t._maybe_megakernel(StepSettings.from_config(big), None)
-    t.steps_per_epoch = 500  # divisor 50: sub-epoch launches engage
+    t.steps_per_epoch = 499  # prime: gated plan (launches of 50, pad 1)
     assert t._maybe_megakernel(StepSettings.from_config(big), None) is not None
-    t2 = Trainer(big, ds=ds, megakernel="auto")
-    t2.steps_per_epoch = 499
-    assert t2._maybe_megakernel(StepSettings.from_config(big), None) is None
-    assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
+    t.steps_per_epoch = 500  # divisor 50: ungated sub-epoch launches
+    assert t._maybe_megakernel(StepSettings.from_config(big), None) is not None
+    # forward path: prime spe engages the gated sub-epoch driver
+    # (dropout off — interpret mode has no hardware PRNG for the masks)
+    nod = big.replace(
+        forward_model=dataclasses.replace(big.forward_model, dropout_rate=0.0)
+    )
+    t3 = Trainer(nod, ds=ds, megakernel="force")
+    t3.steps_per_epoch = 499
+    fn = t3._maybe_forward_megakernel(ForwardStepSettings(), None, None)
+    assert fn is not None and getattr(fn, "sub_epoch", False)
 
 
 @pytest.mark.slow
@@ -328,6 +333,56 @@ def test_forward_subepoch_driver_parity(cfg, monkeypatch):
     assert int(st_p.step) == int(st_x.step) == 16
     assert bool(jnp.all(st_p.rng == st_x.rng))
     assert int(st_p.opt[1][0].count) == int(st_x.opt[1][0].count) == 16
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.f.params)[0],
+        jax.tree.leaves(st_p.f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=5e-4,
+            err_msg=_leafname(path),
+        )
+
+
+@pytest.mark.slow
+def test_forward_subepoch_gated_padding_parity(cfg, monkeypatch):
+    """Divisor-less spe on the forward sub-epoch driver (round 3): the
+    epoch pads to spe_pad chained calls steps and the TAIL call's padded
+    steps are gated no-ops — state trajectory, rng chain, optimizer count
+    and per-epoch metric means all match XLA exactly.  Bound monkeypatched
+    small: spe=7 (prime) pads to 8, two calls of 4, tail live=3."""
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.ops.megakernel import make_pallas_forward_subepoch_fn
+    from pigan_thz_tpu.train import ForwardStepSettings
+
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=448),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    fset = ForwardStepSettings()
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size   # 7
+    _, _, f_tx = make_optimizers(cfg, spe)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    st_b = jax.tree.map(jnp.copy, st)
+    xla = make_multi_epoch_fn(make_forward_step(f, f_tx, fset),
+                              cfg.train.batch_size, with_scale=False, unroll=1)
+    monkeypatch.setattr(MK, "_FWD_MAX_TOTAL", 4)
+    monkeypatch.setattr(MK, "_MIN_SUB_LAUNCH", 2)
+    assert MK._fwd_sub_plan(7) == (4, 8)
+    sub = make_pallas_forward_subepoch_fn(cfg, fset, interpret=True)
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(13)
+    st_x, m_x = xla(st, ds, key, ones)
+    st_p, m_p = sub(st_b, ds, key, ones)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, err_msg=k
+        )
+    # padded tail steps advance NOTHING: step/rng/count all count 14 real
+    assert int(st_p.step) == int(st_x.step) == 14
+    assert bool(jnp.all(st_p.rng == st_x.rng))
+    assert int(st_p.opt[1][0].count) == int(st_x.opt[1][0].count) == 14
     for (path, x), y in zip(
         jax.tree_util.tree_flatten_with_path(st_x.f.params)[0],
         jax.tree.leaves(st_p.f.params),
@@ -568,38 +623,45 @@ def test_launch_plan_uniform(monkeypatch):
     decomposition for spe above the grid cap."""
     from pigan_thz_tpu.ops import megakernel as MK
 
-    # (launch_steps, n_launches, row_steps); epoch-aligned shapes
-    assert MK._launch_plan(25, 15) == (75, 5, 15)    # the corrupting shape
-    assert MK._launch_plan(100, 15) == (75, 20, 15)  # bench chunk
-    assert MK._launch_plan(50, 15) == (75, 10, 15)
-    assert MK._launch_plan(23, 15) == (15, 23, 15)   # prime E -> per-epoch
-    assert MK._launch_plan(8, 15) == (120, 1, 15)    # single launch: <= 120
-    assert MK._launch_plan(24, 15) == (60, 6, 15)    # multi-launch: <= 75
-    assert MK._launch_plan(16, 15) == (60, 4, 15)    # (3x120 corrupts, r3)
-    assert MK._launch_plan(1, 120) == (120, 1, 120)
-    assert MK._launch_plan(6, 1) == (6, 1, 1)
+    # (launch_steps, n_launches, row_steps, spe_pad); epoch-aligned shapes
+    assert MK._launch_plan(25, 15) == (75, 5, 15, 15)    # corrupting shape
+    assert MK._launch_plan(100, 15) == (75, 20, 15, 15)  # bench chunk
+    assert MK._launch_plan(50, 15) == (75, 10, 15, 15)
+    assert MK._launch_plan(23, 15) == (15, 23, 15, 15)   # prime E
+    assert MK._launch_plan(8, 15) == (120, 1, 15, 15)    # single: <= 120
+    assert MK._launch_plan(24, 15) == (60, 6, 15, 15)    # multi: <= 75
+    assert MK._launch_plan(16, 15) == (60, 4, 15, 15)    # (3x120 corrupts)
+    assert MK._launch_plan(1, 120) == (120, 1, 120, 120)
+    assert MK._launch_plan(6, 1) == (6, 1, 1, 1)
     # sub-epoch shapes (spe > multi-launch cap)
-    assert MK._launch_plan(4, 312) == (52, 24, 52)   # 20k corpus @ B=64
-    assert MK._launch_plan(1, 150) == (75, 2, 75)
-    assert MK._launch_plan(2, 80) == (40, 4, 40)
-    assert MK._launch_plan(25, 97) == (1, 2425, 1)   # prime spe: degenerate
+    assert MK._launch_plan(4, 312) == (52, 24, 52, 312)  # 20k corpus @ B=64
+    assert MK._launch_plan(1, 150) == (75, 2, 75, 150)
+    assert MK._launch_plan(2, 80) == (40, 4, 40, 80)
+    # divisor-less spe: GATED plan — each epoch pads to the nearest count
+    # with a sub-launch divisor, tail steps stream live=0 (round 3)
+    assert MK._launch_plan(25, 97) == (49, 50, 49, 98)   # prime: pad 1
+    assert MK._launch_plan(2, 158) == (53, 6, 53, 159)   # 2*79: pad 1
     for E, spe in (
         (25, 15), (97, 13), (40, 7), (3, 120), (24, 15), (4, 312),
-        (1, 150), (2, 80),
+        (1, 150), (2, 80), (25, 97), (2, 158), (3, 1003),
     ):
-        ls, n, rs = MK._launch_plan(E, spe)
-        assert ls * n == E * spe                     # exact cover
-        assert ls % rs == 0 and spe % rs == 0        # rows align
+        ls, n, rs, spe_pad = MK._launch_plan(E, spe)
+        assert ls * n == E * spe_pad                 # exact cover
+        assert spe_pad >= spe
+        assert spe_pad - spe < ls                    # < one launch of waste
+        assert ls % rs == 0 and spe_pad % rs == 0    # rows align
         if n == 1:
             assert ls <= MK._MAX_GRID or E == 1
         else:
-            assert ls <= MK._MAX_GRID_MULTI or ls == rs == 1
+            assert ls <= MK._MAX_GRID_MULTI
+        if spe_pad != spe:
+            assert ls >= MK._MIN_SUB_LAUNCH          # never degenerate
 
 
 def test_mega_gan_chunk_cap():
-    """For spe in (_MAX_GRID_MULTI, _MAX_GRID], the Trainer keeps each
-    megakernel call SINGLE-launch (scanned launches with grid > 75 are the
-    unproven/corrupt class); below the boundary chunks pass through."""
+    """The Trainer caps each megakernel call's per-PROGRAM grid total at
+    _MAX_PROGRAM_GRID, counting the GATED per-epoch size spe_pad for
+    divisor-less spe; below the boundary chunks pass through."""
     from types import SimpleNamespace
 
     from pigan_thz_tpu.train.trainer import Trainer
@@ -613,7 +675,7 @@ def test_mega_gan_chunk_cap():
     assert cap(100, 25) == 15         # divisor 50 >= 8: sub-epoch launches
     assert cap(120, 25) == 12
     assert cap(312, 25) == 4          # 20k corpus @ B=64 (divisor 52)
-    assert cap(97, 25) == 1           # prime spe <= 120: single-launch calls
+    assert cap(97, 25) == 15          # prime spe: gated plan, 1500 // 98
     assert cap(80, 1) == 1            # already single-epoch
 
 
@@ -629,7 +691,7 @@ def test_megakernel_sub_epoch_launch_parity(cfg, monkeypatch):
     monkeypatch.setattr(MK, "_MAX_GRID", 8)
     monkeypatch.setattr(MK, "_MAX_GRID_MULTI", 5)
     monkeypatch.setattr(MK, "_MIN_SUB_LAUNCH", 2)
-    assert MK._launch_plan(2, 6) == (3, 4, 3)     # 2 rows/epoch, summed
+    assert MK._launch_plan(2, 6) == (3, 4, 3, 6)  # 2 rows/epoch, summed
     ds, state, xla, pallas = _setup(cfg, 384)     # batch 64 -> spe=6
     state_b = jax.tree.map(jnp.copy, state)
     scales = jnp.ones((2,), jnp.float32)
@@ -650,6 +712,83 @@ def test_megakernel_sub_epoch_launch_parity(cfg, monkeypatch):
 
 
 @pytest.mark.slow
+def test_megakernel_gated_padding_parity(cfg, monkeypatch):
+    """Divisor-less spe (round 3): each epoch pads to spe_pad grid steps
+    with live=0 tail steps that the kernel gates into complete no-ops —
+    params/moments/BN stats/metrics must match the XLA trajectory exactly.
+    Caps monkeypatched small: spe=7 (prime > multi-launch cap 5) pads to
+    8 with launches of 4."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 8)
+    monkeypatch.setattr(MK, "_MAX_GRID_MULTI", 5)
+    monkeypatch.setattr(MK, "_MIN_SUB_LAUNCH", 2)
+    assert MK._launch_plan(2, 7) == (4, 4, 4, 8)
+    ds, state, xla, pallas = _setup(cfg, 448)     # batch 64 -> spe=7
+    state_b = jax.tree.map(jnp.copy, state)
+    scales = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(29)
+    st_x, m_x = xla(state, ds, key, scales)
+    st_p, m_p = pallas(state_b, ds, key, scales)
+    for k in METRIC_KEYS:
+        atol = 2.0 / 64 if k in ("d_accuracy", "violation_rate") else 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m_p[k]), np.asarray(m_x[k]), rtol=5e-4, atol=atol,
+            err_msg=k,
+        )
+    # padded steps must not advance the trajectory: same params (modulo
+    # the BN-gauge biases — see module docstring), same counts.  The BN
+    # running stats absorb the gauge drift, so `extra` gets the same
+    # looser bound as the engagement test above.
+    for x, y in zip(jax.tree.leaves(st_x.d.params), jax.tree.leaves(st_p.d.params)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=5e-4)
+    for x, y in zip(jax.tree.leaves(st_x.g.extra), jax.tree.leaves(st_p.g.extra)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=8e-3)
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.g.params)[0],
+        jax.tree.leaves(st_p.g.params),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=5e-4, err_msg=_leafname(path)
+        )
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count) == 14
+
+
+@pytest.mark.slow
+def test_megakernel_gated_padding_full_surface(cfg, monkeypatch):
+    """Gated padding composed with the stochastic/EMA knobs: the live gate
+    must also hold for EMA lerps and the precomputed noise streams (which
+    stay indexed by REAL step)."""
+    import dataclasses as _dc
+
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.train.steps import StepSettings
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 8)
+    monkeypatch.setattr(MK, "_MAX_GRID_MULTI", 5)
+    monkeypatch.setattr(MK, "_MIN_SUB_LAUNCH", 2)
+    settings = StepSettings.from_config(
+        cfg, ema_decay=0.9, instance_noise=0.05, d_update_every=2,
+    )
+    st_x, m_x, st_p, m_p = _setup2(cfg, 448, settings)  # spe=7 -> pad to 8
+    _assert_metric_parity(m_x, m_p)
+    _assert_param_parity(st_x, st_p)
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.g_ema)[0],
+        jax.tree.leaves(st_p.g_ema),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=3e-3,
+            err_msg=f"g_ema:{_leafname(path)}",
+        )
+    assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count)
+
+
+@pytest.mark.slow
 def test_megakernel_resume_shape_parity(cfg, monkeypatch):
     """Parity over the E=25 launch pattern that corrupted on hardware when
     mixed-shape (interpret mode; spe=1 keeps it cheap): 25 epochs decompose
@@ -657,7 +796,7 @@ def test_megakernel_resume_shape_parity(cfg, monkeypatch):
     from pigan_thz_tpu.ops import megakernel as MK
 
     monkeypatch.setattr(MK, "_MAX_GRID", 8)
-    assert MK._launch_plan(25, 1) == (5, 5, 1)
+    assert MK._launch_plan(25, 1) == (5, 5, 1, 1)
     ds, state, xla, pallas = _setup(cfg, 64)  # batch 64 -> spe=1
     state_b = jax.tree.map(jnp.copy, state)
     scales = jnp.ones((25,), jnp.float32)
