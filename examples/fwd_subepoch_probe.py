@@ -28,6 +28,92 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
+def run_bisect(args) -> int:
+    """Drive the production sub_call one jitted call at a time with a host
+    SYNC + full-state finiteness check between calls, so the exact failing
+    call index (and whether syncing changes it) is observable.
+
+        python examples/fwd_subepoch_probe.py --bisect 20000:0 \
+            [--calls 3] [--no-sync] [--dropout 0.0]
+    """
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.data import synthetic_dataset
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.train import (
+        ForwardStepSettings, init_forward_state, make_optimizers,
+    )
+
+    ns, cap = (int(x) for x in args.bisect.split(":"))
+    if cap:
+        MK._FWD_MAX_TOTAL = cap
+    cfg = default_config()
+    cfg = cfg.replace(
+        data=dc.replace(cfg.data, num_samples=ns),
+        forward_model=dc.replace(cfg.forward_model, dropout_rate=args.dropout),
+    )
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    B = cfg.train.batch_size
+    spe = ds.num_samples // B
+    _, _, f_tx = make_optimizers(cfg, spe)
+    L, spe_pad = MK._fwd_sub_plan(spe)
+    n_sub = spe_pad // L
+    tail_live = L - (spe_pad - spe)
+    print(json.dumps({"backend": jax.default_backend(), "spe": spe, "L": L,
+                      "n_sub": n_sub, "tail_live": tail_live,
+                      "drop": args.dropout, "sync": not args.no_sync}),
+          flush=True)
+
+    fn = MK.make_pallas_forward_subepoch_fn(
+        cfg, ForwardStepSettings(), interpret=args.cpu
+    )
+
+    def check(st, mrow, tag):
+        bad = []
+        for p, x in jax.tree_util.tree_leaves_with_path(st):
+            xv = jax.device_get(x)
+            if np.issubdtype(xv.dtype, np.floating) and not np.all(
+                np.isfinite(xv)
+            ):
+                bad.append(jax.tree_util.keystr(p))
+        m = jax.device_get(mrow)
+        print(json.dumps({"call": tag, "state_nonfinite": bad[:6],
+                          "mrow_finite": bool(np.all(np.isfinite(m))),
+                          "loss": round(float(m[0]), 5), "ok": not bad}),
+              flush=True)
+        return not bad
+
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    key_e = jax.random.PRNGKey(0)
+    mrow = None
+    for j in range(min(args.calls, n_sub)):
+        live = tail_live if j == n_sub - 1 else L
+        call = fn._calls.setdefault(live, fn._mk_sub_call(live))
+        skey = jax.random.fold_in(key_e, 0x5EED + j)
+        st, mrow = call(st, ds, key_e, skey, jnp.int32(j * L))
+        if not args.no_sync and not check(st, mrow, j):
+            print(json.dumps({"verdict": f"NONFINITE at call {j} (synced)"}))
+            return 1
+    if args.no_sync and not check(st, mrow, "final"):
+        print(json.dumps({"verdict": "NONFINITE (async chain)"}))
+        return 1
+    print(json.dumps({"verdict": "CLEAN"}))
+    return 0
+
+
 def run_inner(args) -> int:
     import jax
 
@@ -87,12 +173,19 @@ def run_inner(args) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", type=str, default="")
+    ap.add_argument("--bisect", type=str, default="",
+                    help="ns:cap — drive sub_calls one at a time with syncs")
+    ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--no-sync", action="store_true")
+    ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--shapes", nargs="+", default=["20000:0", "20032:0"])
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--timeout", type=int, default=1500)
     ap.add_argument("--attempts", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.bisect:
+        return run_bisect(args)
     if args.inner:
         ns, cap = (int(x) for x in args.inner.split(":"))
         args.shape = (ns, cap)

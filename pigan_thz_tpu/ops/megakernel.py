@@ -2045,4 +2045,8 @@ def make_pallas_forward_subepoch_fn(
         }
 
     multi_epoch.sub_epoch = True  # Trainer: skip the per-call chunk clamp
+    # exposed for hardware forensics (examples/fwd_subepoch_probe.py):
+    # drive individual sub-calls with host syncs between them
+    multi_epoch._mk_sub_call = _mk_sub_call
+    multi_epoch._calls = calls
     return multi_epoch
