@@ -373,6 +373,11 @@ _MAX_GRID_MULTI = 75
 # epochs clean).  The GAN kernel tolerates 5x75=375 per program (3000-epoch
 # hardware soaks) — the thresholds are genuinely per-kernel.
 _FWD_MAX_TOTAL = 105
+# Sub-epoch driver in-flight depth bound: sync (device_get state.step) after
+# every N dispatched sub-calls; 0 = never (fully async).  The proven-clean
+# single-program pattern is depth-1 (Trainer syncs per chunk reading
+# metrics); hardware forensics for the sub-epoch chain set this.
+_FWD_SYNC_EVERY = 0
 # Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
 # bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
 # jitted program; beyond that is unprobed, so the Trainer clamps its
@@ -2027,6 +2032,7 @@ def make_pallas_forward_subepoch_fn(
         tail_live = L - (spe_pad - spe)     # == L on ungated plans
         keys = jax.random.split(key, E)
         rows = []
+        dispatched = 0
         for e in range(E):
             acc = None
             for j in range(n_sub):
@@ -2038,6 +2044,12 @@ def make_pallas_forward_subepoch_fn(
                     state, ds, keys[e], skey, jnp.int32(j * L)
                 )
                 acc = mrow if acc is None else acc + mrow
+                dispatched += 1
+                if _FWD_SYNC_EVERY and dispatched % _FWD_SYNC_EVERY == 0:
+                    # bound the in-flight program depth: device_get forces a
+                    # true round trip (block_until_ready through the tunnel
+                    # can return early — bench.py MEASUREMENT note)
+                    jax.device_get(state.step)
             rows.append(acc)
         mets = jnp.stack(rows)                                 # (E, LANE)
         return state, {

@@ -344,6 +344,45 @@ def test_forward_subepoch_driver_parity(cfg, monkeypatch):
 
 
 @pytest.mark.slow
+def test_forward_subepoch_sync_knob_and_hooks(cfg, monkeypatch):
+    """_FWD_SYNC_EVERY bounds the in-flight sub-call depth (hardware
+    forensics / mitigation knob): syncing after every dispatch must not
+    change the trajectory, and the driver exposes its per-call internals
+    (_mk_sub_call/_calls) for the bisect probe."""
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.ops.megakernel import make_pallas_forward_subepoch_fn
+    from pigan_thz_tpu.train import ForwardStepSettings
+
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=512),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    fset = ForwardStepSettings()
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size   # 8
+    _, _, f_tx = make_optimizers(cfg, spe)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    st_b = jax.tree.map(jnp.copy, st)
+    monkeypatch.setattr(MK, "_FWD_MAX_TOTAL", 4)   # spe=8 -> L=4, 2 calls
+    sub = make_pallas_forward_subepoch_fn(cfg, fset, interpret=True)
+    assert callable(sub._mk_sub_call) and isinstance(sub._calls, dict)
+    monkeypatch.setattr(MK, "_FWD_SYNC_EVERY", 1)
+    sub_sync = make_pallas_forward_subepoch_fn(cfg, fset, interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    st_a, m_a = sub(st, ds, key, ones)
+    st_s, m_s = sub_sync(st_b, ds, key, ones)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_s[k]), np.asarray(m_a[k]), rtol=0, err_msg=k
+        )
+    for x, y in zip(jax.tree.leaves(st_a.f.params),
+                    jax.tree.leaves(st_s.f.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_forward_subepoch_gated_padding_parity(cfg, monkeypatch):
     """Divisor-less spe on the forward sub-epoch driver (round 3): the
     epoch pads to spe_pad chained calls steps and the TAIL call's padded
