@@ -101,7 +101,8 @@ def run_bisect(args) -> int:
     mrow = None
     for j in range(min(args.calls, n_sub)):
         live = tail_live if j == n_sub - 1 else L
-        call = fn._calls.setdefault(live, fn._mk_sub_call(live))
+        off = j * L if args.static_offset else None
+        call = fn._calls.setdefault((live, off), fn._mk_sub_call(live, off))
         skey = jax.random.fold_in(key_e, 0x5EED + j)
         st, mrow = call(st, ds, key_e, skey, jnp.int32(j * L))
         if not args.no_sync and not check(st, mrow, j):
@@ -177,6 +178,8 @@ def main() -> int:
                     help="ns:cap — drive sub_calls one at a time with syncs")
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--no-sync", action="store_true")
+    ap.add_argument("--static-offset", action="store_true",
+                    help="bake offsets into programs (no dynamic_slice)")
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--shapes", nargs="+", default=["20000:0", "20032:0"])
     ap.add_argument("--epochs", type=int, default=6)

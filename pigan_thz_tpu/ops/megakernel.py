@@ -378,6 +378,10 @@ _FWD_MAX_TOTAL = 105
 # single-program pattern is depth-1 (Trainer syncs per chunk reading
 # metrics); hardware forensics for the sub-epoch chain set this.
 _FWD_SYNC_EVERY = 0
+# Forensic variant: bake each sub-call's epoch offset into its program
+# (one jitted program per (live, offset) pair) instead of a traced
+# dynamic_slice — isolates the dynamic-slice-fed gather as a trigger.
+_FWD_STATIC_OFFSET = False
 # Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
 # bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
 # jitted program; beyond that is unprobed, so the Trainer clamps its
@@ -1935,7 +1939,7 @@ def make_pallas_forward_subepoch_fn(
     base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
-    def _mk_sub_call(live_steps: int):
+    def _mk_sub_call(live_steps: int, static_offset: int | None = None):
         @partial(jax.jit, donate_argnums=(0,))
         def sub_call(state, ds, key_e, seed_key, offset):
             N = ds.spectra.shape[0]
@@ -1949,7 +1953,15 @@ def make_pallas_forward_subepoch_fn(
                 # (the kernel's live gate zeroes their effect) but must be a
                 # valid, finite batch
                 idx_full = jnp.pad(idx_full, ((0, spe_pad - spe), (0, 0)))
-            idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
+            if static_offset is None:
+                idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
+            else:
+                # forensic variant (_FWD_STATIC_OFFSET): offset baked into
+                # the program — one jitted program per (live, offset) pair,
+                # no traced dynamic_slice feeding the gathers
+                idx = jax.lax.slice(
+                    idx_full, (static_offset, 0), (static_offset + L, B)
+                )
             par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
             spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
             met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
@@ -2037,10 +2049,11 @@ def make_pallas_forward_subepoch_fn(
             acc = None
             for j in range(n_sub):
                 live = tail_live if j == n_sub - 1 else L
-                if live not in calls:
-                    calls[live] = _mk_sub_call(live)
+                ck = (live, j * L if _FWD_STATIC_OFFSET else None)
+                if ck not in calls:
+                    calls[ck] = _mk_sub_call(live, ck[1])
                 skey = jax.random.fold_in(keys[e], 0x5EED + j)
-                state, mrow = calls[live](
+                state, mrow = calls[ck](
                     state, ds, keys[e], skey, jnp.int32(j * L)
                 )
                 acc = mrow if acc is None else acc + mrow
