@@ -382,6 +382,11 @@ _FWD_SYNC_EVERY = 0
 # (one jitted program per (live, offset) pair) instead of a traced
 # dynamic_slice — isolates the dynamic-slice-fed gather as a trigger.
 _FWD_STATIC_OFFSET = False
+# Auto-mode gate for the sub-epoch driver: Trainer(megakernel='auto') only
+# engages it on TPU once a hardware-clean configuration is proven (the
+# chained sub-epoch calls NaN'd on v5e in round-3 forensics — RESULTS.md);
+# megakernel='force' bypasses the gate for probes.
+_FWD_SUB_AUTO_OK = False
 # Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
 # bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
 # jitted program; beyond that is unprobed, so the Trainer clamps its

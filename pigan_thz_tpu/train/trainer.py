@@ -194,6 +194,7 @@ class Trainer:
                 # silently downgrade a forced run to the XLA path
                 raise ValueError("megakernel='force' is incompatible with mesh")
             return None
+        from ..ops import megakernel as megakernel_mod
         from ..ops.megakernel import (
             _FWD_MAX_TOTAL,
             make_pallas_forward_epoch_fn,
@@ -212,6 +213,19 @@ class Trainer:
         if reason is None and not on_tpu and self.cfg.forward_model.dropout_rate > 0:
             # interpret mode has no TPU PRNG for the dropout masks
             reason = "dropout needs the hardware PRNG (TPU only)"
+        if (
+            sub and on_tpu and self.megakernel == "auto"
+            and not megakernel_mod._FWD_SUB_AUTO_OK
+        ):
+            # the chained sub-epoch driver NaNs on real v5e hardware
+            # (first chunk, any per-call grid size, dropout on or off —
+            # RESULTS.md round-3 forward forensics); until a clean variant
+            # is hardware-proven, auto mode keeps large datasets on XLA.
+            # megakernel='force' still drives it (forensic probes).
+            reason = (
+                "forward sub-epoch driver pending hardware validation "
+                "(_FWD_SUB_AUTO_OK)"
+            )
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:
                 raise ValueError(f"megakernel='force' but: {reason}")

@@ -137,6 +137,34 @@ def test_trainer_grid_cap_fallback(cfg):
     assert fn is not None and getattr(fn, "sub_epoch", False)
 
 
+def test_forward_subepoch_auto_gate(cfg, monkeypatch):
+    """On TPU, auto mode must NOT engage the forward sub-epoch driver until
+    a hardware-clean configuration is proven (_FWD_SUB_AUTO_OK — the
+    chained calls NaN'd on v5e in round-3 forensics); force bypasses the
+    gate, and flipping the flag re-enables auto."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.train import Trainer
+    from pigan_thz_tpu.train import trainer as trainer_mod
+
+    nod = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=128),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    ds = synth(nod.data)
+    monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
+    t = Trainer(nod, ds=ds, megakernel="auto")
+    t.steps_per_epoch = 499                 # sub-epoch territory
+    assert t._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
+    t.steps_per_epoch = 4                   # single-program path: unaffected
+    assert t._maybe_forward_megakernel(ForwardStepSettings(), None, None) is not None
+    monkeypatch.setattr(MK, "_FWD_SUB_AUTO_OK", True)
+    t2 = Trainer(nod, ds=ds, megakernel="auto")
+    t2.steps_per_epoch = 499
+    fn = t2._maybe_forward_megakernel(ForwardStepSettings(), None, None)
+    assert fn is not None and getattr(fn, "sub_epoch", False)
+
+
 @pytest.mark.slow
 def test_megakernel_matches_xla_step(cfg):
     """Two epochs on 256 samples: metrics, D params, BN stats, counts and the
