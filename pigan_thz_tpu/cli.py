@@ -117,6 +117,13 @@ def cmd_pretrain_forward(args) -> int:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "backup_tag", None) in ("final", "ema", "pretrained"):
+        # fail BEFORE training, not at the final save (checkpoint.py
+        # save_final_trio rejects tags that collide with canonical names)
+        raise SystemExit(
+            f"--backup-tag {args.backup_tag!r} collides with a canonical "
+            "artifact name; pick another tag"
+        )
     cfg = _make_cfg(args)
     # Tie LR-schedule horizons to the requested run lengths (the reference
     # passes the actual num_epochs as CosineAnnealingLR T_max,

@@ -65,7 +65,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -450,13 +449,21 @@ def _launch_plan(E: int, spe: int) -> tuple[int, int, int, int]:
     floor = min(_MIN_SUB_LAUNCH, cap)  # caps may be test-shrunk below it
     if L >= floor:
         return L, T // L, L, spe
+    best_L, spe_pad = _best_pad_divisor(spe, cap, floor)
+    return best_L, E * spe_pad // best_L, best_L, spe_pad
+
+
+def _best_pad_divisor(n: int, cap: int, floor: int) -> tuple[int, int]:
+    """(L, n_pad): the launch size L in [floor, cap] minimizing the padding
+    needed to make it divide n, and the padded count n_pad = n + pad.
+    Shared by the GAN (_launch_plan) and forward (_fwd_sub_plan) gated
+    plans so their padding policies can never drift."""
     best_L, best_pad = 1, None
     for Lc in range(cap, floor - 1, -1):
-        pad = (-spe) % Lc
+        pad = (-n) % Lc
         if best_pad is None or pad < best_pad:
             best_L, best_pad = Lc, pad
-    spe_pad = spe + best_pad
-    return best_L, E * spe_pad // best_L, best_L, spe_pad
+    return best_L, n + best_pad
 
 
 def _fwd_sub_plan(spe: int) -> tuple[int, int]:
@@ -473,15 +480,23 @@ def _fwd_sub_plan(spe: int) -> tuple[int, int]:
     floor = min(_MIN_SUB_LAUNCH, _FWD_MAX_TOTAL)  # caps may be test-shrunk
     if L >= floor:
         return L, spe
-    best_L, best_pad = 1, None
-    for Lc in range(_FWD_MAX_TOTAL, floor - 1, -1):
-        pad = (-spe) % Lc
-        if best_pad is None or pad < best_pad:
-            best_L, best_pad = Lc, pad
-    return best_L, spe + best_pad
+    return _best_pad_divisor(spe, _FWD_MAX_TOTAL, floor)
 
 
-def _chunked_launch(launch, bufs, streams, E: int, spe: int):
+def _resolve_plan(E: int, spe: int, padded_streams: bool):
+    """_launch_plan, adjusted for callers whose streams are NOT gated
+    (forward path, interpret-mode only: the hardware forward driver never
+    exceeds one launch per program): a gated plan there falls back to
+    exact-divisor decomposition, possibly per-step."""
+    ls, n, rs, spe_pad = _launch_plan(E, spe)
+    if spe_pad != spe and not padded_streams:
+        ls = rs = _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
+        n, spe_pad = E * spe // ls, spe
+    return ls, n, rs, spe_pad
+
+
+def _chunked_launch(launch, bufs, streams, E: int, spe: int,
+                    *, padded_streams: bool = True):
     """Drive launch(bufs, stream_slices, n_steps, row_steps) over E epochs
     as a lax.scan of UNIFORM sub-chunks (_launch_plan); returns (bufs,
     per-epoch metrics (E, 1, LANE)).
@@ -502,13 +517,11 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int):
     gated plan (spe_pad > spe) the caller streams E*spe_pad padded steps;
     padded rows contribute exact zeros, so the per-epoch sums are
     unchanged."""
-    ls, n, rs, spe_pad = _launch_plan(E, spe)
-    if spe_pad != spe and streams[0].shape[0] == E * spe:
-        # caller streams are ungated (forward path, interpret-mode only:
-        # the hardware forward driver never exceeds one launch/program):
-        # fall back to exact-divisor decomposition, possibly per-step
-        ls = rs = _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
-        n, spe_pad = E * spe // ls, spe
+    ls, n, rs, spe_pad = _resolve_plan(E, spe, padded_streams)
+    assert streams[0].shape[0] == E * spe_pad, (
+        f"stream length {streams[0].shape[0]} != plan E*spe_pad "
+        f"{E * spe_pad} (padded_streams={padded_streams})"
+    )
     xs = tuple(s.reshape((n, ls) + s.shape[1:]) for s in streams)
     bufs, mets = jax.lax.scan(
         lambda carry, x: launch(carry, x, ls, rs), tuple(bufs), xs
@@ -858,8 +871,10 @@ def _make_kernel(
             dpar = pn4[:, 1:] - pn4[:, :-1]                          # (B, 3)
             smooth = jnp.sum(jnp.abs(dpar)) / (B * 3)
             # NaN/Inf validity of the surrogate spectrum (stop-gradient in
-            # the XLA path too); pads are finite zeros -> no contribution
-            bad_r = (recon != recon) | (jnp.abs(recon) > 3e38)
+            # the XLA path too); pads are finite zeros -> no contribution.
+            # isinf-exact (== inf, not a near-overflow threshold) so the
+            # kernel and ops/losses.py agree on every finite value
+            bad_r = (recon != recon) | (jnp.abs(recon) == jnp.inf)
             validity = jnp.sum(bad_r.astype(jnp.float32)) / B
             c_loss = (
                 10.0 * hard + 0.1 * boundary + 0.05 * smooth + 3.0 * validity
@@ -1263,18 +1278,11 @@ def make_pallas_multi_epoch_fn(
     wgan = settings.gan_loss == "wgan_gp"
 
     def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
-        # mirrors train.schedules.build_optimizer's schedule parameters
-        if kind == "cosine":
-            return cosine_schedule(lr, total_epochs, spe, 0.01)
-        if kind == "step":
-            return step_schedule(lr, total_epochs, spe, 0.5, 0.25)
-        if kind == "linear":
-            from ..train.schedules import linear_schedule
+        # the shared dispatch owns the default schedule parameters, so the
+        # kernel's precomputed LR streams can never drift from optax's
+        from ..train.schedules import make_schedule
 
-            return linear_schedule(lr, total_epochs, spe)
-        if kind == "constant":
-            return optax.constant_schedule(lr)
-        raise ValueError(f"unknown schedule: {kind!r}")
+        return make_schedule(kind, lr, total_epochs, spe)
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
@@ -1855,11 +1863,9 @@ def make_pallas_forward_epoch_fn(
             (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
         aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
-        # mirror _chunked_launch's plan, incl. its ungated-stream fallback
-        # (this driver never pads; gated plans are a GAN-kernel feature)
-        _pls, _pn, _prs, _pspe = _launch_plan(E, spe)
-        if _pspe != spe:
-            _prs = _largest_divisor(spe, min(_MAX_GRID, _MAX_GRID_MULTI))
+        # the kernel's metric-row granularity must match the launch plan
+        # _chunked_launch will resolve for these ungated streams
+        _prs = _resolve_plan(E, spe, padded_streams=False)[2]
         kernel = _make_forward_kernel(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
@@ -1906,7 +1912,8 @@ def make_pallas_forward_epoch_fn(
             return tuple(outs[:-1]), outs[-1]
 
         bufs, mrows = _chunked_launch(
-            launch, train, (par_g, spec_g, met_g, sched, seeds), E, spe
+            launch, train, (par_g, spec_g, met_g, sched, seeds), E, spe,
+            padded_streams=False,
         )
         new_state = unpack_forward_state(state, bufs, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(FWD_METRIC_KEYS)}

@@ -75,6 +75,14 @@ def save_final_trio(directory: str, state, backup_tag: str | None = None) -> Non
             directory, GENERATOR_EMA, {"params": state.g_ema, **state.g.extra}
         )
     if backup_tag:
+        if backup_tag in ("final", "ema", "pretrained"):
+            # would clobber a canonical artifact with different content
+            # (e.g. generator_ema = EMA params, not live params)
+            raise ValueError(
+                f"backup_tag {backup_tag!r} collides with a canonical "
+                "artifact name (generator_final/generator_ema/"
+                "forward_model_pretrained); pick another tag"
+            )
         save_pytree(directory, f"generator_{backup_tag}", state.g.variables)
         save_pytree(directory, f"discriminator_{backup_tag}", state.d.variables)
         save_pytree(directory, f"forward_model_{backup_tag}", state.f.variables)

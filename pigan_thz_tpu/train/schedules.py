@@ -60,6 +60,32 @@ def linear_schedule(
     )
 
 
+def make_schedule(
+    kind: str,
+    lr: float,
+    total_epochs: int,
+    steps_per_epoch: int,
+    schedule_alpha: float = 0.01,
+    step_decay_rate: float = 0.5,
+    step_decay_every_frac: float = 0.25,
+) -> optax.Schedule:
+    """The single kind->schedule dispatch (defaults owned HERE): used by
+    build_optimizer and by the megakernel's precomputed LR streams, so the
+    two paths can never drift."""
+    if kind == "cosine":
+        return cosine_schedule(lr, total_epochs, steps_per_epoch, schedule_alpha)
+    if kind == "step":
+        return step_schedule(
+            lr, total_epochs, steps_per_epoch, step_decay_rate,
+            step_decay_every_frac,
+        )
+    if kind == "linear":
+        return linear_schedule(lr, total_epochs, steps_per_epoch)
+    if kind == "constant":
+        return optax.constant_schedule(lr)
+    raise ValueError(f"unknown schedule: {kind!r}")
+
+
 def build_optimizer(
     lr: float,
     total_epochs: int,
@@ -74,18 +100,11 @@ def build_optimizer(
     step_decay_rate: float = 0.5,
     step_decay_every_frac: float = 0.25,
 ) -> optax.GradientTransformation:
-    if schedule == "cosine":
-        sched = cosine_schedule(lr, total_epochs, steps_per_epoch, schedule_alpha)
-    elif schedule == "step":
-        sched = step_schedule(
-            lr, total_epochs, steps_per_epoch, step_decay_rate, step_decay_every_frac
-        )
-    elif schedule == "linear":
-        sched = linear_schedule(lr, total_epochs, steps_per_epoch)
-    elif schedule == "constant":
-        sched = optax.constant_schedule(lr)
-    else:
-        raise ValueError(f"unknown schedule: {schedule!r}")
+    sched = make_schedule(
+        schedule, lr, total_epochs, steps_per_epoch,
+        schedule_alpha=schedule_alpha, step_decay_rate=step_decay_rate,
+        step_decay_every_frac=step_decay_every_frac,
+    )
 
     adam = (
         optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)

@@ -145,6 +145,18 @@ class Trainer:
         # (e.g. prime) pads each epoch with gated no-op steps
         # (ops/megakernel.py _launch_plan)
         reason = supports_megakernel(self.cfg, settings)
+        if reason is None:
+            from ..ops.megakernel import _launch_plan, _MAX_PROGRAM_GRID
+
+            spe_pad = _launch_plan(2, self.steps_per_epoch)[3]
+            if spe_pad > _MAX_PROGRAM_GRID:
+                # even a one-epoch call would exceed the proven per-program
+                # grid scale (_mega_gan_chunk_cap can't clamp below E=1)
+                reason = (
+                    f"per-epoch grid {spe_pad} exceeds the per-program "
+                    f"envelope {_MAX_PROGRAM_GRID} (dataset too large for "
+                    "one-epoch-per-call)"
+                )
         on_tpu = jax.default_backend() == "tpu"
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:

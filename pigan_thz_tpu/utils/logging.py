@@ -74,7 +74,10 @@ class RunLogger:
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
         if self._wandb is not None:
-            self._wandb.log({tag: float(value)}, step=int(step))
+            # no step= kwarg: phases restart their epoch counters (forward
+            # pretrain then GAN), and wandb drops non-monotonic steps.
+            # The phase-local epoch rides along as a plain field instead.
+            self._wandb.log({tag: float(value), f"{tag}/epoch": int(step)})
 
     def add_scalars(self, scalars: Mapping[str, float], step: int, prefix: str = "") -> None:
         for k, v in scalars.items():

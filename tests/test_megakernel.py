@@ -267,12 +267,16 @@ def test_trainer_engages_megakernel(cfg):
     t2.train_pigan(epochs=1, log_every=10**9)
     assert not any(k[0] == "gan-mega" for k in t2._epoch_fns)  # CPU -> XLA
 
+    # wgan_gp entered the envelope in round 3 (hand-derived second-order
+    # backward): force now ENGAGES instead of raising
     t3 = Trainer(cfg, ds=ds, megakernel="force")
     t3.init_pigan()
-    with pytest.raises(ValueError, match="bce"):
-        t3.train_pigan(
-            epochs=1, settings=StepSettings.from_config(cfg, gan_loss="wgan_gp")
-        )
+    t3.train_pigan(
+        epochs=1, log_every=10**9,
+        settings=StepSettings.from_config(cfg, gan_loss="wgan_gp"),
+    )
+    assert any(k[0] == "gan-mega" for k in t3._epoch_fns)
+    assert np.isfinite(t3.train_history["pigan/g_loss"][-1])
 
 
 @pytest.mark.slow

@@ -1,0 +1,85 @@
+"""Regression tests for the round-3 code-review findings."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from pigan_thz_tpu.data import synthetic_dataset
+from pigan_thz_tpu.train import Trainer
+from pigan_thz_tpu.train.schedules import (
+    cosine_schedule,
+    linear_schedule,
+    make_schedule,
+    step_schedule,
+)
+from pigan_thz_tpu.train.steps import StepSettings
+
+
+def test_make_schedule_owns_dispatch_defaults():
+    """make_schedule is the single kind->schedule dispatch: each kind
+    reproduces the explicit builder with build_optimizer's defaults, so the
+    megakernel's precomputed LR streams can't drift from optax's."""
+    t = np.arange(0, 400, 37)
+    pairs = [
+        ("cosine", cosine_schedule(2e-4, 10, 31, 0.01)),
+        ("step", step_schedule(2e-4, 10, 31, 0.5, 0.25)),
+        ("linear", linear_schedule(2e-4, 10, 31)),
+    ]
+    for kind, explicit in pairs:
+        got = make_schedule(kind, 2e-4, 10, 31)
+        np.testing.assert_array_equal(
+            np.asarray(got(t)), np.asarray(explicit(t)), err_msg=kind
+        )
+    assert float(make_schedule("constant", 3e-4, 10, 31)(123)) == 3e-4
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_schedule("plateau", 2e-4, 10, 31)
+
+
+def test_backup_tag_rejects_canonical_collisions(cfg, small_ds, tmp_path):
+    """backup_tag='ema' would clobber generator_ema (EMA params) with the
+    LIVE params; reserved tags are rejected."""
+    from pigan_thz_tpu.train import checkpoint as ckpt
+
+    t = Trainer(cfg, ds=small_ds)
+    t.init_pigan()
+    for bad in ("final", "ema", "pretrained"):
+        with pytest.raises(ValueError, match="canonical"):
+            ckpt.save_final_trio(str(tmp_path), t.pigan_state, backup_tag=bad)
+    ckpt.save_final_trio(str(tmp_path), t.pigan_state, backup_tag="emergency")
+    assert ckpt.exists(str(tmp_path), "generator_emergency")
+
+
+def test_gan_megakernel_refuses_oversized_epoch(cfg, small_ds, monkeypatch):
+    """A single epoch larger than _MAX_PROGRAM_GRID can't be clamped by the
+    chunk cap (E=1 floor): auto returns None, force raises — never an
+    unprobed program size."""
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
+    t = Trainer(cfg, ds=small_ds, megakernel="auto")
+    t.steps_per_epoch = MK._MAX_PROGRAM_GRID + 1
+    assert t._maybe_megakernel(StepSettings.from_config(cfg), None) is None
+    tf = Trainer(cfg, ds=small_ds, megakernel="force")
+    tf.steps_per_epoch = MK._MAX_PROGRAM_GRID + 1
+    with pytest.raises(ValueError, match="per-program envelope"):
+        tf._maybe_megakernel(StepSettings.from_config(cfg), None)
+
+
+def test_gated_pad_policy_shared():
+    """The GAN and forward gated plans use one padding policy
+    (_best_pad_divisor): same cap+floor -> same (L, padded count)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    for n in (313, 499, 997):
+        L, n_pad = MK._best_pad_divisor(n, 75, 8)
+        assert n_pad >= n and n_pad % L == 0
+        # forward plan with the same cap agrees
+        orig = MK._FWD_MAX_TOTAL
+        try:
+            MK._FWD_MAX_TOTAL = 75
+            assert MK._fwd_sub_plan(n) == (L, n_pad)
+        finally:
+            MK._FWD_MAX_TOTAL = orig
