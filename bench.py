@@ -194,6 +194,15 @@ def _run_supervised() -> int:
             return 0
         print(f"bench attempt {attempt + 1} failed (rc={proc.returncode})",
               file=sys.stderr)
+    # all attempts stalled or died (e.g. the TPU relay tunnel wedged at
+    # device init — observed 2026-08-17: jax.devices() futex-hangs for
+    # hours): still emit ONE parseable JSON line so the round record shows
+    # a diagnosed environment failure, not a missing file
+    print(json.dumps({
+        "metric": "pigan_train_steps_per_sec", "value": 0.0,
+        "unit": "steps/s", "vs_baseline": 0.0,
+        "error": "all bench attempts stalled (TPU tunnel unavailable)",
+    }))
     return 1
 
 
