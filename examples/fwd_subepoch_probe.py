@@ -59,6 +59,8 @@ def run_bisect(args) -> int:
     ns, cap = (int(x) for x in args.bisect.split(":"))
     if cap:
         MK._FWD_MAX_TOTAL = cap
+    if args.debug_lanes:
+        MK._DEBUG_LANES = True
     cfg = default_config()
     cfg = cfg.replace(
         data=dc.replace(cfg.data, num_samples=ns),
@@ -90,10 +92,15 @@ def run_bisect(args) -> int:
             ):
                 bad.append(jax.tree_util.keystr(p))
         m = jax.device_get(mrow)
-        print(json.dumps({"call": tag, "state_nonfinite": bad[:6],
-                          "mrow_finite": bool(np.all(np.isfinite(m))),
-                          "loss": round(float(m[0]), 5), "ok": not bad}),
-              flush=True)
+        rec = {"call": tag, "state_nonfinite": bad[:6],
+               "mrow_finite": bool(np.all(np.isfinite(m))),
+               "loss": round(float(m[0]), 5), "ok": not bad}
+        if args.debug_lanes:
+            # lane order documented at _make_forward_kernel's debug tuple:
+            # x0, spectra, ln1, ln5, pred, drecon, dW6s, dW1, dx, lr,
+            # inv1, inv2, W1post
+            rec["dbg"] = [float(x) for x in m[3:16]]
+        print(json.dumps(rec), flush=True)
         return not bad
 
     st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
@@ -180,6 +187,8 @@ def main() -> int:
     ap.add_argument("--no-sync", action="store_true")
     ap.add_argument("--static-offset", action="store_true",
                     help="bake offsets into programs (no dynamic_slice)")
+    ap.add_argument("--debug-lanes", action="store_true",
+                    help="in-kernel stage checksums in the metric row")
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--shapes", nargs="+", default=["20000:0", "20032:0"])
     ap.add_argument("--epochs", type=int, default=6)

@@ -1782,6 +1782,24 @@ def _make_forward_kernel(
         )
 
         vals = (loss, spec_l, met_l)
+        if _DEBUG_LANES:
+            # forensic checksums for the hardware NaN bisect (fwd_subepoch
+            # probe): forward-pass stages, backward seeds, optimizer inputs
+            # and a post-update weight — the first NaN lane localizes the
+            # corruption point.  Order documented in the debug-lane test.
+            vals = vals + (
+                jnp.sum(jnp.abs(x0)),                      # 3: input batch
+                jnp.sum(jnp.abs(spectra)),                 # 4: target batch
+                jnp.sum(jnp.abs(saved[0][3])),             # 5: block-1 LN out
+                jnp.sum(jnp.abs(saved[4][3])),             # 6: block-5 LN out
+                jnp.sum(jnp.abs(pred_spec)),               # 7: spec head
+                jnp.sum(jnp.abs(drecon)),                  # 8: recon grad seed
+                jnp.sum(jnp.abs(dW6s)),                    # 9: head W grad
+                jnp.sum(jnp.abs(grads[0])),                # 10: block-1 W grad
+                jnp.sum(jnp.abs(da)),                      # 11: grad wrt input
+                lr, inv1, inv2,                            # 12-14: sched row
+                jnp.sum(jnp.abs(train[0][0])),             # 15: W1 post-update
+            )
         mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         mrow = jnp.zeros((1, LANE), jnp.float32)
         for k, v in enumerate(vals):
@@ -1917,6 +1935,9 @@ def make_pallas_forward_epoch_fn(
         )
         new_state = unpack_forward_state(state, bufs, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(FWD_METRIC_KEYS)}
+        if _DEBUG_LANES:
+            for off in range(13):
+                metrics[f"dbg_{off}"] = mrows[:, 0, len(FWD_METRIC_KEYS) + off]
         return new_state, metrics
 
     return multi_epoch
@@ -2077,9 +2098,11 @@ def make_pallas_forward_subepoch_fn(
                     jax.device_get(state.step)
             rows.append(acc)
         mets = jnp.stack(rows)                                 # (E, LANE)
-        return state, {
-            k: mets[:, j] for j, k in enumerate(FWD_METRIC_KEYS)
-        }
+        metrics = {k: mets[:, j] for j, k in enumerate(FWD_METRIC_KEYS)}
+        if _DEBUG_LANES:
+            for off in range(13):
+                metrics[f"dbg_{off}"] = mets[:, len(FWD_METRIC_KEYS) + off]
+        return state, metrics
 
     multi_epoch.sub_epoch = True  # Trainer: skip the per-call chunk clamp
     # exposed for hardware forensics (examples/fwd_subepoch_probe.py):

@@ -663,6 +663,46 @@ def test_megakernel_debug_instrumentation(cfg, monkeypatch):
 
 
 @pytest.mark.slow
+def test_forward_debug_instrumentation(cfg, monkeypatch):
+    """_DEBUG_LANES on the FORWARD kernel (round-3 forensics for the
+    hardware NaN bisect): checksum lanes compile on both drivers and carry
+    the documented quantities — dbg_1 = per-step mean of sum|spectra|,
+    dbg_9/10/11 = lr/inv1/inv2 schedule row."""
+    from pigan_thz_tpu.ops import megakernel as MK
+    from pigan_thz_tpu.train import ForwardStepSettings
+
+    c = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=128),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    ds = synthetic_dataset(c.data)
+    _, _, f = build_trio(c)
+    spe = 128 // c.train.batch_size   # 2
+    _, _, f_tx = make_optimizers(c, spe)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    st_b = jax.tree.map(jnp.copy, st)
+    monkeypatch.setattr(MK, "_DEBUG_LANES", True)
+    fn = MK.make_pallas_forward_epoch_fn(c, ForwardStepSettings(), interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    st1, m = fn(st, ds, jax.random.PRNGKey(5), ones)
+    spec_sum = float(jnp.sum(jnp.abs(ds.spectra)))  # every sample used once
+    np.testing.assert_allclose(float(m["dbg_1"][0]) * spe, spec_sum, rtol=1e-5)
+    lr0 = c.train.fwd_pretrain_lr
+    assert abs(float(m["dbg_9"][0]) * spe - lr0 * 2) / lr0 < 0.05  # ~2 steps' lr
+    assert float(m["dbg_10"][0]) > 1.0   # inv1 bias correction, large at t=1
+    for k, v in m.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # sub-epoch driver carries the same lanes
+    monkeypatch.setattr(MK, "_FWD_MAX_TOTAL", 1)
+    sub = MK.make_pallas_forward_subepoch_fn(c, ForwardStepSettings(),
+                                             interpret=True)
+    st2, m2 = sub(st_b, ds, jax.random.PRNGKey(5), ones)
+    np.testing.assert_allclose(float(m2["dbg_1"][0]) * spe, spec_sum, rtol=1e-5)
+    for k, v in m2.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
+@pytest.mark.slow
 def test_megakernel_nondefault_range_window(cfg):
     """range_lo/range_hi other than [0,1]: the kernel's range/violation
     reductions are masked to the 4 real parameter lanes, so a window not
