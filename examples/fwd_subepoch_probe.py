@@ -122,6 +122,65 @@ def run_bisect(args) -> int:
     return 0
 
 
+def run_xla_chain(args) -> int:
+    """Relay-race discriminator: chain the plain XLA forward epoch fn
+    (no Pallas anywhere) as N rapid donated one-epoch calls WITHOUT host
+    syncs — the same dispatch pattern as the sub-epoch driver.  If THIS
+    corrupts on hardware, the trigger is the tunnel/relay's handling of
+    rapid in-flight donated programs, not the Pallas kernel.
+
+        python examples/fwd_subepoch_probe.py --xla-chain 1024 --calls 12
+    """
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.data import synthetic_dataset
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.train import (
+        init_forward_state, make_forward_step, make_multi_epoch_fn,
+        make_optimizers,
+    )
+
+    cfg = default_config()
+    cfg = cfg.replace(data=dc.replace(cfg.data, num_samples=int(args.xla_chain)))
+    ds = synthetic_dataset(cfg.data)
+    _, _, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size
+    _, _, f_tx = make_optimizers(cfg, spe)
+    st = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    fn = make_multi_epoch_fn(make_forward_step(f, f_tx), cfg.train.batch_size,
+                             with_scale=False, unroll=1)
+    ones = jnp.ones((1,), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.calls)
+    last = None
+    for j in range(args.calls):
+        st, last = fn(st, ds, keys[j], ones)          # async, donated chain
+    losses = np.asarray(jax.device_get(last["loss"]))
+    bad = []
+    for p, x in jax.tree_util.tree_leaves_with_path(st):
+        xv = jax.device_get(x)
+        if np.issubdtype(xv.dtype, np.floating) and not np.all(np.isfinite(xv)):
+            bad.append(jax.tree_util.keystr(p))
+    out = {"backend": jax.default_backend(), "spe": spe, "calls": args.calls,
+           "loss_last": round(float(losses[-1]), 5),
+           "state_nonfinite": bad[:6], "ok": not bad and
+           bool(np.all(np.isfinite(losses)))}
+    print(json.dumps(out), flush=True)
+    print(json.dumps({"verdict": "CLEAN" if out["ok"] else
+                      "NONFINITE (XLA async donated chain)"}))
+    return 0 if out["ok"] else 1
+
+
 def run_inner(args) -> int:
     import jax
 
@@ -183,6 +242,8 @@ def main() -> int:
     ap.add_argument("--inner", type=str, default="")
     ap.add_argument("--bisect", type=str, default="",
                     help="ns:cap — drive sub_calls one at a time with syncs")
+    ap.add_argument("--xla-chain", type=str, default="",
+                    help="ns — chain donated XLA epoch calls, no Pallas")
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--no-sync", action="store_true")
     ap.add_argument("--static-offset", action="store_true",
@@ -198,6 +259,8 @@ def main() -> int:
     args = ap.parse_args()
     if args.bisect:
         return run_bisect(args)
+    if args.xla_chain:
+        return run_xla_chain(args)
     if args.inner:
         ns, cap = (int(x) for x in args.inner.split(":"))
         args.shape = (ns, cap)
