@@ -48,6 +48,12 @@ def _make_cfg(args) -> PiGanConfig:
         from .config import from_yaml
 
         cfg = from_yaml(args.config, cfg)
+    if getattr(args, "preset", None) == "optimized":
+        # the reference's OptimizedTrainer overlay (config_presets.py);
+        # applied before --set so explicit overrides still win
+        from .config_presets import apply_optimization_config
+
+        cfg = apply_optimization_config(cfg)
     if args.seed is not None:
         cfg = apply_overrides(cfg, [f"train.seed={args.seed}", f"data.seed={args.seed}"])
     cfg = apply_overrides(cfg, args.set)
@@ -147,10 +153,22 @@ def cmd_train(args) -> int:
     trainer, logger = _make_trainer(cfg, args, f"train_{args.mode}", ds=train_ds)
     from .train.steps import StepSettings
 
-    settings = StepSettings.from_config(
-        cfg, detach_forward=not args.fixed_physics,
-        ema_decay=args.ema_decay,
-    )
+    if args.preset == "optimized":
+        # OptimizedTrainer's GAN-phase loss mix (constraint/window/
+        # stability on, physics through F) — the overlay's own
+        # detach_forward=False wins over --fixed-physics
+        import dataclasses as _dc
+
+        from .config_presets import step_settings_from_optimization
+
+        settings = _dc.replace(
+            step_settings_from_optimization(), ema_decay=args.ema_decay
+        )
+    else:
+        settings = StepSettings.from_config(
+            cfg, detach_forward=not args.fixed_physics,
+            ema_decay=args.ema_decay,
+        )
     mgr = None
     if args.checkpoint_dir:
         from .train import checkpoint as ckpt_mod
@@ -646,6 +664,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--holdout-seed", type=int, default=9,
                    help="split shuffle seed; reuse at evaluate time to "
                         "reproduce the identical split")
+    g.add_argument("--preset", default=None, choices=["optimized"],
+                   help="apply the reference OptimizedTrainer overlay "
+                        "(config_presets.py: residual G, dual-encoder D, "
+                        "overlay LRs/loss mix); --set still overrides")
     g.add_argument("--backup-tag", default=None, metavar="TAG",
                    help="also write versioned backup artifacts "
                         "generator_<TAG>/... next to the finals (reference "

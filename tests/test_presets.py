@@ -47,3 +47,22 @@ def test_optimized_config_builds_models():
     cfg = apply_optimization_config(default_config())
     g, d, f = build_trio(cfg)
     assert g is not None and d is not None and f is not None
+
+
+def test_cli_preset_flag_layering():
+    """--preset optimized applies the overlay BEFORE --set, so explicit
+    overrides still win; other commands without the flag are unaffected."""
+    from types import SimpleNamespace
+
+    from pigan_thz_tpu.cli import _make_cfg
+
+    args = SimpleNamespace(config=None, preset="optimized", seed=None,
+                           set=["train.lr_g=9e-5"], workdir="/tmp/w")
+    cfg = _make_cfg(args)
+    assert cfg.generator.name == "residual"
+    assert cfg.discriminator.name == "dual_encoder"
+    assert cfg.train.detach_forward is False
+    assert cfg.train.lr_g == 9e-5          # --set wins over the overlay
+    # absent attribute (evaluate/export arg namespaces): no preset applied
+    args2 = SimpleNamespace(config=None, seed=None, set=[], workdir="/tmp/w")
+    assert _make_cfg(args2).generator.name == "mlp"
