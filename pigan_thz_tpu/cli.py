@@ -60,6 +60,30 @@ def _make_cfg(args) -> PiGanConfig:
     return cfg.replace(workdir=args.workdir)
 
 
+def _overlay_saved_model_config(cfg: PiGanConfig, args) -> PiGanConfig:
+    """Rebuild a saved run's architectures: merge <models>/model_config.json
+    (written by Trainer.save_final) into cfg so evaluate/screen/design/
+    export match e.g. a --preset-optimized run without re-specifying --set
+    flags.  Explicit user --set overrides for model sections still win."""
+    from .config import _flatten
+    from .train import checkpoint as ckpt_mod
+
+    saved = ckpt_mod.load_model_config(args.models)
+    if saved is None:
+        return cfg
+    overrides = []
+    for key, value in _flatten(saved):
+        if isinstance(value, list):
+            value = ",".join(str(v) for v in value)
+        overrides.append(f"{key}={value}")
+    prefixes = tuple(f"{s}." for s in saved)
+    user = [
+        o for o in args.set
+        if o.partition("=")[0].strip().startswith(prefixes)
+    ]
+    return apply_overrides(cfg, overrides + user)
+
+
 def _make_trainer(cfg: PiGanConfig, args, name: str, ds=None):
     from .train.trainer import Trainer
     from .utils.logging import RunLogger
@@ -274,6 +298,7 @@ def cmd_program(args) -> int:
 
 def cmd_evaluate(args) -> int:
     cfg = _make_cfg(args)
+    cfg = _overlay_saved_model_config(cfg, args)
     import time as _time
 
     from .evaluate import (
@@ -395,6 +420,7 @@ def cmd_evaluate(args) -> int:
 
 def cmd_screen(args) -> int:
     cfg = _make_cfg(args)
+    cfg = _overlay_saved_model_config(cfg, args)
     import jax
 
     from .data import load_or_synthesize
@@ -468,6 +494,7 @@ def cmd_design(args) -> int:
     """Inverse design for specific target spectra: G prediction + surrogate
     verification, optional gradient refinement and MC-dropout uncertainty."""
     cfg = _make_cfg(args)
+    cfg = _overlay_saved_model_config(cfg, args)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -517,6 +544,7 @@ def cmd_design(args) -> int:
 def cmd_export(args) -> int:
     """Serialize trained models as StableHLO serving artifacts (serve.py)."""
     cfg = _make_cfg(args)
+    cfg = _overlay_saved_model_config(cfg, args)
     import jax.numpy as jnp
 
     from . import serve

@@ -29,6 +29,38 @@ FORWARD_MODEL_PRETRAINED = "forward_model_pretrained"
 # run trained with StepSettings.ema_decay > 0)
 GENERATOR_EMA = "generator_ema"
 TRAIN_STATE = "train_state"
+# Architecture sections persisted next to the finals so evaluate/export can
+# rebuild matching modules (torch checkpoints embed their module graphs;
+# Orbax pytrees do not)
+MODEL_CONFIG = "model_config.json"
+
+
+def save_model_config(directory: str, config) -> None:
+    """Write the generator/discriminator/forward_model config sections as
+    JSON next to the finals; `load_model_config` + the CLI's auto-overlay
+    rebuild the exact architectures without re-specifying --set flags."""
+    import json
+
+    from ..config import _to_dict
+
+    d = _to_dict(config)
+    sections = {
+        k: d[k] for k in ("generator", "discriminator", "forward_model")
+    }
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    with open(_path(directory, MODEL_CONFIG), "w") as fh:
+        json.dump(sections, fh, indent=2)
+
+
+def load_model_config(directory: str):
+    """The saved architecture sections as a dict, or None if absent."""
+    import json
+
+    p = _path(directory, MODEL_CONFIG)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def _path(directory: str, name: str) -> str:

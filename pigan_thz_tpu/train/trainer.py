@@ -733,6 +733,7 @@ class Trainer:
         versioned `*_<mode>.pth` artifacts (unified_trainer.py:653-662)."""
         assert self.pigan_state is not None
         ckpt.save_final_trio(directory, self.pigan_state, backup_tag=backup_tag)
+        ckpt.save_model_config(directory, self.cfg)
         if self.forward_state is not None:
             ckpt.save_pytree(
                 directory, ckpt.FORWARD_MODEL_PRETRAINED, self.forward_state.f.variables

@@ -83,3 +83,31 @@ def test_gated_pad_policy_shared():
             assert MK._fwd_sub_plan(n) == (L, n_pad)
         finally:
             MK._FWD_MAX_TOTAL = orig
+
+
+def test_saved_model_config_overlay(cfg, small_ds, tmp_path):
+    """save_final persists the architecture sections; the CLI overlay
+    rebuilds them for evaluate/screen/design/export, with explicit user
+    --set model overrides still winning."""
+    from types import SimpleNamespace
+
+    from pigan_thz_tpu.cli import _overlay_saved_model_config
+    from pigan_thz_tpu.train import checkpoint as ckpt
+
+    c = cfg.replace(generator=dataclasses.replace(cfg.generator, name="residual"))
+    t = Trainer(c, ds=small_ds)
+    t.init_pigan()
+    t.save_final(str(tmp_path))
+    saved = ckpt.load_model_config(str(tmp_path))
+    assert saved["generator"]["name"] == "residual"
+    # default cfg + overlay -> matches the saved run
+    args = SimpleNamespace(models=str(tmp_path), set=[])
+    merged = _overlay_saved_model_config(cfg, args)
+    assert merged.generator.name == "residual"
+    assert merged.generator.hidden_dims == c.generator.hidden_dims
+    # explicit user override beats the saved section
+    args2 = SimpleNamespace(models=str(tmp_path), set=["generator.name=mlp"])
+    assert _overlay_saved_model_config(cfg, args2).generator.name == "mlp"
+    # absent file: unchanged
+    args3 = SimpleNamespace(models=str(tmp_path / "nope"), set=[])
+    assert _overlay_saved_model_config(cfg, args3).generator.name == "mlp"
