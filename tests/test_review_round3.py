@@ -111,3 +111,32 @@ def test_saved_model_config_overlay(cfg, small_ds, tmp_path):
     # absent file: unchanged
     args3 = SimpleNamespace(models=str(tmp_path / "nope"), set=[])
     assert _overlay_saved_model_config(cfg, args3).generator.name == "mlp"
+
+
+def test_launch_plan_invariants_sweep():
+    """Property sweep of the reliability-planning math: for every spe up to
+    2000 and several epoch counts, the plan must keep each launch uniform,
+    within caps, row-aligned, and cover exactly E*spe_pad grid steps."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    cap = min(MK._MAX_GRID, MK._MAX_GRID_MULTI)
+    for spe in range(1, 2001, 7):
+        for E in (1, 2, 25):
+            ls, n, rs, spe_pad = MK._launch_plan(E, spe)
+            total = E * spe_pad
+            assert ls * n == total, (spe, E)
+            assert ls <= (MK._MAX_GRID if n == 1 else cap), (spe, E)
+            assert ls % rs == 0 and spe_pad % rs == 0, (spe, E)
+            assert 0 <= spe_pad - spe < spe, (spe, E)   # pad bounded
+            if spe_pad != spe:
+                # gated plans only when no usable divisor exists
+                assert MK._largest_divisor(spe, cap) < MK._MIN_SUB_LAUNCH
+            # launches never straddle an epoch boundary
+            assert ls % spe_pad == 0 or spe_pad % ls == 0, (spe, E)
+
+    for spe in range(1, 2001, 7):
+        L, spe_pad = MK._fwd_sub_plan(spe)
+        assert spe_pad % L == 0 and L <= MK._FWD_MAX_TOTAL
+        assert 0 <= spe_pad - spe < spe
+        if spe <= MK._FWD_MAX_TOTAL:
+            assert (L, spe_pad) == (spe, spe)
