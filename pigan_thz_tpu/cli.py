@@ -643,6 +643,86 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment health report: device reachability (hang-proof probe in
+    a killable subprocess — the TPU relay tunnel can wedge at device init
+    and freeze any process that touches the backend, CLAUDE.md gotchas),
+    compile cache, native IO extension, and a device round-trip timing."""
+    checks = []
+
+    def add(name, ok, detail=""):
+        checks.append({"check": name, "ok": bool(ok), "detail": detail})
+        mark = "ok " if ok else "FAIL"
+        print(f"[{mark}] {name}{': ' + detail if detail else ''}")
+
+    import platform
+    import subprocess
+    import time as _time
+
+    print(f"python {platform.python_version()} on {platform.platform()}")
+    import jax
+
+    add("jax", True, jax.__version__)
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    n_entries = (
+        len(os.listdir(cache)) if os.path.isdir(cache) else 0
+    )
+    add("compile cache", n_entries > 0,
+        f"{cache} ({n_entries} entries)" if n_entries else
+        f"{cache} missing/empty — first compiles will be slow")
+
+    try:
+        from .data.native_io import native_available
+
+        ok = native_available()
+        add("native IO extension", ok,
+            "C++ CSV parser built" if ok else "build failed (pandas fallback)")
+    except Exception as e:  # noqa: BLE001 — report, don't crash the doctor
+        add("native IO extension", False, f"{type(e).__name__}: {e}")
+
+    # device probe in a killable subprocess: NEVER hangs this process
+    probe = (
+        "import jax, time\n"
+        + ("jax.config.update('jax_platforms', 'cpu')\n" if args.cpu else "")
+        + "t0 = time.time()\n"
+        "d = jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8))\n"
+        "t1 = time.time()\n"
+        "v = float(jax.device_get((x @ x).sum()))\n"
+        "rtt = time.time() - t1\n"
+        "print(f'{d[0].platform} {len(d)} {time.time()-t0:.1f} "
+        "{rtt*1000:.1f} {v}')\n"
+    )
+    t0 = _time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=args.timeout,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            plat, n, init_s, rtt_ms, v = out.stdout.split()
+            add("device", float(v) == 512.0,   # sum(ones(8,8) @ ones(8,8))
+                f"{n}x {plat}, init {init_s}s, round-trip {rtt_ms} ms")
+        else:
+            add("device", False,
+                f"probe rc={out.returncode}: {out.stderr.strip()[-200:]}")
+    except subprocess.TimeoutExpired:
+        add("device", False,
+            f"probe hung >{args.timeout}s — backend unreachable (TPU "
+            "tunnel wedge?); kill stuck clients and retry, or run on CPU "
+            "via jax.config.update('jax_platforms','cpu')")
+    print(f"doctor finished in {_time.time() - t0:.1f}s")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(checks, fh, indent=2)
+    return 0 if all(c["ok"] for c in checks) else 1
+
+
 def cmd_bench(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -792,6 +872,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="traced calls (first is timer warmup)")
     g.add_argument("--trace-dir", default=None)
     g.set_defaults(fn=cmd_profile)
+
+    g = sub.add_parser("doctor", help="environment health report")
+    g.add_argument("--timeout", type=int, default=90,
+                   help="device-probe budget in seconds (the probe runs in "
+                        "a killable subprocess and cannot hang the CLI)")
+    g.add_argument("--json", default=None, help="also write checks as JSON")
+    g.add_argument("--cpu", action="store_true",
+                   help="probe the CPU backend (the env-var route is "
+                        "ignored when the axon TPU plugin is installed)")
+    g.set_defaults(fn=cmd_doctor)
 
     g = sub.add_parser("bench", help="training throughput benchmark")
     _base_parser(g)

@@ -140,3 +140,17 @@ def test_launch_plan_invariants_sweep():
         assert 0 <= spe_pad - spe < spe
         if spe <= MK._FWD_MAX_TOTAL:
             assert (L, spe_pad) == (spe, spe)
+
+
+def test_doctor_command(tmp_path, capsys):
+    """`pigan doctor`: all checks green on a reachable (CPU) backend, JSON
+    report written; the device probe runs in a killable subprocess."""
+    import json as _json
+
+    from pigan_thz_tpu.cli import main
+
+    out = str(tmp_path / "doc.json")
+    rc = main(["doctor", "--cpu", "--timeout", "120", "--json", out])
+    checks = {c["check"]: c for c in _json.load(open(out))}
+    assert rc == 0, checks
+    assert checks["device"]["ok"] and "cpu" in checks["device"]["detail"]
