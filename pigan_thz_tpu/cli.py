@@ -141,6 +141,7 @@ def cmd_pretrain_forward(args) -> int:
     from .train import checkpoint as ckpt
 
     ckpt.save_pytree(out, ckpt.FORWARD_MODEL_PRETRAINED, trainer.forward_state.f.variables)
+    ckpt.save_model_config(out, cfg)
     logger.info(f"saved pretrained forward model under {out}")
     logger.close()
     return 0
@@ -209,6 +210,7 @@ def cmd_train(args) -> int:
             out, ckpt_mod2.FORWARD_MODEL_PRETRAINED,
             trainer.forward_state.f.variables,
         )
+        ckpt_mod2.save_model_config(out, cfg)
         logger.info(f"saved pretrained forward model under {out}")
     else:
         if args.mode == "pigan_only":
