@@ -686,6 +686,26 @@ def cmd_doctor(args) -> int:
     except Exception as e:  # noqa: BLE001 — report, don't crash the doctor
         add("native IO extension", False, f"{type(e).__name__}: {e}")
 
+    # megakernel envelope verdicts for the CURRENT config (pure planning,
+    # no device): which fast paths would engage on TPU
+    try:
+        from .ops.megakernel import (
+            supports_forward_megakernel,
+            supports_megakernel,
+        )
+        from .train.steps import StepSettings
+
+        cfg = _make_cfg(args)
+        r_gan = supports_megakernel(cfg, StepSettings.from_config(cfg))
+        add("GAN megakernel envelope", r_gan is None,
+            "engages on TPU" if r_gan is None else r_gan)
+        r_fwd = supports_forward_megakernel(cfg)
+        add("forward megakernel envelope", r_fwd is None,
+            "engages on TPU (steps_per_epoch <= 105 per program)"
+            if r_fwd is None else r_fwd)
+    except Exception as e:  # noqa: BLE001
+        add("megakernel envelope", False, f"{type(e).__name__}: {e}")
+
     # device probe in a killable subprocess: NEVER hangs this process
     probe = (
         "import jax, time\n"
@@ -876,6 +896,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("doctor", help="environment health report")
+    _base_parser(g)   # --set/--config: envelope verdicts for YOUR config
     g.add_argument("--timeout", type=int, default=90,
                    help="device-probe budget in seconds (the probe runs in "
                         "a killable subprocess and cannot hang the CLI)")
