@@ -96,10 +96,11 @@ def run_bisect(args) -> int:
                "mrow_finite": bool(np.all(np.isfinite(m))),
                "loss": round(float(m[0]), 5), "ok": not bad}
         if args.debug_lanes:
-            # lane order documented at _make_forward_kernel's debug tuple:
-            # x0, spectra, ln1, ln5, pred, drecon, dW6s, dW1, dx, lr,
-            # inv1, inv2, W1post
-            rec["dbg"] = [float(x) for x in m[3:16]]
+            base = len(MK.FWD_METRIC_KEYS)
+            rec["dbg"] = {
+                k: float(m[base + j])
+                for j, k in enumerate(MK.FWD_DEBUG_KEYS)
+            }
         print(json.dumps(rec), flush=True)
         return not bad
 

@@ -60,28 +60,30 @@ def _make_cfg(args) -> PiGanConfig:
     return cfg.replace(workdir=args.workdir)
 
 
-def _overlay_saved_model_config(cfg: PiGanConfig, args) -> PiGanConfig:
-    """Rebuild a saved run's architectures: merge <models>/model_config.json
-    (written by Trainer.save_final) into cfg so evaluate/screen/design/
-    export match e.g. a --preset-optimized run without re-specifying --set
-    flags.  Explicit user --set overrides for model sections still win."""
-    from .config import _flatten
+def _overlay_model_config_dir(
+    cfg: PiGanConfig, directory: str, user_set: List[str]
+) -> PiGanConfig:
+    """Merge <directory>/model_config.json (written by the save paths) into
+    cfg so consumers rebuild the saved run's architectures; explicit user
+    --set overrides for model sections still win."""
+    from .config import dict_to_overrides
     from .train import checkpoint as ckpt_mod
 
-    saved = ckpt_mod.load_model_config(args.models)
+    saved = ckpt_mod.load_model_config(directory)
     if saved is None:
         return cfg
-    overrides = []
-    for key, value in _flatten(saved):
-        if isinstance(value, list):
-            value = ",".join(str(v) for v in value)
-        overrides.append(f"{key}={value}")
     prefixes = tuple(f"{s}." for s in saved)
     user = [
-        o for o in args.set
+        o for o in user_set
         if o.partition("=")[0].strip().startswith(prefixes)
     ]
-    return apply_overrides(cfg, overrides + user)
+    return apply_overrides(cfg, dict_to_overrides(saved) + user)
+
+
+def _overlay_saved_model_config(cfg: PiGanConfig, args) -> PiGanConfig:
+    """Rebuild a saved run's architectures from --models (evaluate/screen/
+    design/export)."""
+    return _overlay_model_config_dir(cfg, args.models, args.set)
 
 
 def _make_trainer(cfg: PiGanConfig, args, name: str, ds=None):
@@ -169,6 +171,14 @@ def cmd_train(args) -> int:
         horizon_overrides.append(f"train.fwd_pretrain_epochs={args.forward_epochs}")
     if horizon_overrides:
         cfg = apply_overrides(cfg, horizon_overrides)
+    if args.mode == "pigan_only" and args.forward_model:
+        # rebuild the pretrained surrogate's architecture from the
+        # model_config.json saved next to it (else the restore template
+        # built from the default cfg mismatches a non-mlp artifact)
+        cfg = _overlay_model_config_dir(
+            cfg, os.path.dirname(os.path.abspath(args.forward_model)),
+            args.set,
+        )
     holdout_ds = None
     train_ds = None
     if args.holdout:
@@ -180,14 +190,15 @@ def cmd_train(args) -> int:
 
     if args.preset == "optimized":
         # OptimizedTrainer's GAN-phase loss mix (constraint/window/
-        # stability on, physics through F) — the overlay's own
-        # detach_forward=False wins over --fixed-physics
+        # stability on, physics through F), read from the post---set cfg
+        # so explicit overrides reach the fused step too; the overlay's
+        # own detach_forward=False wins over --fixed-physics
         import dataclasses as _dc
 
-        from .config_presets import step_settings_from_optimization
+        from .config_presets import step_settings_from_optimized_config
 
         settings = _dc.replace(
-            step_settings_from_optimization(), ema_decay=args.ema_decay
+            step_settings_from_optimized_config(cfg), ema_decay=args.ema_decay
         )
     else:
         settings = StepSettings.from_config(
@@ -673,7 +684,8 @@ def cmd_doctor(args) -> int:
     n_entries = (
         len(os.listdir(cache)) if os.path.isdir(cache) else 0
     )
-    add("compile cache", n_entries > 0,
+    # informational (an empty cache is normal on a fresh checkout)
+    add("compile cache", True,
         f"{cache} ({n_entries} entries)" if n_entries else
         f"{cache} missing/empty — first compiles will be slow")
 
@@ -686,23 +698,26 @@ def cmd_doctor(args) -> int:
     except Exception as e:  # noqa: BLE001 — report, don't crash the doctor
         add("native IO extension", False, f"{type(e).__name__}: {e}")
 
-    # megakernel envelope verdicts for the CURRENT config (pure planning,
-    # no device): which fast paths would engage on TPU
+    # megakernel engagement verdicts for the CURRENT config (pure planning,
+    # no device; informational — an XLA-path config is not a failure)
     try:
-        from .ops.megakernel import (
-            supports_forward_megakernel,
-            supports_megakernel,
-        )
+        from .ops import megakernel as MK
         from .train.steps import StepSettings
 
         cfg = _make_cfg(args)
-        r_gan = supports_megakernel(cfg, StepSettings.from_config(cfg))
-        add("GAN megakernel envelope", r_gan is None,
-            "engages on TPU" if r_gan is None else r_gan)
-        r_fwd = supports_forward_megakernel(cfg)
-        add("forward megakernel envelope", r_fwd is None,
-            "engages on TPU (steps_per_epoch <= 105 per program)"
-            if r_fwd is None else r_fwd)
+        r_gan = MK.supports_megakernel(cfg, StepSettings.from_config(cfg))
+        add("GAN megakernel", True,
+            "engages on TPU" if r_gan is None else f"XLA path: {r_gan}")
+        r_fwd = MK.supports_forward_megakernel(cfg)
+        spe = cfg.data.num_samples // cfg.train.batch_size
+        if r_fwd is None and spe > MK._FWD_MAX_TOTAL and not MK._FWD_SUB_AUTO_OK:
+            # the Trainer's auto gate (the sub-epoch driver is not
+            # hardware-proven — RESULTS.md round-3 forensics)
+            r_fwd = (f"steps_per_epoch {spe} > {MK._FWD_MAX_TOTAL}: auto "
+                     "mode pretrains on XLA (sub-epoch driver gated)")
+        add("forward megakernel", True,
+            f"engages on TPU (steps_per_epoch {spe} <= {MK._FWD_MAX_TOTAL})"
+            if r_fwd is None else f"XLA path: {r_fwd}")
     except Exception as e:  # noqa: BLE001
         add("megakernel envelope", False, f"{type(e).__name__}: {e}")
 
@@ -727,9 +742,16 @@ def cmd_doctor(args) -> int:
             timeout=args.timeout,
         )
         if out.returncode == 0 and out.stdout.strip():
-            plat, n, init_s, rtt_ms, v = out.stdout.split()
-            add("device", float(v) == 512.0,   # sum(ones(8,8) @ ones(8,8))
-                f"{n}x {plat}, init {init_s}s, round-trip {rtt_ms} ms")
+            try:
+                # last line only: runtimes may print banners to stdout
+                plat, n, init_s, rtt_ms, v = (
+                    out.stdout.strip().splitlines()[-1].split()
+                )
+                add("device", float(v) == 512.0,  # sum(ones(8,8)@ones(8,8))
+                    f"{n}x {plat}, init {init_s}s, round-trip {rtt_ms} ms")
+            except ValueError:
+                add("device", False,
+                    f"unparseable probe output: {out.stdout.strip()[-200:]}")
         else:
             add("device", False,
                 f"probe rc={out.returncode}: {out.stderr.strip()[-200:]}")

@@ -119,6 +119,10 @@ class LossWeights:
     constraint: float = 3.0
     stability: float = 1.0
     cycle: float = 1.0
+    # physics WINDOW loss (unified_trainer.py:240-256; the overlay's
+    # `physics_constraint_loss`, distinct from the constraint trainer's
+    # `physics_constraint_weight`).  0 = off outside the optimized preset.
+    window: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -287,6 +291,17 @@ def to_yaml(cfg: PiGanConfig, path: str) -> None:
         yaml.safe_dump(_to_dict(cfg), fh, sort_keys=False)
 
 
+def dict_to_overrides(data: Mapping[str, Any]) -> list[str]:
+    """Nested dict -> ``a.b.c=value`` override strings (one serialization
+    shared by from_yaml and the CLI's saved-model-config overlay)."""
+    overrides = []
+    for key, value in _flatten(data):
+        if isinstance(value, list):
+            value = ",".join(str(v) for v in value)
+        overrides.append(f"{key}={value}")
+    return overrides
+
+
 def from_yaml(path: str, base: PiGanConfig | None = None) -> PiGanConfig:
     """Load a YAML config (full or partial) over `base`/defaults.  Nested
     keys map to the dataclass tree; unknown keys raise."""
@@ -295,9 +310,4 @@ def from_yaml(path: str, base: PiGanConfig | None = None) -> PiGanConfig:
     with open(path) as fh:
         data = yaml.safe_load(fh) or {}
     cfg = base or default_config()
-    overrides = []
-    for key, value in _flatten(data):
-        if isinstance(value, list):
-            value = ",".join(str(v) for v in value)
-        overrides.append(f"{key}={value}")
-    return apply_overrides(cfg, overrides)
+    return apply_overrides(cfg, dict_to_overrides(data))

@@ -199,6 +199,7 @@ def apply_optimization_config(
         constraint=lw["parameter_constraint_loss"],
         maxwell=lw["smoothness_loss"],
         stability=lw["stability_loss"],
+        window=lw["physics_constraint_loss"],
     )
     constraint = dataclasses.replace(
         cfg.constraint,
@@ -233,6 +234,28 @@ def apply_optimization_config(
     return dataclasses.replace(
         cfg, loss=loss, constraint=constraint, generator=gen,
         discriminator=disc, train=train,
+    )
+
+
+def step_settings_from_optimized_config(cfg: PiGanConfig):
+    """OptimizedTrainer's GAN-phase loss mix read from a CONFIG that
+    `apply_optimization_config` produced — unlike
+    `step_settings_from_optimization` (static overlay dict), every knob
+    here respects later --set overrides.  Bit-identical to the static
+    builder on the untouched overlay (tested)."""
+    from .train.steps import StepSettings
+
+    return StepSettings(
+        adv_w=cfg.loss.adversarial,
+        recon_w=cfg.loss.recon,
+        physics_spec_w=cfg.loss.forward_consistency,
+        constraint_w=cfg.loss.constraint,
+        window_w=cfg.loss.window,
+        maxwell_w=cfg.loss.maxwell,
+        stability_w=cfg.loss.stability,
+        detach_forward=cfg.train.detach_forward,
+        label_real=cfg.train.label_smooth_real,
+        label_fake=cfg.train.label_smooth_fake,
     )
 
 

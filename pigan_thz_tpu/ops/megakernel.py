@@ -308,6 +308,13 @@ METRIC_KEYS = (
     "violation_rate",
 )
 FWD_METRIC_KEYS = ("loss", "spectrum_loss", "metrics_loss")
+# _DEBUG_LANES stage-checksum order for the FORWARD kernel (single source
+# of truth: the kernel's debug tuple, both drivers' metric dicts, the
+# fwd_subepoch probe and the debug-lane test all derive from this)
+FWD_DEBUG_KEYS = (
+    "x0", "spectra", "ln1", "ln5", "pred_spec", "drecon", "dW6s",
+    "dW1", "dx", "lr", "inv1", "inv2", "W1_post",
+)
 
 _B1, _B2, _EPS = 0.5, 0.999, 1e-8
 _BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
@@ -1786,20 +1793,21 @@ def _make_forward_kernel(
             # forensic checksums for the hardware NaN bisect (fwd_subepoch
             # probe): forward-pass stages, backward seeds, optimizer inputs
             # and a post-update weight — the first NaN lane localizes the
-            # corruption point.  Order documented in the debug-lane test.
-            vals = vals + (
-                jnp.sum(jnp.abs(x0)),                      # 3: input batch
-                jnp.sum(jnp.abs(spectra)),                 # 4: target batch
-                jnp.sum(jnp.abs(saved[0][3])),             # 5: block-1 LN out
-                jnp.sum(jnp.abs(saved[4][3])),             # 6: block-5 LN out
-                jnp.sum(jnp.abs(pred_spec)),               # 7: spec head
-                jnp.sum(jnp.abs(drecon)),                  # 8: recon grad seed
-                jnp.sum(jnp.abs(dW6s)),                    # 9: head W grad
-                jnp.sum(jnp.abs(grads[0])),                # 10: block-1 W grad
-                jnp.sum(jnp.abs(da)),                      # 11: grad wrt input
-                lr, inv1, inv2,                            # 12-14: sched row
-                jnp.sum(jnp.abs(train[0][0])),             # 15: W1 post-update
-            )
+            # corruption point.  Order = FWD_DEBUG_KEYS.
+            dbg = {
+                "x0": jnp.sum(jnp.abs(x0)),
+                "spectra": jnp.sum(jnp.abs(spectra)),
+                "ln1": jnp.sum(jnp.abs(saved[0][3])),
+                "ln5": jnp.sum(jnp.abs(saved[4][3])),
+                "pred_spec": jnp.sum(jnp.abs(pred_spec)),
+                "drecon": jnp.sum(jnp.abs(drecon)),
+                "dW6s": jnp.sum(jnp.abs(dW6s)),
+                "dW1": jnp.sum(jnp.abs(grads[0])),
+                "dx": jnp.sum(jnp.abs(da)),
+                "lr": lr, "inv1": inv1, "inv2": inv2,
+                "W1_post": jnp.sum(jnp.abs(train[0][0])),
+            }
+            vals = vals + tuple(dbg[k] for k in FWD_DEBUG_KEYS)
         mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         mrow = jnp.zeros((1, LANE), jnp.float32)
         for k, v in enumerate(vals):
@@ -1936,7 +1944,7 @@ def make_pallas_forward_epoch_fn(
         new_state = unpack_forward_state(state, bufs, T, S)
         metrics = {k: mrows[:, 0, j] for j, k in enumerate(FWD_METRIC_KEYS)}
         if _DEBUG_LANES:
-            for off in range(13):
+            for off in range(len(FWD_DEBUG_KEYS)):
                 metrics[f"dbg_{off}"] = mrows[:, 0, len(FWD_METRIC_KEYS) + off]
         return new_state, metrics
 
@@ -2100,7 +2108,7 @@ def make_pallas_forward_subepoch_fn(
         mets = jnp.stack(rows)                                 # (E, LANE)
         metrics = {k: mets[:, j] for j, k in enumerate(FWD_METRIC_KEYS)}
         if _DEBUG_LANES:
-            for off in range(13):
+            for off in range(len(FWD_DEBUG_KEYS)):
                 metrics[f"dbg_{off}"] = mets[:, len(FWD_METRIC_KEYS) + off]
         return state, metrics
 

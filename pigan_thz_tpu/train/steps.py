@@ -100,6 +100,7 @@ class StepSettings:
             physics_spec_w=cfg.loss.physics_spectrum,
             physics_metrics_w=cfg.loss.physics_metrics,
             maxwell_w=cfg.loss.maxwell,
+            window_w=cfg.loss.window,
             lc_w=cfg.loss.lc,
             range_w=cfg.loss.param_range,
             kl_w=cfg.loss.bnn_kl,

@@ -685,11 +685,14 @@ def test_forward_debug_instrumentation(cfg, monkeypatch):
     fn = MK.make_pallas_forward_epoch_fn(c, ForwardStepSettings(), interpret=True)
     ones = jnp.ones((1,), jnp.float32)
     st1, m = fn(st, ds, jax.random.PRNGKey(5), ones)
+    lane = {k: f"dbg_{j}" for j, k in enumerate(MK.FWD_DEBUG_KEYS)}
     spec_sum = float(jnp.sum(jnp.abs(ds.spectra)))  # every sample used once
-    np.testing.assert_allclose(float(m["dbg_1"][0]) * spe, spec_sum, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m[lane["spectra"]][0]) * spe, spec_sum, rtol=1e-5
+    )
     lr0 = c.train.fwd_pretrain_lr
-    assert abs(float(m["dbg_9"][0]) * spe - lr0 * 2) / lr0 < 0.05  # ~2 steps' lr
-    assert float(m["dbg_10"][0]) > 1.0   # inv1 bias correction, large at t=1
+    assert abs(float(m[lane["lr"]][0]) * spe - lr0 * 2) / lr0 < 0.05  # 2 steps
+    assert float(m[lane["inv1"]][0]) > 1.0   # bias correction, large at t=1
     for k, v in m.items():
         assert np.all(np.isfinite(np.asarray(v))), k
     # sub-epoch driver carries the same lanes
@@ -697,7 +700,9 @@ def test_forward_debug_instrumentation(cfg, monkeypatch):
     sub = MK.make_pallas_forward_subepoch_fn(c, ForwardStepSettings(),
                                              interpret=True)
     st2, m2 = sub(st_b, ds, jax.random.PRNGKey(5), ones)
-    np.testing.assert_allclose(float(m2["dbg_1"][0]) * spe, spec_sum, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m2[lane["spectra"]][0]) * spe, spec_sum, rtol=1e-5
+    )
     for k, v in m2.items():
         assert np.all(np.isfinite(np.asarray(v))), k
 

@@ -66,3 +66,18 @@ def test_cli_preset_flag_layering():
     # absent attribute (evaluate/export arg namespaces): no preset applied
     args2 = SimpleNamespace(config=None, seed=None, set=[], workdir="/tmp/w")
     assert _make_cfg(args2).generator.name == "mlp"
+
+
+def test_optimized_settings_cfg_routed():
+    """step_settings_from_optimized_config(cfg) == the static overlay
+    builder on the untouched overlay, and --set overrides reach the fused
+    step's settings (the static builder silently ignored them)."""
+    from pigan_thz_tpu.config import apply_overrides
+    from pigan_thz_tpu.config_presets import step_settings_from_optimized_config
+
+    cfg = apply_optimization_config(default_config())
+    assert step_settings_from_optimized_config(cfg) == \
+        step_settings_from_optimization()
+    tweaked = apply_overrides(cfg, ["loss.recon=50", "loss.stability=0"])
+    st = step_settings_from_optimized_config(tweaked)
+    assert st.recon_w == 50.0 and st.stability_w == 0.0
