@@ -669,6 +669,26 @@ class Trainer:
             self.train_history = {
                 k: [float(x) for x in v] for k, v in meta["history"].items()
             }
+        if meta and isinstance(meta.get("config"), dict):
+            # same-SHAPE config drift restores cleanly but silently changes
+            # semantics (e.g. leaky_slope, dropout rates) — warn on any
+            # model-section difference vs the checkpoint's recorded config
+            from ..config import _to_dict
+
+            cur = _to_dict(self.cfg)
+            for sec in ("generator", "discriminator", "forward_model"):
+                saved_sec = meta["config"].get(sec)
+                if saved_sec is not None and saved_sec != cur.get(sec):
+                    diff = {
+                        k: (v, cur[sec].get(k))
+                        for k, v in saved_sec.items()
+                        if cur[sec].get(k) != v
+                    }
+                    self._log_always(
+                        f"resume: {sec} config differs from the checkpoint's "
+                        f"(saved, current): {diff} — the restored weights "
+                        "will run under the CURRENT settings"
+                    )
         return step
 
     # ------------------------------------------------------------------

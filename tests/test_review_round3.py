@@ -154,3 +154,27 @@ def test_doctor_command(tmp_path, capsys):
     checks = {c["check"]: c for c in _json.load(open(out))}
     assert rc == 0, checks
     assert checks["device"]["ok"] and "cpu" in checks["device"]["detail"]
+
+
+def test_resume_warns_on_config_drift(cfg, small_ds, tmp_path, capsys):
+    """Same-shape config drift (e.g. leaky_slope) restores cleanly but
+    changes semantics: resume_from must surface the diff."""
+    from pigan_thz_tpu.train import Trainer
+    from pigan_thz_tpu.train import checkpoint as ckpt
+
+    t = Trainer(cfg, ds=small_ds)
+    t.init_pigan()
+    mgr = ckpt.CheckpointManager(str(tmp_path), save_interval=1)
+    mgr.save(1, t.pigan_state, config=cfg, history={"pigan/g_loss": [1.0]})
+    drifted = cfg.replace(
+        discriminator=dataclasses.replace(cfg.discriminator, leaky_slope=0.3)
+    )
+    t2 = Trainer(drifted, ds=small_ds)
+    step = t2.resume_from(mgr)
+    assert step == 1
+    err = capsys.readouterr().err
+    assert "discriminator config differs" in err and "leaky_slope" in err
+    # no drift -> no warning
+    t3 = Trainer(cfg, ds=small_ds)
+    assert t3.resume_from(mgr) == 1
+    assert "config differs" not in capsys.readouterr().err
