@@ -247,7 +247,9 @@ def _set_nested(cfg: Any, dotted: str, value: str) -> Any:
         elif isinstance(cur, float):
             new = float(value)
         elif isinstance(cur, tuple):
-            new = tuple(int(v) for v in value.split(","))
+            # "" round-trips an EMPTY tuple (dict_to_overrides serializes
+            # [] as ",".join([]) == "")
+            new = tuple(int(v) for v in value.split(",") if v != "")
         else:
             new = value
     return dataclasses.replace(cfg, **{head: new})

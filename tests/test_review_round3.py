@@ -178,3 +178,14 @@ def test_resume_warns_on_config_drift(cfg, small_ds, tmp_path, capsys):
     t3 = Trainer(cfg, ds=small_ds)
     assert t3.resume_from(mgr) == 1
     assert "config differs" not in capsys.readouterr().err
+
+
+def test_empty_tuple_override_roundtrip():
+    """dict_to_overrides serializes an empty list as 'key=' — apply_overrides
+    must parse that back to an empty tuple, not crash on int('')."""
+    from pigan_thz_tpu.config import apply_overrides, default_config
+
+    cfg = apply_overrides(default_config(), ["generator.hidden_dims="])
+    assert cfg.generator.hidden_dims == ()
+    cfg2 = apply_overrides(cfg, ["generator.hidden_dims=512,256"])
+    assert cfg2.generator.hidden_dims == (512, 256)
