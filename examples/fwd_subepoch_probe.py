@@ -61,6 +61,8 @@ def run_bisect(args) -> int:
         MK._FWD_MAX_TOTAL = cap
     if args.debug_lanes:
         MK._DEBUG_LANES = True
+    if args.no_alias:
+        MK._NO_ALIAS = True
     cfg = default_config()
     cfg = cfg.replace(
         data=dc.replace(cfg.data, num_samples=ns),
@@ -252,6 +254,8 @@ def main() -> int:
     ap.add_argument("--debug-lanes", action="store_true",
                     help="in-kernel stage checksums in the metric row")
     ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--no-alias", action="store_true",
+                    help="disable pallas input/output aliasing (extra copies)")
     ap.add_argument("--shapes", nargs="+", default=["20000:0", "20032:0"])
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--timeout", type=int, default=1500)
