@@ -63,6 +63,10 @@ def run_bisect(args) -> int:
         MK._DEBUG_LANES = True
     if args.no_alias:
         MK._NO_ALIAS = True
+    if args.no_donate:
+        MK._NO_DONATE = True
+    if args.fused_prologue:
+        MK._FUSED_PROLOGUE = True
     cfg = default_config()
     cfg = cfg.replace(
         data=dc.replace(cfg.data, num_samples=ns),
@@ -256,6 +260,11 @@ def main() -> int:
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--no-alias", action="store_true",
                     help="disable pallas input/output aliasing (extra copies)")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="jit sub-calls without donate_argnums")
+    ap.add_argument("--fused-prologue", action="store_true",
+                    help="reproduce the corrupting single-program shape "
+                         "(prologue fused with the pallas call)")
     ap.add_argument("--shapes", nargs="+", default=["20000:0", "20032:0"])
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--timeout", type=int, default=1500)

@@ -413,6 +413,17 @@ _MIN_SUB_LAUNCH = 8
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
+# Forensic knobs for the forward sub-epoch NaN bisection (RESULTS.md):
+_NO_DONATE = False  # dev aid: sub-calls jit WITHOUT donate_argnums
+# ROOT CAUSE (hardware bisection, 2026-08-18): a sub-epoch program whose
+# gather/sched prologue lives in the SAME jitted program as the aliased
+# pallas_call feeds the kernel corrupted LN scale/bias operands on v5e
+# (in-kernel debug lanes: batch x0 finite, inv-stddev finite, ln1 NaN) at
+# every probed grid >= ~45-65; the identical kernel with the prologue
+# compiled as a SEPARATE jitted program chained host-side is clean at the
+# same shapes.  The split is therefore the DEFAULT; this knob restores the
+# fused single-program shape for forensics only.
+_FUSED_PROLOGUE = False
 
 
 def _largest_divisor(n: int, cap: int) -> int:
@@ -1981,8 +1992,8 @@ def make_pallas_forward_subepoch_fn(
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
     def _mk_sub_call(live_steps: int, static_offset: int | None = None):
-        @partial(jax.jit, donate_argnums=(0,))
-        def sub_call(state, ds, key_e, seed_key, offset):
+        def _streams(t0, ds, key_e, seed_key, offset):
+            """Gather/sched/seed stream construction (the XLA prologue)."""
             N = ds.spectra.shape[0]
             spe = max(1, N // B)
             L, spe_pad = _fwd_sub_plan(spe)
@@ -2006,7 +2017,6 @@ def make_pallas_forward_subepoch_fn(
             par_g = jnp.pad(ds.params_norm, ((0, 0), (0, LANE - 4)))[idx]
             spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
             met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
-            t0 = state.opt[1][0].count
             t = t0 + jnp.arange(L)
             tf = (t + 1).astype(jnp.float32)
             mask = (jnp.arange(L) < live_steps).astype(jnp.float32)
@@ -2019,6 +2029,11 @@ def make_pallas_forward_subepoch_fn(
             seeds = jax.random.randint(
                 seed_key, (L, 1, LANE), 0, 2**31 - 1, jnp.int32
             )
+            return par_g, spec_g, met_g, sched, seeds
+
+        def _kernel_body(state, spe, par_g, spec_g, met_g, sched, seeds):
+            padded = _fwd_sub_plan(spe)[1] != spe
+            L = par_g.shape[0]
             train = pack_forward_state(state, S)
             const = lambda shape: pl.BlockSpec(  # noqa: E731
                 shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -2071,6 +2086,37 @@ def make_pallas_forward_subepoch_fn(
                 state, list(outs[:-1]), live_steps, S
             )
             return new_state, outs[-1][0, 0]                       # (LANE,)
+
+        donate = () if _NO_DONATE else (0,)
+        if _FUSED_PROLOGUE:
+            # Forensic shape: prologue + kernel in ONE jitted program.
+            # CORRUPTS the kernel's VMEM operands on v5e hardware (see the
+            # _FUSED_PROLOGUE note) — kept only to reproduce the failure.
+            @partial(jax.jit, donate_argnums=donate)
+            def sub_call(state, ds, key_e, seed_key, offset):
+                N = ds.spectra.shape[0]
+                spe = max(1, N // B)
+                t0 = state.opt[1][0].count
+                streams = _streams(t0, ds, key_e, seed_key, offset)
+                return _kernel_body(state, spe, *streams)
+
+            return sub_call
+
+        # Default: two separate jitted programs chained host-side (still
+        # fully async — one extra enqueue, no round trip).  The pallas
+        # program contains ONLY pack + kernel + unpack; the gathers /
+        # dynamic_slice / schedule math compile separately, which is the
+        # hardware-proven-clean shape (fused corrupts — _FUSED_PROLOGUE).
+        stream_jit = jax.jit(_streams)
+        kernel_jit = partial(jax.jit, static_argnums=(1,),
+                             donate_argnums=donate)(_kernel_body)
+
+        def sub_call(state, ds, key_e, seed_key, offset):
+            spe = max(1, ds.spectra.shape[0] // B)
+            streams = stream_jit(
+                state.opt[1][0].count, ds, key_e, seed_key, offset
+            )
+            return kernel_jit(state, spe, *streams)
 
         return sub_call
 
