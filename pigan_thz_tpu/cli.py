@@ -711,12 +711,14 @@ def cmd_doctor(args) -> int:
         r_fwd = MK.supports_forward_megakernel(cfg)
         spe = cfg.data.num_samples // cfg.train.batch_size
         if r_fwd is None and spe > MK._FWD_MAX_TOTAL and not MK._FWD_SUB_AUTO_OK:
-            # the Trainer's auto gate (the sub-epoch driver is not
-            # hardware-proven — RESULTS.md round-3 forensics)
+            # the Trainer's auto gate is OFF-switched (_FWD_SUB_AUTO_OK)
             r_fwd = (f"steps_per_epoch {spe} > {MK._FWD_MAX_TOTAL}: auto "
-                     "mode pretrains on XLA (sub-epoch driver gated)")
+                     "mode pretrains on XLA (sub-epoch driver off-switched)")
         add("forward megakernel", True,
-            f"engages on TPU (steps_per_epoch {spe} <= {MK._FWD_MAX_TOTAL})"
+            ("engages on TPU "
+             + (f"(steps_per_epoch {spe} <= {MK._FWD_MAX_TOTAL})"
+                if spe <= MK._FWD_MAX_TOTAL
+                else f"(sub-epoch driver: steps_per_epoch {spe})"))
             if r_fwd is None else f"XLA path: {r_fwd}")
     except Exception as e:  # noqa: BLE001
         add("megakernel envelope", False, f"{type(e).__name__}: {e}")

@@ -388,11 +388,14 @@ _FWD_SYNC_EVERY = 0
 # (one jitted program per (live, offset) pair) instead of a traced
 # dynamic_slice — isolates the dynamic-slice-fed gather as a trigger.
 _FWD_STATIC_OFFSET = False
-# Auto-mode gate for the sub-epoch driver: Trainer(megakernel='auto') only
-# engages it on TPU once a hardware-clean configuration is proven (the
-# chained sub-epoch calls NaN'd on v5e in round-3 forensics — RESULTS.md);
-# megakernel='force' bypasses the gate for probes.
-_FWD_SUB_AUTO_OK = False
+# Auto-mode gate for the sub-epoch driver.  True since the round-3 root
+# cause landed (split prologue — see _FUSED_PROLOGUE): the split driver is
+# hardware-clean at the 20k-sample target shapes (gated and ungated, zero
+# fallback trips, XLA loss parity — RESULTS.md).  Kept as an off-switch
+# should a future hardware/toolchain change regress it; False restores
+# the round-3 behavior (spe > _FWD_MAX_TOTAL pretrains on XLA in auto
+# mode, 'force' still drives the kernel).
+_FWD_SUB_AUTO_OK = True
 # Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
 # bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
 # jitted program; beyond that is unprobed, so the Trainer clamps its
@@ -1859,18 +1862,13 @@ def make_pallas_forward_epoch_fn(
     base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
-        E = scales.shape[0]
+    def _streams(t0, ds, key: jax.Array, E: int):
+        """Gather/sched/seed stream construction (the XLA prologue) —
+        compiled as its OWN jitted program: fusing it with the aliased
+        pallas_call corrupts the kernel's operands on v5e (the round-3
+        root cause — _FUSED_PROLOGUE note)."""
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
-        if not interpret and E * spe > _FWD_MAX_TOTAL:
-            raise ValueError(
-                f"E*steps_per_epoch={E * spe} exceeds the forward kernel's "
-                f"per-program grid bound {_FWD_MAX_TOTAL} (Mosaic corruption "
-                "above it — see _FWD_MAX_TOTAL note); chain smaller calls "
-                "from Python — Trainer.pretrain_forward does this itself"
-            )
         T = E * spe
         sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
 
@@ -1880,7 +1878,6 @@ def make_pallas_forward_epoch_fn(
         spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
         met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
 
-        t0 = state.opt[1][0].count
         t = t0 + jnp.arange(T)
         tf = (t + 1).astype(jnp.float32)
         sched = jnp.stack([
@@ -1891,7 +1888,10 @@ def make_pallas_forward_epoch_fn(
         seeds = jax.random.randint(
             jax.random.fold_in(key, 0x5EED), (T, 1, LANE), 0, 2**31 - 1, jnp.int32
         )
+        return par_g, spec_g, met_g, sched, seeds
 
+    def _kernel_body(state, E: int, spe: int, par_g, spec_g, met_g, sched, seeds):
+        T = E * spe
         train = pack_forward_state(state, S)
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1958,6 +1958,37 @@ def make_pallas_forward_epoch_fn(
             for off in range(len(FWD_DEBUG_KEYS)):
                 metrics[f"dbg_{off}"] = mrows[:, 0, len(FWD_METRIC_KEYS) + off]
         return new_state, metrics
+
+    fused_prologue = _FUSED_PROLOGUE            # captured at factory time
+    stream_jit = jax.jit(_streams, static_argnums=(3,))
+    kernel_jit = partial(jax.jit, static_argnums=(1, 2),
+                         donate_argnums=(0,))(_kernel_body)
+
+    if fused_prologue:
+        # Forensic shape: prologue + kernel in ONE jitted program — the
+        # round-3 corrupting shape (trips the fallback net at spe >= ~65,
+        # e.g. 4,160 samples; kept only to reproduce the failure).
+        @partial(jax.jit, donate_argnums=(0,))
+        def fused(state, ds, key: jax.Array, scales: jax.Array):
+            E = scales.shape[0]
+            spe = max(1, ds.spectra.shape[0] // B)
+            streams = _streams(state.opt[1][0].count, ds, key, E)
+            return _kernel_body(state, E, spe, *streams)
+
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        E = int(scales.shape[0])
+        spe = max(1, ds.spectra.shape[0] // B)
+        if not interpret and E * spe > _FWD_MAX_TOTAL:
+            raise ValueError(
+                f"E*steps_per_epoch={E * spe} exceeds the forward kernel's "
+                f"per-program grid bound {_FWD_MAX_TOTAL} (see the "
+                "_FWD_MAX_TOTAL note); chain smaller calls from Python — "
+                "Trainer.pretrain_forward does this itself"
+            )
+        if fused_prologue:
+            return fused(state, ds, key, scales)
+        streams = stream_jit(state.opt[1][0].count, ds, key, E)
+        return kernel_jit(state, E, spe, *streams)
 
     return multi_epoch
 

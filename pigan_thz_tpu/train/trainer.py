@@ -229,14 +229,13 @@ class Trainer:
             sub and on_tpu and self.megakernel == "auto"
             and not megakernel_mod._FWD_SUB_AUTO_OK
         ):
-            # the chained sub-epoch driver NaNs on real v5e hardware
-            # (first chunk, any per-call grid size, dropout on or off —
-            # RESULTS.md round-3 forward forensics); until a clean variant
-            # is hardware-proven, auto mode keeps large datasets on XLA.
-            # megakernel='force' still drives it (forensic probes).
+            # off-switch: _FWD_SUB_AUTO_OK=False keeps large datasets on
+            # XLA in auto mode (the round-3 pre-root-cause behavior; the
+            # split-prologue driver is hardware-proven clean — RESULTS.md).
+            # megakernel='force' still drives the kernel either way.
             reason = (
-                "forward sub-epoch driver pending hardware validation "
-                "(_FWD_SUB_AUTO_OK)"
+                "forward sub-epoch driver disabled for auto mode "
+                "(_FWD_SUB_AUTO_OK=False)"
             )
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:

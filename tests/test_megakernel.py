@@ -138,10 +138,10 @@ def test_trainer_grid_cap_fallback(cfg):
 
 
 def test_forward_subepoch_auto_gate(cfg, monkeypatch):
-    """On TPU, auto mode must NOT engage the forward sub-epoch driver until
-    a hardware-clean configuration is proven (_FWD_SUB_AUTO_OK — the
-    chained calls NaN'd on v5e in round-3 forensics); force bypasses the
-    gate, and flipping the flag re-enables auto."""
+    """On TPU, auto mode engages the forward sub-epoch driver by default
+    (the split-prologue driver is hardware-proven clean — RESULTS.md);
+    _FWD_SUB_AUTO_OK=False is the off-switch that keeps large datasets on
+    XLA in auto mode, without affecting the single-program path."""
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.ops import megakernel as MK
     from pigan_thz_tpu.train import Trainer
@@ -153,16 +153,17 @@ def test_forward_subepoch_auto_gate(cfg, monkeypatch):
     )
     ds = synth(nod.data)
     monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
+    assert MK._FWD_SUB_AUTO_OK  # hardware-proven default
     t = Trainer(nod, ds=ds, megakernel="auto")
-    t.steps_per_epoch = 499                 # sub-epoch territory
-    assert t._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
-    t.steps_per_epoch = 4                   # single-program path: unaffected
-    assert t._maybe_forward_megakernel(ForwardStepSettings(), None, None) is not None
-    monkeypatch.setattr(MK, "_FWD_SUB_AUTO_OK", True)
-    t2 = Trainer(nod, ds=ds, megakernel="auto")
-    t2.steps_per_epoch = 499
-    fn = t2._maybe_forward_megakernel(ForwardStepSettings(), None, None)
+    t.steps_per_epoch = 499                 # sub-epoch territory: engages
+    fn = t._maybe_forward_megakernel(ForwardStepSettings(), None, None)
     assert fn is not None and getattr(fn, "sub_epoch", False)
+    monkeypatch.setattr(MK, "_FWD_SUB_AUTO_OK", False)
+    t2 = Trainer(nod, ds=ds, megakernel="auto")
+    t2.steps_per_epoch = 499                # off-switch: back to XLA
+    assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
+    t2.steps_per_epoch = 4                  # single-program path: unaffected
+    assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is not None
 
 
 @pytest.mark.slow
