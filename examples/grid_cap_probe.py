@@ -60,7 +60,18 @@ def run_one(args) -> int:
         return 1
     spe = t.steps_per_epoch
     E = max(1, G // spe)
-    MK._MAX_GRID = E * spe  # exactly one launch of E*spe grid steps
+    if args.fused:
+        # control: the pre-round-3 single-program shape (prologue fused
+        # with the aliased pallas_call) — the shape every original cap
+        # measurement was taken under
+        MK._FUSED_PROLOGUE = True
+    if args.multi_grid:
+        # n scanned launches of multi_grid steps each (e.g. --grid 360
+        # --multi-grid 120 = the round-3 corrupting 3x120 scan shape)
+        MK._MAX_GRID = args.multi_grid
+        MK._MAX_GRID_MULTI = args.multi_grid
+    else:
+        MK._MAX_GRID = E * spe  # exactly one launch of E*spe grid steps
 
     from pigan_thz_tpu.train.steps import StepSettings
 
@@ -88,6 +99,7 @@ def run_one(args) -> int:
     close = abs(gl_p - gl_x) <= 0.05 * max(abs(gl_x), 1.0)
     out = {
         "grid": E * spe, "epochs": E, "resumed_at": start,
+        "multi_grid": args.multi_grid or None, "fused": bool(args.fused),
         "finite": finite, "state_finite": bool(state_finite),
         "g_loss_pallas_ep1": round(gl_p, 5), "g_loss_xla_ep1": round(gl_x, 5),
         "ok": bool(finite and state_finite and close),
@@ -103,6 +115,10 @@ def supervise(args) -> int:
     for g in grids:
         cmd = [sys.executable, os.path.abspath(__file__), "--inner",
                "--grid", str(g), "--workdir", args.workdir]
+        if args.multi_grid:
+            cmd += ["--multi-grid", str(args.multi_grid)]
+        if args.fused:
+            cmd.append("--fused")
         line = None
         for attempt in range(3):
             proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -132,6 +148,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true")
     ap.add_argument("--grid", type=int, default=120)
+    ap.add_argument("--multi-grid", type=int, default=0,
+                    help="scanned launches of this size instead of one "
+                         "launch of --grid (grid/multi-grid launches)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused-prologue control shape (_FUSED_PROLOGUE)")
     ap.add_argument("--grids", default="120,240,375,600,900")
     ap.add_argument("--workdir", default="/tmp/mosaic_probe")
     ap.add_argument("--timeout", type=int, default=900)

@@ -1305,8 +1305,13 @@ def make_pallas_multi_epoch_fn(
 
         return make_schedule(kind, lr, total_epochs, spe)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+    def _streams(rng, step, g_count, d_count, ds, key: jax.Array,
+                 scales: jax.Array):
+        """Gather/schedule/noise stream construction (the XLA prologue) —
+        compiled as its OWN jitted program: fusing it with the aliased
+        pallas_call corrupts the kernel's VMEM operands on v5e (the
+        round-3 forward root cause; the GAN kernel's grid caps were
+        measured under the same fused shape — _FUSED_PROLOGUE note)."""
         E = scales.shape[0]
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
@@ -1355,7 +1360,7 @@ def make_pallas_multi_epoch_fn(
                 return ks[0], (ks[5], ks[6], ks[7], ks[8])
 
             _, (k_noise_t, k_aug_t, k_in_t, k_gp_t) = jax.lax.scan(
-                _collect, state.rng, None, length=T
+                _collect, rng, None, length=T
             )
         if use_aug:
             from .augment import augment_spectra
@@ -1397,16 +1402,13 @@ def make_pallas_multi_epoch_fn(
         # histories (e.g. a d_update_every>1 phase) — and with skips, D's
         # count advances only on its actual update steps (XLA skip-branch
         # parity: the whole d_opt is untouched on skipped steps)
-        d_count = state.d_opt[1][0].count
         if k_d > 1:
-            d_mask = ((state.step + jnp.arange(T)) % k_d == 0).astype(jnp.float32)
+            d_mask = ((step + jnp.arange(T)) % k_d == 0).astype(jnp.float32)
             upd_before = (jnp.cumsum(d_mask) - d_mask).astype(d_count.dtype)
-            d_inc = jnp.sum(d_mask).astype(d_count.dtype)
         else:
             d_mask = jnp.ones((T,), jnp.float32)
             upd_before = jnp.arange(T, dtype=d_count.dtype)
-            d_inc = None
-        tg = state.g_opt[1][0].count + jnp.arange(T)
+        tg = g_count + jnp.arange(T)
         td = d_count + upd_before
         tgf = (tg + 1).astype(jnp.float32)
         tdf = (td + 1).astype(jnp.float32)
@@ -1433,6 +1435,24 @@ def make_pallas_multi_epoch_fn(
 
         lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
         hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
+        data_streams = tuple(
+            _pad_steps(s) for s in (spec_g, par_g, met_g) + extra_streams
+        )
+        return data_streams[:3] + (sched,) + data_streams[3:] + (lo, hi)
+
+    def _kernel_body(state, E: int, spe: int, *streams):
+        T = E * spe
+        _, _, plan_rs, spe_pad = _launch_plan(E, spe)
+        pad = spe_pad - spe
+        *step_streams, lo, hi = streams
+        sched = step_streams[3]
+        if k_d > 1:
+            # D's actual update count this call = the live steps whose
+            # d_mask lane is 1 (padded tail rows stream d_mask 0)
+            d_inc = jnp.sum(sched[:, 0, 6]).astype(
+                state.d_opt[1][0].count.dtype)
+        else:
+            d_inc = None
         train, stats, frozen = pack_state(state, S)
         if use_ema:
             if state.g_ema is None:
@@ -1497,12 +1517,8 @@ def make_pallas_multi_epoch_fn(
             )(spec_c, par_c, met_c, sched_c, *extra_c, lo, hi, *frozen, *bufs)
             return tuple(outs[:n_state]), outs[n_state]
 
-        data_streams = tuple(
-            _pad_steps(s) for s in (spec_g, par_g, met_g) + extra_streams
-        )
         bufs, mrows = _chunked_launch(
-            launch, train + stats,
-            data_streams[:3] + (sched,) + data_streams[3:], E, spe,
+            launch, train + stats, tuple(step_streams), E, spe,
         )
         train_out = bufs[: len(train)]
         stats_out = bufs[len(train): len(train) + 2]
@@ -1521,6 +1537,36 @@ def make_pallas_multi_epoch_fn(
                 j = len(mkeys) + off
                 metrics[f"dbg_{off}"] = mrows[:, 0, j]
         return new_state, metrics
+
+    fused_prologue = _FUSED_PROLOGUE            # captured at factory time
+    stream_jit = jax.jit(_streams)
+    kernel_jit = partial(jax.jit, static_argnums=(1, 2),
+                         donate_argnums=(0,))(_kernel_body)
+
+    if fused_prologue:
+        # Forensic shape: prologue + kernel in ONE jitted program — the
+        # shape every pre-round-3 grid-cap measurement was taken under
+        # (kept only to reproduce/bisect the corruption class).
+        @partial(jax.jit, donate_argnums=(0,))
+        def fused(state, ds, key: jax.Array, scales: jax.Array):
+            E = scales.shape[0]
+            spe = max(1, ds.spectra.shape[0] // B)
+            streams = _streams(
+                state.rng, state.step, state.g_opt[1][0].count,
+                state.d_opt[1][0].count, ds, key, scales,
+            )
+            return _kernel_body(state, E, spe, *streams)
+
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        if fused_prologue:
+            return fused(state, ds, key, scales)
+        E = int(scales.shape[0])
+        spe = max(1, ds.spectra.shape[0] // B)
+        streams = stream_jit(
+            state.rng, state.step, state.g_opt[1][0].count,
+            state.d_opt[1][0].count, ds, key, scales,
+        )
+        return kernel_jit(state, E, spe, *streams)
 
     return multi_epoch
 
