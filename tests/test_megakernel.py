@@ -1289,3 +1289,62 @@ def test_program_phases_engage_megakernel(cfg):
     assert all(
         np.isfinite(np.asarray(v)).all() for v in t.train_history.values()
     )
+
+
+@pytest.mark.slow
+def test_fused_prologue_forensic_paths_match_split(cfg, monkeypatch):
+    """_FUSED_PROLOGUE=True (the forensic single-program shape: XLA
+    prologue fused with the aliased pallas_call — the v5e corruption
+    trigger, RESULTS.md round-3 root cause) must stay compilable and
+    match the default split-program drivers in interpret mode, for BOTH
+    kernels: the corruption it reproduces is a hardware compilation
+    artifact, not a math difference."""
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    # GAN kernel
+    ds, state, _, split_fn = _setup(cfg, 128)
+    key, ones = jax.random.PRNGKey(3), jnp.ones((2,), jnp.float32)
+    st_s, m_s = split_fn(jax.tree.map(jnp.copy, state), ds, key, ones)
+    monkeypatch.setattr(MK, "_FUSED_PROLOGUE", True)
+    settings = StepSettings.from_config(cfg, detach_forward=True)
+    c128 = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    fused_fn = make_pallas_multi_epoch_fn(c128, settings, interpret=True)
+    st_f, m_f = fused_fn(jax.tree.map(jnp.copy, state), ds, key, ones)
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_f[k]), np.asarray(m_s[k]), rtol=1e-6, err_msg=k)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(st_s.g.params)[0],
+        jax.tree.leaves(st_f.g.params),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=1e-6,
+            err_msg=_leafname(path))
+
+    # forward kernel
+    cf = c128.replace(
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0))
+    dsf = synthetic_dataset(cf.data)
+    _, _, f = build_trio(cf)
+    _, _, f_tx = make_optimizers(cf, dsf.num_samples // cf.train.batch_size)
+    st0 = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    monkeypatch.setattr(MK, "_FUSED_PROLOGUE", False)
+    split_fwd = make_pallas_forward_epoch_fn(cf, ForwardStepSettings(),
+                                             interpret=True)
+    st_sf, m_sf = split_fwd(jax.tree.map(jnp.copy, st0), dsf, key, ones)
+    monkeypatch.setattr(MK, "_FUSED_PROLOGUE", True)
+    fused_fwd = make_pallas_forward_epoch_fn(cf, ForwardStepSettings(),
+                                             interpret=True)
+    st_ff, m_ff = fused_fwd(jax.tree.map(jnp.copy, st0), dsf, key, ones)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m_ff[k]), np.asarray(m_sf[k]), rtol=1e-6, err_msg=k)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(st_sf.f.params)[0],
+        jax.tree.leaves(st_ff.f.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=1e-6,
+            err_msg=_leafname(path))
