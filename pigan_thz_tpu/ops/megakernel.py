@@ -347,38 +347,45 @@ def _make_adam(b1: float, b2: float, clip: float):
     return apply
 
 
-# Mosaic reliability bound.  Single pallas_call launches of this kernel
-# with >= ~375 grid steps were observed computing garbage from step 0 on
-# v5e when the input state came from a restored (trained) checkpoint —
-# epoch-0 NaNs with every input verified finite on entry, interpreter mode
-# exact, and the same launch fine from a fresh state or at <= 150 grid
-# steps.  The kernel itself is semantically correct; the failure is in the
-# compiled pipelining at large grids.  Sub-chunking each launch to at most
-# _MAX_GRID grid steps sidesteps it: the state bufs ride through HBM
-# between launches (~0.3 us/step amortized at spe=15) and, as a bonus, ONE
-# compiled kernel serves every chunk size instead of one per size.
-_MAX_GRID = 120
-# Multi-launch programs are tighter still: a lax.scan of 120-grid GAN
-# launches corrupts (E=24 -> 3x120 NaN from a restored state, round-3
-# hardware probe) even though a SINGLE 120-grid launch is clean and
-# XLA-matching.  Scanned launches of 75 are proven clean at scale (5x75
-# per program through 3,000-epoch soaks; 20x75 in bench chunks), so when a
-# call needs more than one launch, each launch is capped at
-# _MAX_GRID_MULTI grid steps.
+# Mosaic reliability bounds — post-root-cause (round-3 final sessions).
+#
+# Every pre-root-cause corruption recipe (single launches >= ~375 from a
+# restored state; scanned 120s; the forward kernel's >= 120 per-program
+# NaN) was measured under the FUSED program shape: the XLA gather/schedule
+# prologue compiled into the SAME jitted program as the aliased
+# pallas_call, which corrupts the kernel's VMEM operands on v5e (the
+# round-3 root cause; reproduced on demand via _FUSED_PROLOGUE — a fused
+# 1x375 control from the same restored state corrupts where the split
+# driver is clean).  With the prologue SPLIT into its own program (the
+# default), the hardware evidence is:
+#
+#   GAN, single launch, restored 750-epoch state: clean and XLA-matching
+#     at 375 / 900 / 1500 / 3750 / 7500 / 15000 grid steps;
+#   GAN, scanned launches in ONE program: 3x120 clean; 4x375 and 20x375
+#     still corrupt (finite-but-wrong, deterministic) — the residual
+#     Mosaic defect class is SCANNED large launches, not launch size;
+#   forward, one launch per program: clean at 120 / 312 / 1440 / 1560
+#     total grid steps (the fused-era bound was 105).
+#
+# Design: every Trainer-built program is ONE launch (the Trainer clamps
+# its per-call epoch chunk to _MAX_PROGRAM_GRID = _MAX_GRID, so
+# _launch_plan always takes the single-launch branch), and multi-program
+# runs chain launches from Python — host-chained async dispatch, one RTT
+# per chain.  _MAX_GRID is set 4x under the 15000-step proof to bound
+# per-program stream HBM (~0.5 GB at 3750) with margin for in-flight
+# programs.  The scan machinery below remains for direct factory callers
+# that exceed one launch; scanned launches stay capped at the
+# long-scan-proven 75 (50x75 in the round-3 post-split resume soak,
+# 20x75 in pre-split bench chains).
+_MAX_GRID = 3750
 _MAX_GRID_MULTI = 75
-# The FORWARD kernel has a tighter bound, and on the TOTAL grid steps per
-# jitted program, not per launch: round-3 hardware bisection (v5e, fresh
-# init state, deterministic) found every program with >= 120 total grid
-# steps across its launches NaNs from epoch 0 — single launches of 120, two
-# launches of 75, and scans of 15s alike — while <= 105 total is clean
-# (75+30 etc.), interpreter mode exact, dropout/aliasing irrelevant.
-# Multi-launch decomposition does NOT help this kernel (2x75 fails where
-# 1x75 works), so the only safe driver is one launch per jit call with
-# E*spe <= _FWD_MAX_TOTAL, chained from Python (Trainer.pretrain_forward
-# clamps its per-call chunk accordingly; chained calls were soaked 100+
-# epochs clean).  The GAN kernel tolerates 5x75=375 per program (3000-epoch
-# hardware soaks) — the thresholds are genuinely per-kernel.
-_FWD_MAX_TOTAL = 105
+# Forward kernel: one launch per jitted program (multi-launch
+# decomposition never helped it — 2x75 failed where 1x75 worked even
+# pre-split), with E*spe <= _FWD_MAX_TOTAL per program, chained from
+# Python (Trainer.pretrain_forward clamps its per-call chunk).  Proven
+# clean post-split at 1440 (12x120-sample epochs) and 1560 (5x312); set
+# at the proven value.
+_FWD_MAX_TOTAL = 1440
 # Sub-epoch driver in-flight depth bound: sync (device_get state.step) after
 # every N dispatched sub-calls; 0 = never (fully async).  The proven-clean
 # single-program pattern is depth-1 (Trainer syncs per chunk reading
@@ -396,12 +403,11 @@ _FWD_STATIC_OFFSET = False
 # the round-3 behavior (spe > _FWD_MAX_TOTAL pretrains on XLA in auto
 # mode, 'force' still drives the kernel).
 _FWD_SUB_AUTO_OK = True
-# Per-PROGRAM grid-total cap for multi-launch GAN programs.  Proven scale:
-# bench chunks run 20 scanned launches of 75 grid steps = 1500 total per
-# jitted program; beyond that is unprobed, so the Trainer clamps its
-# per-call epoch chunk to keep each program inside it (plenty for the
-# default epochs_per_call=25 at the reference shape: 375 total).
-_MAX_PROGRAM_GRID = 1500
+# Per-PROGRAM grid-total cap for GAN programs.  Equal to _MAX_GRID since
+# the root-cause fix: the Trainer clamps its per-call epoch chunk to keep
+# each jitted program a SINGLE launch (the proven-unbounded shape), e.g.
+# 12 epochs per call at spe=312 (20k samples) with zero padding/gating.
+_MAX_PROGRAM_GRID = 3750
 # Minimum useful sub-epoch launch size: when steps_per_epoch exceeds the
 # multi-launch cap, an epoch is decomposed into launches of the largest
 # divisor of spe that fits (_launch_plan).  Datasets whose spe has no
@@ -442,10 +448,12 @@ def _launch_plan(E: int, spe: int) -> tuple[int, int, int, int]:
     metric-row granularity (divides both launch_steps and spe_pad, so a
     metric row never straddles a launch or an epoch).
 
-    A single launch may use up to _MAX_GRID grid steps (proven clean);
-    multi-launch programs cap each launch at the tighter _MAX_GRID_MULTI
-    (scanned 120-grid launches corrupt where scanned 75s are clean — see
-    the cap notes above).  When spe itself exceeds the multi-launch cap,
+    A single launch may use up to _MAX_GRID grid steps (proven clean —
+    with the split prologue the Trainer's per-call clamp makes every
+    production program exactly one launch); multi-launch programs cap
+    each launch at the tighter _MAX_GRID_MULTI (scanned 375-grid launches
+    corrupt where long scans of 75 are proven — see the cap notes above).
+    When spe itself exceeds the multi-launch cap,
     each EPOCH decomposes into uniform SUB-EPOCH launches of the largest
     divisor of spe that fits; metric rows then cover row_steps < spe steps
     and _chunked_launch sums them into per-epoch rows.  This lifts the

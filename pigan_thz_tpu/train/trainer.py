@@ -394,9 +394,10 @@ class Trainer:
             chunk = min(self.epochs_per_call, epochs - epoch)
             if mega_active and not getattr(multi_epoch, "sub_epoch", False):
                 # forward kernel: one launch per jitted program, total grid
-                # <= _FWD_MAX_TOTAL (Mosaic corrupts above it; chained
-                # separate calls are proven clean — megakernel.py note).
-                # The sub-epoch driver enforces the bound internally.
+                # <= _FWD_MAX_TOTAL (the hardware-proven single-launch
+                # program size — megakernel.py bound notes); chained
+                # separate calls cover longer horizons.  The sub-epoch
+                # driver enforces the bound internally.
                 from ..ops.megakernel import _FWD_MAX_TOTAL
 
                 chunk = min(

@@ -122,17 +122,17 @@ def test_trainer_grid_cap_fallback(cfg):
     big = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
     ds = synth(big.data)
     t = Trainer(big, ds=ds, megakernel="force")
-    t.steps_per_epoch = 499  # prime: gated plan (launches of 50, pad 1)
+    t.steps_per_epoch = 499  # prime, < _MAX_GRID: single launch per epoch
     assert t._maybe_megakernel(StepSettings.from_config(big), None) is not None
-    t.steps_per_epoch = 500  # divisor 50: ungated sub-epoch launches
+    t.steps_per_epoch = 3000  # < _MAX_GRID: still single-launch territory
     assert t._maybe_megakernel(StepSettings.from_config(big), None) is not None
-    # forward path: prime spe engages the gated sub-epoch driver
-    # (dropout off — interpret mode has no hardware PRNG for the masks)
+    # forward path: spe beyond the per-program bound engages the chained
+    # sub-epoch driver (dropout off — interpret mode has no hardware PRNG)
     nod = big.replace(
         forward_model=dataclasses.replace(big.forward_model, dropout_rate=0.0)
     )
     t3 = Trainer(nod, ds=ds, megakernel="force")
-    t3.steps_per_epoch = 499
+    t3.steps_per_epoch = 1499  # prime > _FWD_MAX_TOTAL: gated sub-epoch plan
     fn = t3._maybe_forward_megakernel(ForwardStepSettings(), None, None)
     assert fn is not None and getattr(fn, "sub_epoch", False)
 
@@ -155,12 +155,12 @@ def test_forward_subepoch_auto_gate(cfg, monkeypatch):
     monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
     assert MK._FWD_SUB_AUTO_OK  # hardware-proven default
     t = Trainer(nod, ds=ds, megakernel="auto")
-    t.steps_per_epoch = 499                 # sub-epoch territory: engages
+    t.steps_per_epoch = 1499                # sub-epoch territory: engages
     fn = t._maybe_forward_megakernel(ForwardStepSettings(), None, None)
     assert fn is not None and getattr(fn, "sub_epoch", False)
     monkeypatch.setattr(MK, "_FWD_SUB_AUTO_OK", False)
     t2 = Trainer(nod, ds=ds, megakernel="auto")
-    t2.steps_per_epoch = 499                # off-switch: back to XLA
+    t2.steps_per_epoch = 1499               # off-switch: back to XLA
     assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is None
     t2.steps_per_epoch = 4                  # single-program path: unaffected
     assert t2._maybe_forward_megakernel(ForwardStepSettings(), None, None) is not None
@@ -488,14 +488,14 @@ def test_forward_megakernel_dropout_runs(cfg):
     assert losses[-1] < losses[0]
 
 
-def test_forward_megakernel_program_grid_bound(cfg):
-    """Round-3 hardware finding (v5e, deterministic): any compiled forward-
-    kernel program with >= 120 TOTAL grid steps NaNs from epoch 0 — single
-    launches of 120, two launches of 75, and scans alike — while <= 105 is
-    clean.  The factory must refuse such programs outright (interpret mode
-    exempt: no Mosaic), and the Trainer must clamp its per-call chunk so
-    the bound is never hit."""
-    from pigan_thz_tpu.ops.megakernel import _FWD_MAX_TOTAL
+def test_forward_megakernel_program_grid_bound(cfg, monkeypatch):
+    """The forward kernel runs ONE launch per jitted program with E*spe <=
+    _FWD_MAX_TOTAL (hardware-proven single-launch scale — megakernel.py
+    bound notes).  The factory must refuse over-bound programs outright
+    (interpret mode exempt: no Mosaic), and the Trainer must clamp its
+    per-call chunk so the bound is never hit (checked here with a
+    test-shrunk bound of 105, the pre-root-cause value)."""
+    from pigan_thz_tpu.ops import megakernel as MK
 
     big = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=960))
     ds = synthetic_dataset(big.data)  # spe = 15, the reference shape
@@ -505,7 +505,12 @@ def test_forward_megakernel_program_grid_bound(cfg):
     pallas = make_pallas_forward_epoch_fn(big, ForwardStepSettings())
     with pytest.raises(ValueError, match="per-program grid bound"):
         pallas(st, ds, jax.random.PRNGKey(1),
-               jnp.ones((8,), jnp.float32))  # 8*15 = 120 >= the bound
+               jnp.ones((97,), jnp.float32))  # 97*15 = 1455 > the bound
+
+    monkeypatch.setattr(MK, "_FWD_MAX_TOTAL", 105)
+    with pytest.raises(ValueError, match="per-program grid bound"):
+        pallas(st, ds, jax.random.PRNGKey(1),
+               jnp.ones((8,), jnp.float32))  # 8*15 = 120 > shrunk bound
 
     # Trainer clamp: with a (fake) engaged megakernel at spe=15 and
     # epochs_per_call=25, every forward chunk must be <= 105//15 = 7 epochs
@@ -523,7 +528,7 @@ def test_forward_megakernel_program_grid_bound(cfg):
     t._maybe_forward_megakernel = lambda settings, lr, epochs: fake_mega
     t.pretrain_forward(epochs=16, log_every=10**9)
     assert chunks == [7, 7, 2]
-    assert max(chunks) * 15 <= _FWD_MAX_TOTAL
+    assert max(chunks) * 15 <= MK._FWD_MAX_TOTAL
 
 
 @pytest.mark.slow
@@ -740,16 +745,27 @@ def test_launch_plan_uniform(monkeypatch):
     decomposition for spe above the grid cap."""
     from pigan_thz_tpu.ops import megakernel as MK
 
-    # (launch_steps, n_launches, row_steps, spe_pad); epoch-aligned shapes
-    assert MK._launch_plan(25, 15) == (75, 5, 15, 15)    # corrupting shape
-    assert MK._launch_plan(100, 15) == (75, 20, 15, 15)  # bench chunk
+    # (launch_steps, n_launches, row_steps, spe_pad)
+    # New default caps (post-root-cause): every Trainer shape is a SINGLE
+    # launch — the hardware-proven-unbounded program shape
+    assert MK._launch_plan(25, 15) == (375, 1, 15, 15)    # default chunk
+    assert MK._launch_plan(100, 15) == (1500, 1, 15, 15)  # bench chunk
+    assert MK._launch_plan(12, 312) == (3744, 1, 312, 312)  # 20k corpus
+    assert MK._launch_plan(11, 313) == (3443, 1, 313, 313)  # prime spe: no pad
+    assert MK._launch_plan(6, 1) == (6, 1, 1, 1)
+    # decomposition logic coverage under the pre-root-cause caps (the
+    # plan algorithm is cap-agnostic; production only reaches these
+    # branches for spe > _MAX_GRID)
+    monkeypatch.setattr(MK, "_MAX_GRID", 120)
+    monkeypatch.setattr(MK, "_MAX_PROGRAM_GRID", 1500)
+    assert MK._launch_plan(25, 15) == (75, 5, 15, 15)
+    assert MK._launch_plan(100, 15) == (75, 20, 15, 15)
     assert MK._launch_plan(50, 15) == (75, 10, 15, 15)
     assert MK._launch_plan(23, 15) == (15, 23, 15, 15)   # prime E
     assert MK._launch_plan(8, 15) == (120, 1, 15, 15)    # single: <= 120
     assert MK._launch_plan(24, 15) == (60, 6, 15, 15)    # multi: <= 75
-    assert MK._launch_plan(16, 15) == (60, 4, 15, 15)    # (3x120 corrupts)
+    assert MK._launch_plan(16, 15) == (60, 4, 15, 15)
     assert MK._launch_plan(1, 120) == (120, 1, 120, 120)
-    assert MK._launch_plan(6, 1) == (6, 1, 1, 1)
     # sub-epoch shapes (spe > multi-launch cap)
     assert MK._launch_plan(4, 312) == (52, 24, 52, 312)  # 20k corpus @ B=64
     assert MK._launch_plan(1, 150) == (75, 2, 75, 150)
@@ -787,12 +803,11 @@ def test_mega_gan_chunk_cap():
         SimpleNamespace(steps_per_epoch=spe), chunk
     )
     assert cap(15, 25) == 25          # default shape: untouched
-    assert cap(15, 100) == 100        # bench chunk: exactly the proven 1500
-    assert cap(75, 25) == 20          # program-grid cap 1500 // spe
-    assert cap(100, 25) == 15         # divisor 50 >= 8: sub-epoch launches
-    assert cap(120, 25) == 12
-    assert cap(312, 25) == 4          # 20k corpus @ B=64 (divisor 52)
-    assert cap(97, 25) == 15          # prime spe: gated plan, 1500 // 98
+    assert cap(15, 100) == 100        # bench chunk: 1500, single launch
+    assert cap(15, 300) == 250        # program-grid cap 3750 // spe
+    assert cap(312, 25) == 12         # 20k corpus @ B=64: single 3744
+    assert cap(313, 25) == 11         # prime spe: single launch, no pad
+    assert cap(1440, 25) == 2
     assert cap(80, 1) == 1            # already single-epoch
 
 
