@@ -58,6 +58,11 @@ def main() -> None:
     )
 
     cfg = default_config()  # 1000 samples, batch 64 — the reference workload
+    if "--dtype" in sys.argv:  # ablation knob (driver runs with no args)
+        import dataclasses as _dc
+
+        dtype = sys.argv[sys.argv.index("--dtype") + 1]
+        cfg = cfg.replace(train=_dc.replace(cfg.train, compute_dtype=dtype))
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
     steps_per_epoch = ds.num_samples // cfg.train.batch_size
@@ -156,6 +161,7 @@ def main() -> None:
                 "n_chains": n_meas,
                 "chunks_per_chain": chain,
                 "epochs_per_chunk": chunk,
+                "compute_dtype": cfg.train.compute_dtype,
                 "tunnel_rtt_ms": round(rtt_ms, 1),
             }
         )
@@ -175,7 +181,8 @@ def _run_supervised() -> int:
 
     for attempt, budget in enumerate((900, 700, 500)):
         proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
+            [sys.executable, os.path.abspath(__file__), "--inner"]
+            + [a for a in sys.argv[1:] if a != "--inner"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         try:

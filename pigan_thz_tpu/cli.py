@@ -759,9 +759,12 @@ def cmd_doctor(args) -> int:
                 f"probe rc={out.returncode}: {out.stderr.strip()[-200:]}")
     except subprocess.TimeoutExpired:
         add("device", False,
-            f"probe hung >{args.timeout}s — backend unreachable (TPU "
-            "tunnel wedge?); kill stuck clients and retry, or run on CPU "
-            "via jax.config.update('jax_platforms','cpu')")
+            f"probe hung >{args.timeout}s — backend unreachable.  The "
+            "TPU is SINGLE-CLIENT: another running training/bench process "
+            "blocks new clients until it exits (check with ps).  If none "
+            "is running, this is a tunnel wedge: kill stuck clients and "
+            "retry, or run on CPU via "
+            "jax.config.update('jax_platforms','cpu')")
     print(f"doctor finished in {_time.time() - t0:.1f}s")
     if args.json:
         with open(args.json, "w") as fh:
