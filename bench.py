@@ -61,7 +61,12 @@ def main() -> None:
     if "--dtype" in sys.argv:  # ablation knob (driver runs with no args)
         import dataclasses as _dc
 
-        dtype = sys.argv[sys.argv.index("--dtype") + 1]
+        try:
+            dtype = sys.argv[sys.argv.index("--dtype") + 1]
+        except IndexError:
+            raise SystemExit("--dtype needs a value: float32 | bfloat16")
+        if dtype not in ("float32", "bfloat16"):
+            raise SystemExit(f"--dtype {dtype!r}: use float32 | bfloat16")
         cfg = cfg.replace(train=_dc.replace(cfg.train, compute_dtype=dtype))
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
@@ -126,9 +131,9 @@ def main() -> None:
         rtt_ms = min(rtt_ms, 1000.0 * (time.perf_counter() - t0))
 
     # timed: N measurements, each a back-to-back CHAIN of chunk calls with
-    # ONE device_get barrier at the end.  Each chunk call stays inside the
-    # proven per-program grid envelope (100 epochs x 15 spe = 1500 =
-    # _MAX_PROGRAM_GRID); async dispatch pipelines the chain on-device, so
+    # ONE device_get barrier at the end.  Each chunk call is a single
+    # pallas launch (100 epochs x 15 spe = 1500 grid steps, inside
+    # _MAX_PROGRAM_GRID=3750); async dispatch pipelines the chain on-device, so
     # the tunnel RTT is paid once per chain instead of once per chunk
     # (round-3 finding: per-chunk sync under-read the device rate by up to
     # 2x on a 30 ms-RTT tunnel day; the device rate itself was unchanged).

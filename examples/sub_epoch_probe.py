@@ -54,9 +54,19 @@ def run_inner(args) -> int:
     )
     mk = args.megakernel
     epc = args.chunk_epochs
+    if args.pin_caps:
+        # pre-root-cause caps: forces the sub-epoch decomposition / gated
+        # padding branches that the lifted defaults (single-launch
+        # programs to _MAX_GRID=3750) no longer reach from the Trainer —
+        # this keeps the retained machinery hardware-probeable
+        from pigan_thz_tpu.ops import megakernel as MK
+
+        MK._MAX_GRID, MK._MAX_GRID_MULTI = 120, 75
+        MK._MAX_PROGRAM_GRID = 1500
 
     out: dict = {"backend": jax.default_backend(),
-                 "num_samples": args.num_samples}
+                 "num_samples": args.num_samples,
+                 "pinned_caps": bool(args.pin_caps)}
 
     # --- A: fresh-state parity: two trainers, same seeds, different
     # backends ------------------------------------------------------------
@@ -64,7 +74,6 @@ def run_inner(args) -> int:
     spe = t_m.steps_per_epoch
     out["spe"] = spe
     # forward pretrain under "auto": the GAN kernel is the probe's subject
-    # (the forward kernel's per-program bound excludes spe > 105 anyway)
     t_m.megakernel = "auto" if mk == "force" else mk
     t_m.pretrain_forward(epochs=args.fwd_epochs, log_every=10**9)
     t_m.megakernel = mk
@@ -180,7 +189,8 @@ def supervise(args) -> int:
            "--chunk-epochs", str(args.chunk_epochs),
            "--horizon", str(args.horizon),
            "--megakernel", args.megakernel,
-           ] + (["--cpu"] if args.cpu else [])
+           ] + (["--cpu"] if args.cpu else []) \
+             + (["--pin-caps"] if args.pin_caps else [])
     for attempt in range(args.attempts):
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True)
@@ -214,6 +224,11 @@ def main() -> int:
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument("--megakernel", default="force",
                     choices=["auto", "force"])
+    ap.add_argument("--pin-caps", action="store_true",
+                    help="pin the pre-root-cause caps (120/75/1500) so the "
+                         "sub-epoch decomposition and gated-padding paths "
+                         "actually engage (the lifted defaults run these "
+                         "dataset sizes as single launches)")
     ap.add_argument("--cpu", action="store_true",
                     help="script-logic testing off-TPU (interpret mode)")
     args = ap.parse_args()

@@ -706,10 +706,18 @@ def cmd_doctor(args) -> int:
 
         cfg = _make_cfg(args)
         r_gan = MK.supports_megakernel(cfg, StepSettings.from_config(cfg))
+        spe = cfg.data.num_samples // cfg.train.batch_size
+        if r_gan is None:
+            # mirror Trainer._maybe_megakernel's per-program refusal: one
+            # EPOCH must fit a single launch (trainer.py grid-cap check)
+            spe_pad = MK._launch_plan(2, spe)[3]
+            if spe_pad > MK._MAX_PROGRAM_GRID:
+                r_gan = (f"per-epoch grid {spe_pad} exceeds the "
+                         f"per-program envelope {MK._MAX_PROGRAM_GRID} "
+                         "(dataset too large for one-epoch-per-call)")
         add("GAN megakernel", True,
             "engages on TPU" if r_gan is None else f"XLA path: {r_gan}")
         r_fwd = MK.supports_forward_megakernel(cfg)
-        spe = cfg.data.num_samples // cfg.train.batch_size
         if r_fwd is None and spe > MK._FWD_MAX_TOTAL and not MK._FWD_SUB_AUTO_OK:
             # the Trainer's auto gate is OFF-switched (_FWD_SUB_AUTO_OK)
             r_fwd = (f"steps_per_epoch {spe} > {MK._FWD_MAX_TOTAL}: auto "

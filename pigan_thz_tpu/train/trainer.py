@@ -191,8 +191,11 @@ class Trainer:
         for large datasets."""
         from ..ops.megakernel import _launch_plan, _MAX_PROGRAM_GRID
 
-        # E=2 forces the multi-launch branch, whose spe_pad applies to
-        # every multi-epoch call; single-epoch calls never pad
+        # E=2 probes the plan past the trivial E=1 case: for spe <=
+        # _MAX_GRID/2 it stays in the (unpadded) single-launch branch and
+        # spe_pad == spe; only when 2*spe exceeds _MAX_GRID can the plan
+        # return a GATED spe_pad > spe, which is the size the per-program
+        # budget must count
         spe_pad = _launch_plan(2, self.steps_per_epoch)[3]
         return min(chunk, max(1, _MAX_PROGRAM_GRID // spe_pad))
 
