@@ -147,15 +147,27 @@ def _train_tensor_specs(S: int):
         (("g", "MLPBlock_1", "Dense_0", "bias"), (1, 256)),
         (("g", "MLPBlock_1", "NormAct_0", "BatchNorm_0", "scale"), (1, 256)),
         (("g", "MLPBlock_1", "NormAct_0", "BatchNorm_0", "bias"), (1, 256)),
-        (("g", "Dense_0", "kernel"), (256, LANE)),
+        (("g", "Dense_0", "kernel"), (8, 256)),   # TRANSPOSED, see below
         (("g", "Dense_0", "bias"), (1, LANE)),
         (("d", "Dense_0", "kernel"), (W, 512)),
         (("d", "Dense_0", "bias"), (1, 512)),
         (("d", "Dense_1", "kernel"), (512, 256)),
         (("d", "Dense_1", "bias"), (1, 256)),
-        (("d", "Dense_2", "kernel"), (256, LANE)),
+        (("d", "Dense_2", "kernel"), (8, 256)),   # TRANSPOSED, see below
         (("d", "Dense_2", "bias"), (1, LANE)),
     ]
+
+
+# Output-head kernels live in VMEM TRANSPOSED (true shapes (256, 4) and
+# (256, 1), stored as rows of an (8, 256) buffer): as row vectors, the
+# 256->4/1 head matmuls and every backward contraction touching them
+# (dW = act^T dz, dh = dz W^T) collapse to rank<=4 VPU broadcast/reduce
+# ops, removing 8 of the ~29 MXU ops per train step — the step is
+# MXU-latency-bound at these tiny shapes (RESULTS.md bf16 ablation), so
+# op COUNT is what the cap on throughput is made of.  pack/unpack are the
+# only places aware of the layout; checkpoints and the flax tree keep the
+# canonical (256, n) orientation.
+_TRANSPOSED = {("g", "Dense_0", "kernel"), ("d", "Dense_2", "kernel")}
 
 
 _N_G = 10  # first 10 train tensors belong to G, rest to D
@@ -200,10 +212,11 @@ def pack_state(state, S: int):
     train = []
     for path, (r, c) in _train_tensor_specs(S):
         p, mu, nu = trees[path[0]]
+        tr = path in _TRANSPOSED
         train.append(jnp.stack([
-            _pad2(_get(p, path[1:]), r, c),
-            _pad2(_get(mu, path[1:]), r, c),
-            _pad2(_get(nu, path[1:]), r, c),
+            _pad2(_get(p, path[1:]).T if tr else _get(p, path[1:]), r, c),
+            _pad2(_get(mu, path[1:]).T if tr else _get(mu, path[1:]), r, c),
+            _pad2(_get(nu, path[1:]).T if tr else _get(nu, path[1:]), r, c),
         ]))
     bs = state.g.extra["batch_stats"]
     stats = []
@@ -214,7 +227,9 @@ def pack_state(state, S: int):
         ]))
     fP = state.f.params
     frozen = []
-    in_dim = LANE  # F input = padded pred_norm (B, LANE)
+    # F's input layer has 4 TRUE rows (the params) — packed (8, 256), and
+    # the kernel does the 4-row contraction on the VPU (vector-head note)
+    in_dim = 8
     for dims_out, paths in zip(_F_DIMS, _f_layer_paths()):
         kw, bw, sc, bi = paths
         frozen += [
@@ -229,7 +244,9 @@ def pack_state(state, S: int):
     head_b = fP["Dense_0"]["bias"]
     frozen += [
         _pad2(head_k[:, :S], 256, W), _pad2(head_b[:S], 1, W),
-        _pad2(head_k[:, S:], 256, LANE), _pad2(head_b[S:], 1, LANE),
+        # metrics head stored TRANSPOSED (8 true rows x 256): the 256->8
+        # projection and its backward run on the VPU (vector-head note)
+        _pad2(head_k[:, S:].T, 8, 256), _pad2(head_b[S:], 1, LANE),
     ]
     return train, stats, frozen
 
@@ -238,7 +255,10 @@ def pack_ema(state, S: int):
     """state.g_ema -> 10 padded (1, r, c) buffers (G tensor order)."""
     out = []
     for path, (r, c) in _train_tensor_specs(S)[:_N_G]:
-        out.append(_pad2(_get(state.g_ema, path[1:]), r, c).reshape(1, r, c))
+        x = _get(state.g_ema, path[1:])
+        if path in _TRANSPOSED:
+            x = x.T
+        out.append(_pad2(x, r, c).reshape(1, r, c))
     return out
 
 
@@ -259,7 +279,11 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None
         for slot in range(3):
             tgt = new[path[0]][slot]
             shape = _get(tgt, path[1:]).shape
-            new[path[0]][slot] = _set(tgt, path[1:], _crop(buf[slot], shape))
+            if path in _TRANSPOSED:
+                val = _crop(buf[slot], (shape[1], shape[0])).T
+            else:
+                val = _crop(buf[slot], shape)
+            new[path[0]][slot] = _set(tgt, path[1:], val)
     bs = state.g.extra["batch_stats"]
     for (blk, c), buf in zip((("MLPBlock_0", 512), ("MLPBlock_1", 256)), stats_out):
         bn = {"mean": _crop(buf[0], (c,)), "var": _crop(buf[1], (c,))}
@@ -285,7 +309,11 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None
         g_ema = state.g_ema
         for (path, _), buf in zip(_train_tensor_specs(S)[:_N_G], ema_out):
             shape = _get(g_ema, path[1:]).shape
-            g_ema = _set(g_ema, path[1:], _crop(buf[0], shape))
+            if path in _TRANSPOSED:
+                val = _crop(buf[0], (shape[1], shape[0])).T
+            else:
+                val = _crop(buf[0], shape)
+            g_ema = _set(g_ema, path[1:], val)
         extra["g_ema"] = g_ema
     return state.replace(
         step=state.step + n_steps,
@@ -706,7 +734,13 @@ def _make_kernel(
         xh2 = (u2 - mu2) * iv2
         y2 = xh2 * g_gam2[0] + g_bet2[0]
         a2 = jnp.maximum(y2, 0.0)
-        z3 = mm(a2, g_w3[0]) + g_b3[0]
+        # vector head: g_w3 is stored TRANSPOSED (4 true rows x 256) — the
+        # 256->4 projection is 4 VPU lane-reductions, not an MXU op
+        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        z3 = jnp.broadcast_to(g_b3[0], (B, LANE))
+        for k in range(4):
+            zk = jnp.sum(a2 * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+            z3 = z3 + jnp.where(blane == k, zk, 0.0)
         # the baseline G ends in tanh; sigmoid_squash applies sigmoid ON TOP
         # (constraint_optimizer.py:246 squashes the generator OUTPUT).
         # tanh pads are exactly 0; squashed pads are 0.5 — every consumer is
@@ -736,8 +770,9 @@ def _make_kernel(
         h1 = jnp.where(p1 >= 0.0, p1, _SLOPE * p1)
         p2 = mm(h1, d_w2[0]) + d_b2[0]
         h2 = jnp.where(p2 >= 0.0, p2, _SLOPE * p2)
-        zf = mm(h2, d_w3[0]) + d_b3[0]                        # (2B, LANE)
-        z = zf[:, 0:1]
+        # vector head: d_w3 stored TRANSPOSED (true 256->1 column as row 0)
+        w3row = d_w3[0][0:1, :]                               # (1, 256)
+        z = jnp.sum(h2 * w3row, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
         row = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
         probs = jax.nn.sigmoid(z)
         d_acc = 0.5 * (
@@ -761,9 +796,6 @@ def _make_kernel(
             h1g = jnp.where(p1g >= 0.0, p1g, _SLOPE * p1g)
             p2g = mm(h1g, d_w2[0]) + d_b2[0]
             m2g = leaky_mask(p2g)
-            # w3 column 0 as a row vector (Mosaic-safe 1x256 transpose
-            # via a tiny contraction)
-            w3row = dotT1(jnp.ones((1, 1), jnp.float32), d_w3[0][:, 0:1])
             v = m2g * w3row                                    # (B, 256)
             u = dotT1(v, d_w2[0])                              # (B, 512)
             a_m = m1g * u
@@ -783,11 +815,16 @@ def _make_kernel(
                 + jnp.log1p(jnp.exp(-jnp.abs(z)))
             )
             dz = 2.0 * (probs - labels) / (2.0 * B)            # (2B, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * B, LANE), 1)
-        dzf = jnp.where(lane == 0, dz, 0.0)                   # (2B, LANE)
-        dWd3 = dotT0(h2, dzf)
-        dbd3 = csum(dzf)
-        dh2 = dotT1(dz, d_w3[0][:, 0:1])                      # (2B, 256)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
+        # transposed-head backward: dW = h2^T dz has ONE true column ->
+        # one VPU batch-reduction placed on row 0; dh = dz w3^T is an
+        # outer product -> one VPU broadcast
+        dWd3 = jnp.where(
+            row8 == 0, jnp.sum(h2 * dz, axis=0, keepdims=True), 0.0
+        )                                                      # (8, 256)
+        dbd3 = jnp.where(lane1 == 0, jnp.sum(dz), 0.0)        # (1, LANE)
+        dh2 = dz * w3row                                      # (2B, 256)
         dp2 = dh2 * leaky_mask(p2)
         dWd2 = dotT0(h1, dp2)
         dbd2 = csum(dp2)
@@ -805,13 +842,11 @@ def _make_kernel(
             dA = mm(Gt, d_w1[0])                               # (B, 512)
             dU = m1g * dA
             dV = mm(dU, d_w2[0])                               # (B, 256)
-            one0 = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1) == 0,
-                1.0, 0.0,
-            )
             dWd1 = dWd1 + dotT0(Gt, a_m)
             dWd2 = dWd2 + dotT0(dU, v)
-            dWd3 = dWd3 + dotT0(dV * m2g, one0)
+            dWd3 = dWd3 + jnp.where(
+                row8 == 0, jnp.sum(dV * m2g, axis=0, keepdims=True), 0.0
+            )
         adam_apply(
             [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
@@ -824,7 +859,8 @@ def _make_kernel(
         hg1 = jnp.where(q1 >= 0.0, q1, _SLOPE * q1)
         q2 = mm(hg1, d_w2[0]) + d_b2[0]
         hg2 = jnp.where(q2 >= 0.0, q2, _SLOPE * q2)
-        zg = (mm(hg2, d_w3[0]) + d_b3[0])[:, 0:1]             # (B, 1)
+        w3row_u = d_w3[0][0:1, :]         # re-read: Adam just updated D
+        zg = jnp.sum(hg2 * w3row_u, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
         if wgan:
             adv = -jnp.mean(zg)                                # steps.py:397
             dzg = jnp.full((B, 1), -1.0 / B)
@@ -833,7 +869,7 @@ def _make_kernel(
                 jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
             )
             dzg = (jax.nn.sigmoid(zg) - 1.0) / B
-        dhg2 = dotT1(dzg, d_w3[0][:, 0:1])
+        dhg2 = dzg * w3row_u                                  # (B, 256)
         dq2 = dhg2 * leaky_mask(q2)
         dhg1 = dotT1(dq2, d_w2[0])
         dq1 = dhg1 * leaky_mask(q1)
@@ -848,7 +884,13 @@ def _make_kernel(
         f_saved = []  # (input, t - mu, ivar, pre-activation) per layer
         for li in range(5):
             fw, fb, fg, fbe = frozen[4 * li: 4 * li + 4]
-            t = mm(a, fw[:, :]) + fb[0:1, :]
+            if li == 0:
+                # input layer: 4 true param rows -> VPU outer-product sum
+                t = fb[0:1, :] + sum(
+                    a[:, k:k + 1] * fw[k:k + 1, :] for k in range(4)
+                )
+            else:
+                t = mm(a, fw[:, :]) + fb[0:1, :]
             mu = jnp.mean(t, axis=-1, keepdims=True)
             var = jnp.maximum(   # flax-exact clamp, see BN comment above
                 0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
@@ -860,7 +902,11 @@ def _make_kernel(
             a = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
         fw6s, fb6s, fw6m, fb6m = frozen[20:24]
         recon = mm(a, fw6s[:]) + fb6s[0:1, :]                  # (B, W) pads 0
-        pmet_full = mm(a, fw6m[:]) + fb6m[0:1, :]              # (B, LANE) pads 0
+        # metrics head (transposed storage): 8 VPU lane-reductions
+        pmet_full = jnp.broadcast_to(fb6m[0:1, :], (B, LANE))  # pads 0
+        for k in range(8):
+            pmk = jnp.sum(a * fw6m[k:k + 1, :], axis=1, keepdims=True)
+            pmet_full = pmet_full + jnp.where(blane == k, pmk, 0.0)
         pmet = pmet_full[:, 0:8]
 
         recon_l = jnp.sum((recon - spectra) ** 2) / (B * S)
@@ -877,7 +923,6 @@ def _make_kernel(
         # range/violation reductions masked to the 4 REAL parameter lanes:
         # padded lanes hold tanh(0)=0, which only drops out of the penalty
         # while range_lo <= 0 <= range_hi — masking keeps any window exact
-        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
         in_lane = blane < 4
         below = jnp.where(in_lane, jnp.maximum(r_lo - pn, 0.0), 0.0)
         above = jnp.where(in_lane, jnp.maximum(pn - r_hi, 0.0), 0.0)
@@ -947,7 +992,10 @@ def _make_kernel(
             xh2s = (u2s - mu2s) * iv2s
             y2s = xh2s * g_gam2[0] + g_bet2[0]
             a2s = jnp.maximum(y2s, 0.0)
-            z3s = mm(a2s, g_w3[0]) + g_b3[0]
+            z3s = jnp.broadcast_to(g_b3[0], (B, LANE))
+            for k in range(4):
+                zks = jnp.sum(a2s * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+                z3s = z3s + jnp.where(blane == k, zks, 0.0)
             tns = jnp.tanh(z3s)
             pns = jax.nn.sigmoid(tns) if sigmoid else tns
             stab_diff = pn[:, 0:4] - pns[:, 0:4]               # (B, 4)
@@ -978,7 +1026,10 @@ def _make_kernel(
             xh2c = (u2c - mu2c) * iv2c
             y2c = xh2c * g_gam2[0] + g_bet2[0]
             a2c = jnp.maximum(y2c, 0.0)
-            z3c = mm(a2c, g_w3[0]) + g_b3[0]
+            z3c = jnp.broadcast_to(g_b3[0], (B, LANE))
+            for k in range(4):
+                zkc = jnp.sum(a2c * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+                z3c = z3c + jnp.where(blane == k, zkc, 0.0)
             tnc = jnp.tanh(z3c)
             pnc = jax.nn.sigmoid(tnc) if sigmoid else tnc
             cyc_diff = pnc[:, 0:4] - pn4                             # (B, 4)
@@ -1028,9 +1079,17 @@ def _make_kernel(
             dz3s = jnp.concatenate(
                 [dz3s4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
             )
-            sWg3 = dotT0(a2s, dz3s)
+            sWg3 = sum(
+                jnp.where(
+                    row8 == k,
+                    jnp.sum(a2s * dz3s[:, k:k + 1], axis=0, keepdims=True),
+                    0.0,
+                ) for k in range(4)
+            )
             sbg3 = csum(dz3s)
-            da2s = dotT1(dz3s, g_w3[0])
+            da2s = sum(
+                dz3s[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
+            )
             dy2s = da2s * (y2s > 0.0).astype(jnp.float32)
             sgam2 = csum(dy2s * xh2s)
             sbet2 = csum(dy2s)
@@ -1071,9 +1130,17 @@ def _make_kernel(
             dz3c = jnp.concatenate(
                 [dz3c4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
             )
-            cWg3 = dotT0(a2c, dz3c)
+            cWg3 = sum(
+                jnp.where(
+                    row8 == k,
+                    jnp.sum(a2c * dz3c[:, k:k + 1], axis=0, keepdims=True),
+                    0.0,
+                ) for k in range(4)
+            )
             cbg3 = csum(dz3c)
-            da2c = dotT1(dz3c, g_w3[0])
+            da2c = sum(
+                dz3c[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
+            )
             dy2c = da2c * (y2c > 0.0).astype(jnp.float32)
             cgam2 = csum(dy2c * xh2c)
             cbet2 = csum(dy2c)
@@ -1143,7 +1210,9 @@ def _make_kernel(
                 # cycle's second G pass reads recon: its input gradient
                 # joins the physics terms before the F backward
                 drecon = drecon + drecon_c
-            da = dotT1(drecon, fw6s[:]) + dotT1(dmet, fw6m[:])  # (B, 256)
+            da = dotT1(drecon, fw6s[:]) + sum(
+                dmet[:, k:k + 1] * fw6m[k:k + 1, :] for k in range(8)
+            )                                                  # (B, 256)
             for li in range(4, -1, -1):
                 fw, _, fg, _ = frozen[4 * li: 4 * li + 4]
                 a_in, tc, ivar, ln = f_saved[li]
@@ -1155,14 +1224,33 @@ def _make_kernel(
                 ) * (-0.5) * ivar * ivar * ivar
                 dt = dxh * ivar
                 dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
-                da = dotT1(dt, fw[:, :])
+                if li == 0:
+                    # transposed input layer: dx = dt W^T -> 4 VPU rowsums
+                    da = sum(
+                        jnp.where(
+                            blane == k,
+                            jnp.sum(dt * fw[k:k + 1, :], axis=1, keepdims=True),
+                            0.0,
+                        ) for k in range(4)
+                    )
+                else:
+                    da = dotT1(dt, fw[:, :])
             dpn = dpn + da                                     # F input == pn
 
         dsq = pn * (1.0 - pn) if sigmoid else 1.0
         dz3 = dpn * dsq * (1.0 - tn * tn)
-        dWg3 = dotT0(a2, dz3)
+        # transposed-head backward (dz3 is zero beyond lane 4 — dpn4,
+        # the masked range term, and F's zero-padded input rows all stop
+        # at lane 4): 4 VPU reductions/broadcasts replace 2 MXU ops
+        dWg3 = sum(
+            jnp.where(
+                row8 == k,
+                jnp.sum(a2 * dz3[:, k:k + 1], axis=0, keepdims=True),
+                0.0,
+            ) for k in range(4)
+        )                                                      # (8, 256)
         dbg3 = csum(dz3)
-        da2 = dotT1(dz3, g_w3[0])
+        da2 = sum(dz3[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4))
         dy2 = da2 * (y2 > 0.0).astype(jnp.float32)
         dgam2 = csum(dy2 * xh2)
         dbet2 = csum(dy2)
@@ -1614,7 +1702,7 @@ def supports_forward_megakernel(cfg: PiGanConfig) -> str | None:
 def _fwd_tensor_specs(S: int):
     W = _up(S + 4)
     specs = []
-    in_dim = LANE
+    in_dim = 8   # input layer: 4 true param rows (vector-head storage)
     for i, out in enumerate(_F_DIMS):
         blk = f"MLPBlock_{i}"
         specs += [
@@ -1624,11 +1712,12 @@ def _fwd_tensor_specs(S: int):
             ((blk, "NormAct_0", "LayerNorm_0", "bias"), (1, out)),
         ]
         in_dim = out
-    # split head (recombined on unpack)
+    # split head (recombined on unpack); the metrics half is stored
+    # TRANSPOSED (8 true rows x 256) like the GAN kernel's vector heads
     specs += [
         (("Dense_0", "kernel", "spec"), (256, W)),
         (("Dense_0", "bias", "spec"), (1, W)),
-        (("Dense_0", "kernel", "met"), (256, LANE)),
+        (("Dense_0", "kernel", "met"), (8, 256)),
         (("Dense_0", "bias", "met"), (1, LANE)),
     ]
     return specs
@@ -1648,6 +1737,8 @@ def pack_forward_state(state, S: int):
                 sl = sl[1]
             vals = (fP["Dense_0"][path[1]][sl], mu["Dense_0"][path[1]][sl],
                     nu["Dense_0"][path[1]][sl])
+            if which == "met" and path[1] == "kernel":
+                vals = tuple(v.T for v in vals)   # transposed storage
         else:
             vals = (_get(fP, path), _get(mu, path), _get(nu, path))
         out.append(jnp.stack([_pad2(v, r, c) for v in vals]))
@@ -1674,12 +1765,11 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
                         tgt = tgt.at[:S].set(cropped)
                 else:
                     width = tgt.shape[-1] - S
-                    cropped = _crop(
-                        buf[slot], (tgt.shape[0], width) if idx == 0 else (width,)
-                    )
-                    if idx == 0:
+                    if idx == 0:   # transposed storage: crop (8, 256) -> T
+                        cropped = _crop(buf[slot], (width, tgt.shape[0])).T
                         tgt = tgt.at[:, S:].set(cropped)
                     else:
+                        cropped = _crop(buf[slot], (width,))
                         tgt = tgt.at[S:].set(cropped)
                 head[idx][slot] = tgt
             else:
@@ -1771,7 +1861,13 @@ def _make_forward_kernel(
         saved = []
         for li in range(5):
             wb, bb, gb, beb = train[4 * li: 4 * li + 4]
-            t = mm(a, wb[0]) + bb[0]
+            if li == 0:
+                # input layer: 4 true param rows -> VPU outer-product sum
+                t = bb[0] + sum(
+                    a[:, k:k + 1] * wb[0][k:k + 1, :] for k in range(4)
+                )
+            else:
+                t = mm(a, wb[0]) + bb[0]
             mu = jnp.mean(t, axis=-1, keepdims=True)
             var = jnp.maximum(   # flax-exact clamp, see BN comment above
                 0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
@@ -1793,7 +1889,12 @@ def _make_forward_kernel(
             a = a_out
         w6s, b6s, w6m, b6m = train[20], train[21], train[22], train[23]
         pred_spec = mm(a, w6s[0]) + b6s[0]           # (B, W) pads 0
-        pred_metf = mm(a, w6m[0]) + b6m[0]           # (B, LANE) pads 0
+        # metrics head (transposed storage): 8 VPU lane-reductions
+        mlane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+        pred_metf = jnp.broadcast_to(b6m[0], (B, LANE))   # pads 0
+        for k in range(8):
+            pmk = jnp.sum(a * w6m[0][k:k + 1, :], axis=1, keepdims=True)
+            pred_metf = pred_metf + jnp.where(mlane == k, pmk, 0.0)
 
         ds_spec = pred_spec - spectra
         ds_met = pred_metf - met_pad                  # pads 0
@@ -1801,7 +1902,6 @@ def _make_forward_kernel(
         met_l = jnp.sum(ds_met * ds_met) / (B * 8)
         loss = w_spec * spec_l + w_met * met_l
         drecon = w_spec * 2.0 * ds_spec / (B * S)
-        mlane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
         dmet = jnp.where(mlane < 8, w_met * 2.0 * ds_met / (B * 8), 0.0)
         if w_smooth:
             d1 = pred_spec[:, 1:] - pred_spec[:, :-1]
@@ -1826,11 +1926,21 @@ def _make_forward_kernel(
                 mlane < 8, w_l1 * jnp.sign(ds_met) / (B * 8), 0.0
             )
 
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
         dW6s = dotT0(a, drecon)
         db6s = csum(drecon)
-        dW6m = dotT0(a, dmet)
+        # transposed metrics head: dW rows and the dx outer on the VPU
+        dW6m = sum(
+            jnp.where(
+                row8 == k,
+                jnp.sum(a * dmet[:, k:k + 1], axis=0, keepdims=True),
+                0.0,
+            ) for k in range(8)
+        )                                              # (8, 256)
         db6m = csum(dmet)
-        da = dotT1(drecon, w6s[0]) + dotT1(dmet, w6m[0])
+        da = dotT1(drecon, w6s[0]) + sum(
+            dmet[:, k:k + 1] * w6m[0][k:k + 1, :] for k in range(8)
+        )
         grads = [None] * 20
         for li in range(4, -1, -1):
             wb = train[4 * li]
@@ -1848,9 +1958,30 @@ def _make_forward_kernel(
             ) * ivar * ivar * ivar
             dt = dxh * ivar
             dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
-            grads[4 * li] = dotT0(a_in, dt)                # dW
-            grads[4 * li + 1] = csum(dt)                   # db
-            da = dotT1(dt, wb[0])
+            if li == 0:
+                # transposed input layer (4 true rows): dW on the VPU;
+                # dx = dt W^T only feeds the debug checksum lane
+                grads[0] = sum(
+                    jnp.where(
+                        row8 == k,
+                        jnp.sum(a_in[:, k:k + 1] * dt, axis=0, keepdims=True),
+                        0.0,
+                    ) for k in range(4)
+                )
+                grads[1] = csum(dt)
+                if _DEBUG_LANES:
+                    da = sum(
+                        jnp.where(
+                            mlane == k,
+                            jnp.sum(dt * wb[0][k:k + 1, :], axis=1,
+                                    keepdims=True),
+                            0.0,
+                        ) for k in range(4)
+                    )
+            else:
+                grads[4 * li] = dotT0(a_in, dt)            # dW
+                grads[4 * li + 1] = csum(dt)               # db
+                da = dotT1(dt, wb[0])
         adam_apply(
             train, grads + [dW6s, db6s, dW6m, db6m], lr, inv1, inv2,
             gate=live,

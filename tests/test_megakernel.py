@@ -1233,7 +1233,11 @@ def test_megakernel_emergency_settings(cfg):
         d_update_every=2, detach_forward=False,
     )
     st_x, m_x, st_p, m_p = _setup2(cfg, 128, s)
-    _assert_metric_parity(m_x, m_p)
+    # rtol 5e-3: the richest combo (cycle + through-F + D-gating)
+    # compounds benign fp-ordering drift fastest — measured 3.1e-3 on
+    # epoch-2 lc_loss after the vector-head reduction-order change, while
+    # first-step gradients stay at 1e-4 (checked below, the strict gate)
+    _assert_metric_parity(m_x, m_p, rtol=5e-3)
     _assert_param_parity(st_x, st_p)
     _assert_grad_parity(cfg, s)
 
