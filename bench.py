@@ -58,16 +58,22 @@ def main() -> None:
     )
 
     cfg = default_config()  # 1000 samples, batch 64 — the reference workload
-    if "--dtype" in sys.argv:  # ablation knob (driver runs with no args)
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    def _dtype_flag(flag: str, field: str):
+        nonlocal cfg
+        if flag not in sys.argv:  # ablation knobs (driver runs with no args)
+            return
         try:
-            dtype = sys.argv[sys.argv.index("--dtype") + 1]
+            dtype = sys.argv[sys.argv.index(flag) + 1]
         except IndexError:
-            raise SystemExit("--dtype needs a value: float32 | bfloat16")
+            raise SystemExit(f"{flag} needs a value: float32 | bfloat16")
         if dtype not in ("float32", "bfloat16"):
-            raise SystemExit(f"--dtype {dtype!r}: use float32 | bfloat16")
-        cfg = cfg.replace(train=_dc.replace(cfg.train, compute_dtype=dtype))
+            raise SystemExit(f"{flag} {dtype!r}: use float32 | bfloat16")
+        cfg = cfg.replace(train=_dc.replace(cfg.train, **{field: dtype}))
+
+    _dtype_flag("--dtype", "compute_dtype")          # matmul operand dtype
+    _dtype_flag("--adam-dtype", "adam_state_dtype")  # Adam m/v storage dtype
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
     steps_per_epoch = ds.num_samples // cfg.train.batch_size
@@ -167,6 +173,7 @@ def main() -> None:
                 "chunks_per_chain": chain,
                 "epochs_per_chunk": chunk,
                 "compute_dtype": cfg.train.compute_dtype,
+                "adam_state_dtype": cfg.train.adam_state_dtype,
                 "tunnel_rtt_ms": round(rtt_ms, 1),
             }
         )

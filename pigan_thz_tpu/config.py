@@ -182,6 +182,13 @@ class TrainConfig:
     # Numerics: parameters are always fp32; set compute_dtype="bfloat16" to
     # run matmuls on the MXU in bf16.
     compute_dtype: str = "float32"
+    # Adam moment (m/v) storage dtype.  "bfloat16" halves the optimizer
+    # state and its per-step HBM/VMEM traffic — the measured bottleneck of
+    # the training megakernels (RESULTS.md) — at a small precision cost in
+    # the moment recurrence (compute stays fp32; parameters stay fp32).
+    # Applies to BOTH backends: optax stores bf16 moments on the XLA path
+    # (schedules.scale_by_adam_bf16) so kernel and fallback agree.
+    adam_state_dtype: str = "float32"
     # steps per jit'd scan segment (whole epoch = 16 steps at bs=64/n=1000)
     scan_steps_per_epoch: bool = True
 

@@ -99,6 +99,8 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return "forward model is not the baseline MLP"
     if cfg.train.compute_dtype not in ("float32", "bfloat16"):
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
+    if cfg.train.adam_state_dtype not in ("float32", "bfloat16"):
+        return f"adam_state_dtype {cfg.train.adam_state_dtype!r} unsupported"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
     if cfg.discriminator.leaky_slope != 0.2 or cfg.forward_model.leaky_slope != 0.2:
@@ -200,24 +202,36 @@ def _f_layer_paths():
 _F_DIMS = (256, 512, 1024, 512, 256)
 
 
-def pack_state(state, S: int):
-    """PiGanState -> (train_bufs, stat_bufs, frozen_bufs), all padded fp32.
+def pack_state(state, S: int, frozen_bf16: bool = False):
+    """PiGanState -> (param_bufs, mv_bufs, stat_bufs, frozen_bufs), padded.
 
-    train buf = stack([param, adam_mu, adam_nu]) -> (3, r, c);
-    stat buf  = stack([running_mean, running_var]) -> (2, 1, c)."""
+    param buf = (1, r, c) fp32; mv buf = stack([adam_mu, adam_nu]) ->
+    (2, r, c) in the STATE's own moment dtype — fp32, or bf16 under
+    adam_state_dtype="bfloat16"; the split layout is what lets the
+    moments carry a narrower dtype than the master weights, halving the
+    optimizer-state VMEM traffic that bounds the kernel (RESULTS.md);
+    stat buf = stack([running_mean, running_var]) -> (2, 1, c).
+
+    frozen_bf16 stores F's MXU-consumed matrices (the four hidden-layer
+    kernels and the spectrum head) in bfloat16 — bit-identical to
+    compute_dtype="bfloat16"'s per-use operand cast, at half the reads;
+    the VPU-consumed tensors (input layer, metrics head, biases, LN
+    params) stay fp32 exactly like the per-use-cast kernel."""
     gP, dP = state.g.params, state.d.params
     g_adam = state.g_opt[1][0]
     d_adam = state.d_opt[1][0]
     trees = {"g": (gP, g_adam.mu, g_adam.nu), "d": (dP, d_adam.mu, d_adam.nu)}
-    train = []
+    params, mv = [], []
     for path, (r, c) in _train_tensor_specs(S):
         p, mu, nu = trees[path[0]]
         tr = path in _TRANSPOSED
-        train.append(jnp.stack([
-            _pad2(_get(p, path[1:]).T if tr else _get(p, path[1:]), r, c),
-            _pad2(_get(mu, path[1:]).T if tr else _get(mu, path[1:]), r, c),
-            _pad2(_get(nu, path[1:]).T if tr else _get(nu, path[1:]), r, c),
-        ]))
+
+        def grab(t):
+            x = _get(t, path[1:])
+            return x.T if tr else x
+
+        params.append(_pad2(grab(p), r, c).reshape(1, r, c))
+        mv.append(jnp.stack([_pad2(grab(mu), r, c), _pad2(grab(nu), r, c)]))
     bs = state.g.extra["batch_stats"]
     stats = []
     for blk, c in (("MLPBlock_0", 512), ("MLPBlock_1", 256)):
@@ -248,7 +262,11 @@ def pack_state(state, S: int):
         # projection and its backward run on the VPU (vector-head note)
         _pad2(head_k[:, S:].T, 8, 256), _pad2(head_b[S:], 1, LANE),
     ]
-    return train, stats, frozen
+    if frozen_bf16:
+        # MXU-consumed matrices only: layer 1-4 kernels + spectrum head
+        for idx in (4, 8, 12, 16, 20):
+            frozen[idx] = frozen[idx].astype(jnp.bfloat16)
+    return params, mv, stats, frozen
 
 
 def pack_ema(state, S: int):
@@ -262,8 +280,8 @@ def pack_ema(state, S: int):
     return out
 
 
-def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None,
-                 ema_out=None):
+def unpack_state(state, params_out, mv_out, stats_out, n_steps: int, S: int,
+                 d_steps=None, ema_out=None):
     """Rebuild a PiGanState from the kernel's updated buffers.  `d_steps`
     (default n_steps) is D's ACTUAL update count — with d_update_every > 1
     the skipped steps leave D's optimizer state untouched, exactly like the
@@ -275,15 +293,16 @@ def unpack_state(state, train_out, stats_out, n_steps: int, S: int, d_steps=None
         "g": [gP, g_adam.mu, g_adam.nu],
         "d": [dP, d_adam.mu, d_adam.nu],
     }
-    for (path, _), buf in zip(_train_tensor_specs(S), train_out):
+    for i, (path, _) in enumerate(_train_tensor_specs(S)):
+        planes = (params_out[i][0], mv_out[i][0], mv_out[i][1])
         for slot in range(3):
             tgt = new[path[0]][slot]
-            shape = _get(tgt, path[1:]).shape
+            leaf = _get(tgt, path[1:])
             if path in _TRANSPOSED:
-                val = _crop(buf[slot], (shape[1], shape[0])).T
+                val = _crop(planes[slot], (leaf.shape[1], leaf.shape[0])).T
             else:
-                val = _crop(buf[slot], shape)
-            new[path[0]][slot] = _set(tgt, path[1:], val)
+                val = _crop(planes[slot], leaf.shape)
+            new[path[0]][slot] = _set(tgt, path[1:], val.astype(leaf.dtype))
     bs = state.g.extra["batch_stats"]
     for (blk, c), buf in zip((("MLPBlock_0", 512), ("MLPBlock_1", 256)), stats_out):
         bn = {"mean": _crop(buf[0], (c,)), "var": _crop(buf[1], (c,))}
@@ -349,28 +368,33 @@ _BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
 _SLOPE = 0.2
 
 
-def _make_adam(b1: float, b2: float, clip: float):
-    """In-kernel clip_by_global_norm + Adam over packed (3, r, c) buffers.
-    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections.  `gate`
-    (scalar 0/1) skips the whole update when 0 — params AND moments stay
-    put, reproducing the XLA d_update_every skip branch where the
-    optimizer state is untouched."""
+def _make_adam(b1: float, b2: float, clip: float, mv_dtype=jnp.float32):
+    """In-kernel clip_by_global_norm + Adam over split buffers: each entry
+    of `bufs` is a (param_ref (1,r,c) fp32, mv_ref (2,r,c) mv_dtype) pair.
+    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections.  The moment
+    recurrence computes in fp32 and stores in mv_dtype (optax parity in
+    fp32; schedules.scale_by_adam_bf16 parity in bf16).  `gate` (scalar
+    0/1) skips the whole update when 0 — params AND moments stay put,
+    reproducing the XLA d_update_every skip branch where the optimizer
+    state is untouched."""
 
     def apply(bufs, grads, lr, inv1, inv2, gate=None):
         gn = jnp.sqrt(sum(jnp.sum(g * g) for g in grads))
         scale = jnp.where(gn < clip, 1.0, clip / gn)
-        for ref, g in zip(bufs, grads):
+        for (pref, mvref), g in zip(bufs, grads):
             g = g * scale
-            m = b1 * ref[1] + (1.0 - b1) * g
-            v = b2 * ref[2] + (1.0 - b2) * g * g
-            p = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
+            m = b1 * mvref[0].astype(jnp.float32) + (1.0 - b1) * g
+            v = b2 * mvref[1].astype(jnp.float32) + (1.0 - b2) * g * g
+            p = pref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
             if gate is None:
-                ref[0], ref[1], ref[2] = p, m, v
+                pref[0] = p
+                mvref[0] = m.astype(mv_dtype)
+                mvref[1] = v.astype(mv_dtype)
             else:
                 on = gate > 0.0
-                ref[0] = jnp.where(on, p, ref[0])
-                ref[1] = jnp.where(on, m, ref[1])
-                ref[2] = jnp.where(on, v, ref[2])
+                pref[0] = jnp.where(on, p, pref[0])
+                mvref[0] = jnp.where(on, m.astype(mv_dtype), mvref[0])
+                mvref[1] = jnp.where(on, v.astype(mv_dtype), mvref[1])
 
     return apply
 
@@ -592,6 +616,7 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int,
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False, row_steps: int | None = None, padded: bool = False,
+    mv_dtype=jnp.float32,
 ):
     """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
     tensor) lerped after each G update, VMEM-resident like the params.
@@ -663,9 +688,10 @@ def _make_kernel(
     def csum(x):
         return jnp.sum(x, axis=0, keepdims=True)
 
-    adam_apply = _make_adam(_B1, _B2, clip)
+    adam_apply = _make_adam(_B1, _B2, clip, mv_dtype)
 
-    n_state = 18 + (10 if ema else 0)  # 16 train + 2 stats (+ 10 G EMA)
+    # 16 param + 16 adam-moment + 2 stats (+ 10 G EMA)
+    n_state = 34 + (10 if ema else 0)
 
     def kernel(*refs):
         it = iter(refs)
@@ -677,9 +703,10 @@ def _make_kernel(
         frozen = [next(it) for _ in range(24)]
         for _ in range(n_state):   # aliased state inputs; use output refs
             next(it)
-        train = [next(it) for _ in range(16)]
+        train = [next(it) for _ in range(16)]   # param planes (1, r, c)
+        mv = [next(it) for _ in range(16)]      # adam moments (2, r, c)
         stats = [next(it) for _ in range(2)]
-        ema_bufs = [next(it) for _ in range(n_state - 18)]
+        ema_bufs = [next(it) for _ in range(n_state - 34)]
         metrics_ref = next(it)
 
         i = pl.program_id(0)
@@ -848,7 +875,7 @@ def _make_kernel(
                 row8 == 0, jnp.sum(dV * m2g, axis=0, keepdims=True), 0.0
             )
         adam_apply(
-            [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
+            list(zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3], mv[10:16])),
             [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
             lr_d, inv1_d, inv2_d,
             gate=d_gate if (gate_d or padded) else None,
@@ -1282,7 +1309,11 @@ def _make_kernel(
             dgam2, dbet2 = dgam2 + sgam2, dbet2 + sbet2
             dWg3, dbg3 = dWg3 + sWg3, dbg3 + sbg3
         adam_apply(
-            [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2, g_w3, g_b3],
+            list(zip(
+                [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
+                 g_w3, g_b3],
+                mv[:10],
+            )),
             [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
             lr_g, inv1_g, inv2_g,
             gate=live,
@@ -1322,7 +1353,8 @@ def _make_kernel(
                 jnp.sum(jnp.abs(u1)), jnp.min(var1), jnp.sum(jnp.abs(pn)),
                 jnp.sum(jnp.abs(x0)), jnp.sum(jnp.abs(p1)),
                 jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
-                jnp.sum(jnp.abs(d_w1[1])), jnp.sum(jnp.abs(d_w1[2])),
+                jnp.sum(jnp.abs(mv[10][0].astype(jnp.float32))),
+                jnp.sum(jnp.abs(mv[10][1].astype(jnp.float32))),
                 jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
                 lr_g, inv2_g, jnp.sum(jnp.abs(sched_row)),
             )
@@ -1549,7 +1581,10 @@ def make_pallas_multi_epoch_fn(
                 state.d_opt[1][0].count.dtype)
         else:
             d_inc = None
-        train, stats, frozen = pack_state(state, S)
+        params_b, mv_b, stats, frozen = pack_state(
+            state, S, frozen_bf16=cfg.train.compute_dtype == "bfloat16"
+        )
+        train = params_b + mv_b
         if use_ema:
             if state.g_ema is None:
                 raise ValueError(
@@ -1571,6 +1606,7 @@ def make_pallas_multi_epoch_fn(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
             row_steps=plan_rs, padded=pad > 0,
+            mv_dtype=mv_b[0].dtype,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -1616,11 +1652,14 @@ def make_pallas_multi_epoch_fn(
         bufs, mrows = _chunked_launch(
             launch, train + stats, tuple(step_streams), E, spe,
         )
-        train_out = bufs[: len(train)]
-        stats_out = bufs[len(train): len(train) + 2]
-        ema_out = bufs[len(train) + 2:] if use_ema else None
+        n_p = len(params_b)
+        params_out = bufs[:n_p]
+        mv_out = bufs[n_p: 2 * n_p]
+        stats_out = bufs[2 * n_p: 2 * n_p + 2]
+        ema_out = bufs[2 * n_p + 2:] if use_ema else None
         new_state = unpack_state(
-            state, train_out, stats_out, T, S, d_steps=d_inc, ema_out=ema_out
+            state, params_out, mv_out, stats_out, T, S, d_steps=d_inc,
+            ema_out=ema_out,
         )
         mkeys = METRIC_KEYS + (
             ("constraint_loss",) if settings.constraint_w else ()
@@ -1688,6 +1727,8 @@ def supports_forward_megakernel(cfg: PiGanConfig) -> str | None:
         return "forward model is not the baseline MLP"
     if cfg.train.compute_dtype not in ("float32", "bfloat16"):
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
+    if cfg.train.adam_state_dtype not in ("float32", "bfloat16"):
+        return f"adam_state_dtype {cfg.train.adam_state_dtype!r} unsupported"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
     if cfg.forward_model.leaky_slope != 0.2:
@@ -1724,10 +1765,11 @@ def _fwd_tensor_specs(S: int):
 
 
 def pack_forward_state(state, S: int):
-    """ForwardState -> packed (3, r, c) [param, mu, nu] buffers."""
+    """ForwardState -> (param_bufs (1,r,c) fp32, mv_bufs (2,r,c) in the
+    state's moment dtype) — split layout, see pack_state."""
     adam = state.opt[1][0]
     fP, mu, nu = state.f.params, adam.mu, adam.nu
-    out = []
+    params, mv = [], []
     for path, (r, c) in _fwd_tensor_specs(S):
         if path[0] == "Dense_0":
             which = path[2]
@@ -1741,8 +1783,9 @@ def pack_forward_state(state, S: int):
                 vals = tuple(v.T for v in vals)   # transposed storage
         else:
             vals = (_get(fP, path), _get(mu, path), _get(nu, path))
-        out.append(jnp.stack([_pad2(v, r, c) for v in vals]))
-    return out
+        params.append(_pad2(vals[0], r, c).reshape(1, r, c))
+        mv.append(jnp.stack([_pad2(vals[1], r, c), _pad2(vals[2], r, c)]))
+    return params, mv
 
 
 def unpack_forward_state(state, bufs, n_steps: int, S: int):
@@ -1752,13 +1795,18 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
         [jnp.zeros_like(t["Dense_0"]["kernel"]) for t in new],
         [jnp.zeros_like(t["Dense_0"]["bias"]) for t in new],
     ]
-    for (path, _), buf in zip(_fwd_tensor_specs(S), bufs):
+    specs = _fwd_tensor_specs(S)
+    n_half = len(specs)
+    for i, (path, _) in enumerate(specs):
+        planes = (bufs[i][0], bufs[n_half + i][0], bufs[n_half + i][1])
         for slot in range(3):
+            plane = planes[slot]
             if path[0] == "Dense_0":
                 idx = 0 if path[1] == "kernel" else 1
                 tgt = head[idx][slot]
+                plane = plane.astype(tgt.dtype)
                 if path[2] == "spec":
-                    cropped = _crop(buf[slot], (tgt.shape[0], S) if idx == 0 else (S,))
+                    cropped = _crop(plane, (tgt.shape[0], S) if idx == 0 else (S,))
                     if idx == 0:
                         tgt = tgt.at[:, :S].set(cropped)
                     else:
@@ -1766,15 +1814,18 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
                 else:
                     width = tgt.shape[-1] - S
                     if idx == 0:   # transposed storage: crop (8, 256) -> T
-                        cropped = _crop(buf[slot], (width, tgt.shape[0])).T
+                        cropped = _crop(plane, (width, tgt.shape[0])).T
                         tgt = tgt.at[:, S:].set(cropped)
                     else:
-                        cropped = _crop(buf[slot], (width,))
+                        cropped = _crop(plane, (width,))
                         tgt = tgt.at[S:].set(cropped)
                 head[idx][slot] = tgt
             else:
-                shape = _get(new[slot], path).shape
-                new[slot] = _set(new[slot], path, _crop(buf[slot], shape))
+                leaf = _get(new[slot], path)
+                new[slot] = _set(
+                    new[slot], path,
+                    _crop(plane, leaf.shape).astype(leaf.dtype),
+                )
     for slot in range(3):
         new[slot] = _set(new[slot], ("Dense_0", "kernel"), head[0][slot])
         new[slot] = _set(new[slot], ("Dense_0", "bias"), head[1][slot])
@@ -1797,7 +1848,7 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
 def _make_forward_kernel(
     S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
     dropout_rate: float, bf16: bool = False, row_steps: int | None = None,
-    padded: bool = False,
+    padded: bool = False, mv_dtype=jnp.float32,
 ):
     rs = row_steps or steps_per_epoch
     W = _up(S + 4)
@@ -1814,7 +1865,8 @@ def _make_forward_kernel(
 
     thresh = _np.uint32(min(2**32 - 1, int(round(keep * 2**32))))
     mm_in = jnp.bfloat16 if bf16 else jnp.float32
-    adam_apply = _make_adam(0.9, _B2, clip)  # f_tx uses Adam defaults (b1=.9)
+    # f_tx uses Adam defaults (b1=.9)
+    adam_apply = _make_adam(0.9, _B2, clip, mv_dtype)
 
     def mm(a, b):
         return jnp.dot(
@@ -1838,8 +1890,10 @@ def _make_forward_kernel(
 
     def kernel(*refs):
         (par_ref, spec_ref, met_ref, sched_ref, seed_ref) = refs[:5]
-        train = list(refs[29:53])   # aliased outputs (inputs are refs[5:29])
-        metrics_ref = refs[53]
+        out0 = 5 + 48               # aliased inputs are refs[5:53]
+        train = list(refs[out0: out0 + 24])    # param planes (1, r, c)
+        mv = list(refs[out0 + 24: out0 + 48])  # adam moments (2, r, c)
+        metrics_ref = refs[out0 + 48]
 
         i = pl.program_id(0)
         sched_row = sched_ref[0]
@@ -1983,8 +2037,8 @@ def _make_forward_kernel(
                 grads[4 * li + 1] = csum(dt)               # db
                 da = dotT1(dt, wb[0])
         adam_apply(
-            train, grads + [dW6s, db6s, dW6m, db6m], lr, inv1, inv2,
-            gate=live,
+            list(zip(train, mv)), grads + [dW6s, db6s, dW6m, db6m],
+            lr, inv1, inv2, gate=live,
         )
 
         vals = (loss, spec_l, met_l)
@@ -2077,7 +2131,8 @@ def make_pallas_forward_epoch_fn(
 
     def _kernel_body(state, E: int, spe: int, par_g, spec_g, met_g, sched, seeds):
         T = E * spe
-        train = pack_forward_state(state, S)
+        params_b, mv_b = pack_forward_state(state, S)
+        train = params_b + mv_b
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
@@ -2092,7 +2147,7 @@ def make_pallas_forward_epoch_fn(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=_prs,
+            row_steps=_prs, mv_dtype=mv_b[0].dtype,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -2250,7 +2305,8 @@ def make_pallas_forward_subepoch_fn(
         def _kernel_body(state, spe, par_g, spec_g, met_g, sched, seeds):
             padded = _fwd_sub_plan(spe)[1] != spe
             L = par_g.shape[0]
-            train = pack_forward_state(state, S)
+            params_b, mv_b = pack_forward_state(state, S)
+            train = params_b + mv_b
             const = lambda shape: pl.BlockSpec(  # noqa: E731
                 shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
             )
@@ -2262,7 +2318,7 @@ def make_pallas_forward_subepoch_fn(
                 S, B, spe, fsettings, clip,
                 dropout_rate=cfg.forward_model.dropout_rate,
                 bf16=cfg.train.compute_dtype == "bfloat16",
-                row_steps=L, padded=padded,
+                row_steps=L, padded=padded, mv_dtype=mv_b[0].dtype,
             )
             in_specs = (
                 [

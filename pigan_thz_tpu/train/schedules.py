@@ -15,9 +15,46 @@ curve the torch per-epoch scheduler follows at epoch boundaries.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import OptimizerConfig
+
+
+def scale_by_adam_bf16(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """`optax.scale_by_adam` with BOTH moments stored in bfloat16.
+
+    The recurrence computes in fp32 and rounds the stored m/v to bf16 each
+    step (the update uses the pre-rounding fp32 values); parameters stay
+    fp32.  This is the XLA-path twin of the megakernel's
+    adam_state_dtype="bfloat16" mode, so the two backends stay
+    trajectory-comparable (tests) and checkpoints carry one consistent
+    state dtype.  State structure is optax.ScaleByAdamState — packing,
+    checkpointing and count bookkeeping are unchanged."""
+    inner = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+
+    def _cast(tree, dtype):
+        return jax.tree.map(lambda x: x.astype(dtype), tree)
+
+    def init(params):
+        st = inner.init(params)
+        return st._replace(
+            mu=_cast(st.mu, jnp.bfloat16), nu=_cast(st.nu, jnp.bfloat16)
+        )
+
+    def update(updates, state, params=None):
+        st32 = state._replace(
+            mu=_cast(state.mu, jnp.float32), nu=_cast(state.nu, jnp.float32)
+        )
+        new_updates, new_st = inner.update(updates, st32, params)
+        return new_updates, new_st._replace(
+            mu=_cast(new_st.mu, jnp.bfloat16), nu=_cast(new_st.nu, jnp.bfloat16)
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def cosine_schedule(
@@ -99,6 +136,7 @@ def build_optimizer(
     schedule_alpha: float = 0.01,
     step_decay_rate: float = 0.5,
     step_decay_every_frac: float = 0.25,
+    adam_state_dtype: str = "float32",
 ) -> optax.GradientTransformation:
     sched = make_schedule(
         schedule, lr, total_epochs, steps_per_epoch,
@@ -106,11 +144,26 @@ def build_optimizer(
         step_decay_every_frac=step_decay_every_frac,
     )
 
-    adam = (
-        optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
-        if weight_decay > 0
-        else optax.adam(sched, b1=b1, b2=b2, eps=eps)
-    )
+    if adam_state_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"adam_state_dtype {adam_state_dtype!r}: use float32 | bfloat16"
+        )
+    if adam_state_dtype == "bfloat16":
+        if weight_decay > 0:
+            raise ValueError(
+                "adam_state_dtype='bfloat16' does not support weight_decay"
+            )
+        # same (ScaleByAdamState, schedule-state) structure as optax.adam
+        adam = optax.chain(
+            scale_by_adam_bf16(b1=b1, b2=b2, eps=eps),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        adam = (
+            optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+            if weight_decay > 0
+            else optax.adam(sched, b1=b1, b2=b2, eps=eps)
+        )
     parts = []
     if grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))

@@ -141,6 +141,7 @@ def make_optimizers(cfg: PiGanConfig, steps_per_epoch: int):
         schedule="cosine",
         b1=0.5,
         grad_clip=cfg.train.grad_clip,
+        adam_state_dtype=cfg.train.adam_state_dtype,
     )
     d_tx = build_optimizer(
         lr=cfg.train.lr_d,
@@ -149,6 +150,7 @@ def make_optimizers(cfg: PiGanConfig, steps_per_epoch: int):
         schedule="step",
         b1=0.5,
         grad_clip=cfg.train.grad_clip,
+        adam_state_dtype=cfg.train.adam_state_dtype,
     )
     f_tx = build_optimizer(
         lr=cfg.train.fwd_pretrain_lr,
@@ -158,5 +160,6 @@ def make_optimizers(cfg: PiGanConfig, steps_per_epoch: int):
         b1=0.9,
         grad_clip=cfg.train.grad_clip,
         schedule_alpha=0.0,   # torch CosineAnnealingLR default eta_min=0
+        adam_state_dtype=cfg.train.adam_state_dtype,
     )
     return g_tx, d_tx, f_tx

@@ -361,6 +361,7 @@ class Trainer:
                 lr=lr, total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
                 schedule="cosine", b1=0.9, grad_clip=cfg.train.grad_clip,
                 schedule_alpha=0.0,
+                adam_state_dtype=cfg.train.adam_state_dtype,
             )
         if self.forward_state is None or reset:
             self.forward_state = self._maybe_shard(
@@ -523,6 +524,7 @@ class Trainer:
                 total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
                 schedule=schedule_g or "cosine", b1=0.5,
                 grad_clip=cfg.train.grad_clip,
+                adam_state_dtype=cfg.train.adam_state_dtype,
             )
             self.pigan_state = self.pigan_state.replace(
                 g_opt=g_tx.init(self.pigan_state.g.params)
@@ -533,6 +535,7 @@ class Trainer:
                 total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
                 schedule=schedule_d or "step", b1=0.5,
                 grad_clip=cfg.train.grad_clip,
+                adam_state_dtype=cfg.train.adam_state_dtype,
             )
             self.pigan_state = self.pigan_state.replace(
                 d_opt=d_tx.init(self.pigan_state.d.params)
