@@ -1,0 +1,163 @@
+"""Hardware probe for megakernel step packing (_PACK_MAX).
+
+Usage: python examples/pack_probe.py [--pack-max N] [--parity] [--fwd]
+
+--parity: fresh-state GAN run, megakernel vs XLA over 8 epochs at the
+  default config — asserts finite metrics and loss-curve agreement
+  (the interpret-mode tests already prove bit-level step parity; this
+  checks the COMPILED packed kernel on v5e, where the round-2/3 Mosaic
+  corruption class lived).
+--fwd: same for the forward-pretrain kernel (loss parity at dropout 0).
+Default (no flag): time the packed GAN kernel with the bench methodology
+  (chains of async chunk calls, one device_get sync) and print one JSON
+  line -- compare against bench.py's unpacked 57.2k steps/s baseline.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+import pigan_thz_tpu.ops.megakernel as MK
+from pigan_thz_tpu import default_config
+from pigan_thz_tpu.data import synthetic_dataset
+from pigan_thz_tpu.models import build_trio
+from pigan_thz_tpu.train import (
+    ForwardStepSettings, StepSettings, init_forward_state, init_pigan_state,
+    make_forward_step, make_multi_epoch_fn, make_optimizers, make_pigan_step,
+)
+
+if "--pack-max" in sys.argv:
+    MK._PACK_MAX = int(sys.argv[sys.argv.index("--pack-max") + 1])
+
+cfg = default_config()
+ds = synthetic_dataset(cfg.data)
+g, d, f = build_trio(cfg)
+spe = ds.num_samples // cfg.train.batch_size
+g_tx, d_tx, f_tx = make_optimizers(cfg, spe)
+settings = StepSettings.from_config(cfg)
+pack = MK._largest_divisor(spe, MK._PACK_MAX)
+print(f"spe={spe} _PACK_MAX={MK._PACK_MAX} -> pack={pack}", flush=True)
+
+if "--fwd" in sys.argv:
+    c = cfg.replace(
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0)
+    )
+    st0 = init_forward_state(f, f_tx, jax.random.PRNGKey(0))
+    xla = make_multi_epoch_fn(
+        make_forward_step(f, f_tx, ForwardStepSettings()), c.train.batch_size
+    )
+    pal = MK.make_pallas_forward_epoch_fn(c, ForwardStepSettings())
+    key, ones = jax.random.PRNGKey(7), jnp.ones((8,), jnp.float32)
+    st_x, m_x = xla(jax.tree.map(jnp.copy, st0), ds, key, ones)
+    st_p, m_p = pal(jax.tree.map(jnp.copy, st0), ds, key, ones)
+    lx = np.asarray(jax.device_get(m_x["loss"]))
+    lp = np.asarray(jax.device_get(m_p["loss"]))
+    print("XLA   loss:", lx)
+    print("PACKED loss:", lp)
+    assert np.all(np.isfinite(lp)), "packed forward kernel produced non-finite"
+    np.testing.assert_allclose(lp, lx, rtol=2e-2)
+    print(json.dumps({"probe": "fwd_parity", "pack": pack, "ok": True}))
+    sys.exit(0)
+
+state0 = init_pigan_state(
+    g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
+    forward_variables=init_forward_state(f, f_tx, jax.random.PRNGKey(0)).f.variables,
+)
+
+if "--parity" in sys.argv:
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True)
+    pal = MK.make_pallas_multi_epoch_fn(cfg, settings)
+    key, ones = jax.random.PRNGKey(7), jnp.ones((8,), jnp.float32)
+    st_x, m_x = xla(jax.tree.map(jnp.copy, state0), ds, key, ones)
+    st_p, m_p = pal(jax.tree.map(jnp.copy, state0), ds, key, ones)
+    ok = True
+    # d_loss/adv_loss are chaotic (fp divergence amplifies across epochs on
+    # ANY backend pair); the hard gate is the non-adversarial keys — the
+    # adversarial pair only needs finiteness + same order of magnitude.
+    loose = {"d_loss", "adv_loss", "d_accuracy", "lc_loss"}
+    for k in MK.METRIC_KEYS:
+        a = np.asarray(jax.device_get(m_x[k]))
+        b = np.asarray(jax.device_get(m_p[k]))
+        fin = bool(np.all(np.isfinite(b)))
+        rel = float(np.max(np.abs(b - a) / (np.abs(a) + 1e-6)))
+        ok = ok and fin and (rel < 5e-2 or (k in loose and rel < 10.0))
+        print(f"{k:>20}: xla[-1]={a[-1]:.5f} packed[-1]={b[-1]:.5f} "
+              f"max_rel={rel:.2e} finite={fin}", flush=True)
+    print(json.dumps({"probe": "gan_parity", "pack": pack, "ok": ok}))
+    sys.exit(0 if ok else 1)
+
+if "--vs-pack1" in sys.argv:
+    # The decisive packing check on silicon: COMPILED pack=K vs COMPILED
+    # pack=1 of the SAME kernel over a HORIZON SWEEP (interpret mode
+    # already proved the pair bit-identical; on silicon Mosaic compiles
+    # the two grid shapes with different reduction orders, so the test is
+    # the GROWTH LAW: divergence starting at ulp scale after 1 epoch and
+    # amplifying smoothly is benign fp chaos; a large jump at epoch 1 is
+    # a packing defect).
+    # NB: pack resolves from the _PACK_MAX GLOBAL at TRACE time (inside
+    # _kernel_body), so the global must be set immediately before the
+    # first CALL of each freshly-built fn — not just before the build.
+    pm_hi = MK._PACK_MAX
+    key = jax.random.PRNGKey(7)
+
+    def run(pm, E):
+        MK._PACK_MAX = pm
+        fn = MK.make_pallas_multi_epoch_fn(cfg, settings)
+        ones = jnp.ones((E,), jnp.float32)
+        return fn(jax.tree.map(jnp.copy, state0), ds, key, ones)
+
+    rows = []
+    for E in (1, 2, 4, 8):
+        st1, m1 = run(1, E)
+        stk, mk = run(pm_hi, E)
+        dmax = 0.0
+        for a, b in zip(jax.tree.leaves(st1.g.params),
+                        jax.tree.leaves(stk.g.params)):
+            dmax = max(dmax, float(np.max(np.abs(
+                np.asarray(jax.device_get(a)) - np.asarray(jax.device_get(b))))))
+        g1 = float(np.asarray(jax.device_get(m1["g_loss"]))[-1])
+        gk = float(np.asarray(jax.device_get(mk["g_loss"]))[-1])
+        fin = bool(np.isfinite(gk))
+        rows.append({"epochs": E, "g_param_max_delta": dmax,
+                     "g_loss_pack1": g1, "g_loss_packed": gk, "finite": fin})
+        print(f"E={E}: g-param max|delta|={dmax:.3e} "
+              f"g_loss {g1:.4f} vs {gk:.4f} finite={fin}", flush=True)
+    # benign = starts tiny and grows; defect = big at E=1
+    ok = all(r["finite"] for r in rows) and rows[0]["g_param_max_delta"] < 1e-5
+    print(json.dumps({"probe": "gan_vs_pack1", "pack": pack, "ok": ok,
+                      "sweep": rows}))
+    sys.exit(0 if ok else 1)
+
+# ---- timing (bench.py methodology) ---------------------------------------
+pal = MK.make_pallas_multi_epoch_fn(cfg, settings)
+chunk, chain = 100, 20
+ones = jnp.ones((chunk,), jnp.float32)
+state = state0
+for w in range(2):
+    state, m = pal(state, ds, jax.random.PRNGKey(2 + w), ones)
+jax.device_get(m["d_loss"])
+rates = []
+for e in range(4):
+    t0 = time.perf_counter()
+    for c in range(chain):
+        state, m = pal(state, ds, jax.random.PRNGKey(10 + e * chain + c), ones)
+    jax.device_get(m["d_loss"])
+    rates.append(chain * chunk * spe / (time.perf_counter() - t0))
+d_loss = float(jax.device_get(m["d_loss"])[-1])
+rates.sort()
+print(json.dumps({
+    "probe": "gan_timing", "pack": pack, "best_steps_per_s": round(rates[-1], 1),
+    "median": round(rates[2], 1), "us_per_step": round(1e6 / rates[-1], 2),
+    "final_d_loss": d_loss, "finite": bool(np.isfinite(d_loss)),
+}))

@@ -471,6 +471,38 @@ _MAX_PROGRAM_GRID = 3750
 # keeping every launch uniform.  GAN kernel only; the forward kernel's
 # per-program bound already forces chained single-launch calls.
 _MIN_SUB_LAUNCH = 8
+# Training steps PACKED into one grid iteration (both kernels): per-step
+# stream blocks grow a leading K axis, the grid shrinks K-fold, and the
+# kernel body runs its step closure K times (identical per-step math;
+# Adam/BN/EMA state lives in VMEM refs, so step k+1 reads step k's
+# updates exactly like consecutive grid steps; pack | row_steps |
+# launch_steps).  Packing was built to amortize the ~5.9 us/grid-step
+# orchestration floor the kernel-ablation probe measured, but on v5e it
+# is NOT a throughput win: at the bench shape pack=5 times 19.4 us/step
+# vs pack=1's 17.2 (same session) — Mosaic already overlaps the
+# orchestration with compute at pack=1, and the K-fold body unroll
+# schedules worse.  Packing's real value is CORRECTNESS: small pack=1
+# single-launch grids MISCOMPILE on v5e (below), and the packed program
+# shape for the same steps is hardware-clean.  _resolve_pack picks
+# pack=1 on every proven-clean large grid (full speed) and packs only
+# the small programs.
+_PACK_MAX = 8
+# Smallest pack=1 single-launch grid proven clean on v5e (split
+# prologue).  Round-3b hardware forensics (examples/pack1_nan_repro.py,
+# fresh state, default config, spe=15): single launches of 15/30/60
+# grid steps compile to programs that deterministically produce NaN
+# params+metrics from finite inputs, while 120+ is clean (single
+# launches proven from 120 up to 15,000, and every production program
+# >= 120 has soaked clean for thousands of epochs).  This is the root
+# cause of the round-2 "scan 3 + tail 1 at spe=15 still corrupts"
+# observation — the tail launch's grid was 15 — and of every fallback
+# trip on resume-shaped tails.  The SAME steps packed (e.g. pack=5:
+# grids of 3/6/12/24 iterations) are hardware-clean at every probed
+# shape, bit-identical in interpret mode, so small programs pack
+# instead of risking the miscompile; shapes that cannot pack (prime
+# row_steps > _PACK_MAX) are refused to the XLA path by the Trainer
+# (small_grid_risk).
+_MIN_CLEAN_GRID = 120
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
@@ -492,6 +524,50 @@ def _largest_divisor(n: int, cap: int) -> int:
         if n % d == 0:
             return d
     return 1
+
+
+def _resolve_pack(launch_steps: int, row_steps: int) -> int:
+    """Steps per grid iteration for a launch of `launch_steps` grid steps
+    with metric rows every `row_steps`: 1 (fastest — Mosaic overlaps the
+    per-step orchestration) whenever the pack=1 grid is at the proven-clean
+    scale, else the largest pack that divides row_steps, moving the program
+    out of the small-grid miscompile class (_MIN_CLEAN_GRID note).  A
+    return of 1 with launch_steps < _MIN_CLEAN_GRID means the shape CANNOT
+    be made safe by packing — callers must route it off the kernel
+    (Trainer: small_grid_risk)."""
+    if launch_steps >= _MIN_CLEAN_GRID:
+        return 1
+    return _largest_divisor(row_steps, _PACK_MAX)
+
+
+def small_grid_risk(E: int, spe: int) -> str | None:
+    """Non-None when a GAN megakernel call of E epochs at spe steps/epoch
+    would compile into the v5e small-grid miscompile class: a pack=1
+    launch below _MIN_CLEAN_GRID grid steps with no usable pack divisor.
+    The Trainer runs such chunks on the XLA path instead (a planned
+    route, not a fallback trip)."""
+    ls, _, rs, _ = _launch_plan(E, spe)
+    if _resolve_pack(ls, rs) == 1 and ls < _MIN_CLEAN_GRID:
+        return (
+            f"launch grid {ls} below the proven-clean scale "
+            f"{_MIN_CLEAN_GRID} with no step-pack divisor (row_steps={rs})"
+        )
+    return None
+
+
+def small_grid_risk_forward(E: int, spe: int) -> str | None:
+    """small_grid_risk for the forward-pretrain kernel (whole-epoch
+    driver: one launch of E*spe grid steps per program; the sub-epoch
+    driver's per-call launches are planned separately)."""
+    if spe > _FWD_MAX_TOTAL:
+        return None  # sub-epoch driver: per-call L >= its own plan floor
+    ls, _, rs, _ = _resolve_plan(E, spe, padded_streams=False)
+    if _resolve_pack(ls, rs) == 1 and ls < _MIN_CLEAN_GRID:
+        return (
+            f"forward launch grid {ls} below the proven-clean scale "
+            f"{_MIN_CLEAN_GRID} with no step-pack divisor (row_steps={rs})"
+        )
+    return None
 
 
 def _launch_plan(E: int, spe: int) -> tuple[int, int, int, int]:
@@ -616,7 +692,7 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int,
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False, row_steps: int | None = None, padded: bool = False,
-    mv_dtype=jnp.float32,
+    mv_dtype=jnp.float32, pack: int = 1,
 ):
     """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
     tensor) lerped after each G update, VMEM-resident like the params.
@@ -634,6 +710,10 @@ def _make_kernel(
     W = _up(S + 4)
     mm_in = jnp.bfloat16 if bf16 else jnp.float32
     rs = row_steps or steps_per_epoch
+    if pack < 1 or rs % pack:
+        raise ValueError(f"pack {pack} must divide row_steps {rs}")
+    if _DEBUG_PER_STEP and pack != 1:
+        raise ValueError("_DEBUG_PER_STEP needs pack=1 (row per grid step)")
     w_adv = float(settings.adv_w)
     w_recon = float(settings.recon_w + settings.physics_spec_w)  # double-count
     w_pmet = float(settings.physics_metrics_w)
@@ -710,671 +790,679 @@ def _make_kernel(
         metrics_ref = next(it)
 
         i = pl.program_id(0)
-        sched_row = sched_ref[0]       # (1, LANE)
-        lr_g = sched_row[0, 0]
-        lr_d = sched_row[0, 1]
-        inv1_g = sched_row[0, 2]
-        inv2_g = sched_row[0, 3]
-        inv1_d = sched_row[0, 4]
-        inv2_d = sched_row[0, 5]
-        d_gate = sched_row[0, 6]   # 1.0 on D-update steps (d_update_every)
-        c_scale = sched_row[0, 7]  # per-epoch constraint annealing scale
-        # gated launch padding (spe_pad > spe): 0.0 on padded tail steps —
-        # every state update below is skipped and the metric row zeroed,
-        # so a padded step is a complete no-op (lane 6 is also 0 there,
-        # gating D through the d_gate path)
-        live = sched_row[0, 8] if padded else None
 
-        spectra = spec_ref[0]          # (B, W), cols >= S are zero
-        params_phys = par_ref[0][:, 0:4]
-        metrics_nm = met_ref[0][:, 0:8]
-        lo = lo_ref[0:1, :]            # (1, LANE), pads zero
-        hi = hi_ref[0:1, :]
+        def _one_step(step_k):
+            sched_row = sched_ref[step_k]       # (1, LANE)
+            lr_g = sched_row[0, 0]
+            lr_d = sched_row[0, 1]
+            inv1_g = sched_row[0, 2]
+            inv2_g = sched_row[0, 3]
+            inv1_d = sched_row[0, 4]
+            inv2_d = sched_row[0, 5]
+            d_gate = sched_row[0, 6]   # 1.0 on D-update steps (d_update_every)
+            c_scale = sched_row[0, 7]  # per-epoch constraint annealing scale
+            # gated launch padding (spe_pad > spe): 0.0 on padded tail steps —
+            # every state update below is skipped and the metric row zeroed,
+            # so a padded step is a complete no-op (lane 6 is also 0 there,
+            # gating D through the d_gate path)
+            live = sched_row[0, 8] if padded else None
 
-        (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
-         g_w3, g_b3, d_w1, d_b1, d_w2, d_b2, d_w3, d_b3) = train
-        st1, st2 = stats
+            spectra = spec_ref[step_k]          # (B, W), cols >= S are zero
+            params_phys = par_ref[step_k][:, 0:4]
+            metrics_nm = met_ref[step_k][:, 0:8]
+            lo = lo_ref[0:1, :]            # (1, LANE), pads zero
+            hi = hi_ref[0:1, :]
 
-        # ---- G forward (shared by both phases: same params, same batch) --
-        u1 = mm(spectra, g_w1[0]) + g_b1[0]
-        mu1 = jnp.mean(u1, axis=0, keepdims=True)
-        # flax-exact variance INCLUDING the max(0, .) clamp
-        # (flax/linen/normalization.py:140-142): near-dead features
-        # (var ~ 0, |mean| ~ 10) make mean(x^2)-mean(x)^2's fp error
-        # (~ulp(mean^2) ~ 1.5e-5) exceed eps=1e-5 with a reduction-order-
-        # dependent SIGN; without the clamp that is rsqrt(negative) = NaN
-        # on some Mosaic compilations (hit on v5e resuming a 50-epoch
-        # checkpoint — larger grids compiled a different reduction order).
-        var1 = jnp.maximum(
-            0.0, jnp.mean(u1 * u1, axis=0, keepdims=True) - mu1 * mu1
-        )
-        iv1 = jax.lax.rsqrt(var1 + _BN_EPS)
-        xh1 = (u1 - mu1) * iv1
-        y1 = xh1 * g_gam1[0] + g_bet1[0]
-        a1 = jnp.maximum(y1, 0.0)
-        u2 = mm(a1, g_w2[0]) + g_b2[0]
-        mu2 = jnp.mean(u2, axis=0, keepdims=True)
-        var2 = jnp.maximum(
-            0.0, jnp.mean(u2 * u2, axis=0, keepdims=True) - mu2 * mu2
-        )
-        iv2 = jax.lax.rsqrt(var2 + _BN_EPS)
-        xh2 = (u2 - mu2) * iv2
-        y2 = xh2 * g_gam2[0] + g_bet2[0]
-        a2 = jnp.maximum(y2, 0.0)
-        # vector head: g_w3 is stored TRANSPOSED (4 true rows x 256) — the
-        # 256->4 projection is 4 VPU lane-reductions, not an MXU op
-        blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
-        z3 = jnp.broadcast_to(g_b3[0], (B, LANE))
-        for k in range(4):
-            zk = jnp.sum(a2 * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
-            z3 = z3 + jnp.where(blane == k, zk, 0.0)
-        # the baseline G ends in tanh; sigmoid_squash applies sigmoid ON TOP
-        # (constraint_optimizer.py:246 squashes the generator OUTPUT).
-        # tanh pads are exactly 0; squashed pads are 0.5 — every consumer is
-        # pad-safe either way (range/viol masked to lanes < 4, F's padded
-        # input rows are zero, lc/adv use lanes 0:4 only)
-        tn = jnp.tanh(z3)                                      # (B, LANE)
-        pn = jax.nn.sigmoid(tn) if sigmoid else tn
-        pphys = (pn + 1.0) * 0.5 * (hi - lo) + lo   # pads 0 (lo=hi=0 there)
+            (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
+             g_w3, g_b3, d_w1, d_b1, d_w2, d_b2, d_w3, d_b3) = train
+            st1, st2 = stats
 
-        # ---- D phase: update D on [real; stop_grad(fake)] ----------------
-        # spectra cols >= S are zero, so lane-placing the params and ADDING
-        # is an exact concat (Mosaic has no dynamic_update_slice)
-        def place_params(p4):
-            return jnp.concatenate(
-                [jnp.zeros((B, S), jnp.float32), p4,
-                 jnp.zeros((B, W - S - 4), jnp.float32)], axis=1
+            # ---- G forward (shared by both phases: same params, same batch) --
+            u1 = mm(spectra, g_w1[0]) + g_b1[0]
+            mu1 = jnp.mean(u1, axis=0, keepdims=True)
+            # flax-exact variance INCLUDING the max(0, .) clamp
+            # (flax/linen/normalization.py:140-142): near-dead features
+            # (var ~ 0, |mean| ~ 10) make mean(x^2)-mean(x)^2's fp error
+            # (~ulp(mean^2) ~ 1.5e-5) exceed eps=1e-5 with a reduction-order-
+            # dependent SIGN; without the clamp that is rsqrt(negative) = NaN
+            # on some Mosaic compilations (hit on v5e resuming a 50-epoch
+            # checkpoint — larger grids compiled a different reduction order).
+            var1 = jnp.maximum(
+                0.0, jnp.mean(u1 * u1, axis=0, keepdims=True) - mu1 * mu1
             )
+            iv1 = jax.lax.rsqrt(var1 + _BN_EPS)
+            xh1 = (u1 - mu1) * iv1
+            y1 = xh1 * g_gam1[0] + g_bet1[0]
+            a1 = jnp.maximum(y1, 0.0)
+            u2 = mm(a1, g_w2[0]) + g_b2[0]
+            mu2 = jnp.mean(u2, axis=0, keepdims=True)
+            var2 = jnp.maximum(
+                0.0, jnp.mean(u2 * u2, axis=0, keepdims=True) - mu2 * mu2
+            )
+            iv2 = jax.lax.rsqrt(var2 + _BN_EPS)
+            xh2 = (u2 - mu2) * iv2
+            y2 = xh2 * g_gam2[0] + g_bet2[0]
+            a2 = jnp.maximum(y2, 0.0)
+            # vector head: g_w3 is stored TRANSPOSED (4 true rows x 256) — the
+            # 256->4 projection is 4 VPU lane-reductions, not an MXU op
+            blane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+            z3 = jnp.broadcast_to(g_b3[0], (B, LANE))
+            for k in range(4):
+                zk = jnp.sum(a2 * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+                z3 = z3 + jnp.where(blane == k, zk, 0.0)
+            # the baseline G ends in tanh; sigmoid_squash applies sigmoid ON TOP
+            # (constraint_optimizer.py:246 squashes the generator OUTPUT).
+            # tanh pads are exactly 0; squashed pads are 0.5 — every consumer is
+            # pad-safe either way (range/viol masked to lanes < 4, F's padded
+            # input rows are zero, lc/adv use lanes 0:4 only)
+            tn = jnp.tanh(z3)                                      # (B, LANE)
+            pn = jax.nn.sigmoid(tn) if sigmoid else tn
+            pphys = (pn + 1.0) * 0.5 * (hi - lo) + lo   # pads 0 (lo=hi=0 there)
 
-        real_in = spectra + place_params(params_phys)
-        fake_in = spectra + place_params(pphys[:, 0:4])
-        x0 = jnp.concatenate([real_in, fake_in], axis=0)      # (2B, W)
-        if use_inoise:
-            # D-phase-only spectrum noise (steps.py:295-298); the stream
-            # is zero beyond col S, so param lanes and pads stay clean
-            x0 = x0 + inoise_ref[0]
-        p1 = mm(x0, d_w1[0]) + d_b1[0]
-        h1 = jnp.where(p1 >= 0.0, p1, _SLOPE * p1)
-        p2 = mm(h1, d_w2[0]) + d_b2[0]
-        h2 = jnp.where(p2 >= 0.0, p2, _SLOPE * p2)
-        # vector head: d_w3 stored TRANSPOSED (true 256->1 column as row 0)
-        w3row = d_w3[0][0:1, :]                               # (1, 256)
-        z = jnp.sum(h2 * w3row, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
-        row = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
-        probs = jax.nn.sigmoid(z)
-        d_acc = 0.5 * (
-            jnp.mean((probs[:B] > 0.5).astype(jnp.float32))
-            + jnp.mean((probs[B:] <= 0.5).astype(jnp.float32))
-        )
-        if wgan:
-            # Wasserstein critic loss + gradient penalty (steps.py:311-337)
-            wass = jnp.mean(z[B:]) - jnp.mean(z[:B])
-            # ---- GP forward: critic gradient w.r.t. its INPUT at
-            # (clean spectra, eps-interpolated params).  With leaky-relu,
-            # grad_x z = W1 (m1 . (W2 (m2 . w3))) with the masks m
-            # piecewise-constant — XLA's autodiff also treats them as
-            # constants (relu'' = 0 a.e.), so the hand second-order
-            # backward below matches exactly.
-            eps = eps_ref[0][:, 0:1]                           # (B, 1)
-            interp4 = eps * params_phys + (1.0 - eps) * pphys[:, 0:4]
-            xg_in = spectra + place_params(interp4)            # (B, W)
-            p1g = mm(xg_in, d_w1[0]) + d_b1[0]
-            m1g = leaky_mask(p1g)
-            h1g = jnp.where(p1g >= 0.0, p1g, _SLOPE * p1g)
-            p2g = mm(h1g, d_w2[0]) + d_b2[0]
-            m2g = leaky_mask(p2g)
-            v = m2g * w3row                                    # (B, 256)
-            u = dotT1(v, d_w2[0])                              # (B, 512)
-            a_m = m1g * u
-            gvec = dotT1(a_m, d_w1[0])                         # (B, W); pads 0
-            gn = jnp.sqrt(
-                jnp.sum(gvec * gvec, axis=1, keepdims=True) + 1e-12
-            )
-            gp = jnp.sum((gn - 1.0) ** 2) / B
-            # skip steps report the critic loss WITHOUT the gp term
-            # (steps.py d_skip_branch); d_gate is 1.0 on update steps
-            d_loss = wass + w_gp * d_gate * gp
-            dz = jnp.where(row < B, -1.0, 1.0) / B             # (2B, 1)
-        else:
-            labels = jnp.where(row < B, lab_r, lab_f)
-            d_loss = 2.0 * jnp.mean(
-                jnp.maximum(z, 0.0) - z * labels
-                + jnp.log1p(jnp.exp(-jnp.abs(z)))
-            )
-            dz = 2.0 * (probs - labels) / (2.0 * B)            # (2B, 1)
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
-        # transposed-head backward: dW = h2^T dz has ONE true column ->
-        # one VPU batch-reduction placed on row 0; dh = dz w3^T is an
-        # outer product -> one VPU broadcast
-        dWd3 = jnp.where(
-            row8 == 0, jnp.sum(h2 * dz, axis=0, keepdims=True), 0.0
-        )                                                      # (8, 256)
-        dbd3 = jnp.where(lane1 == 0, jnp.sum(dz), 0.0)        # (1, LANE)
-        dh2 = dz * w3row                                      # (2B, 256)
-        dp2 = dh2 * leaky_mask(p2)
-        dWd2 = dotT0(h1, dp2)
-        dbd2 = csum(dp2)
-        dh1 = dotT1(dp2, d_w2[0])
-        dp1 = dh1 * leaky_mask(p1)
-        dWd1 = dotT0(x0, dp1)
-        dbd1 = csum(dp1)
-        if wgan:
-            # ---- GP backward (second-order, masks constant): gp depends
-            # on W1 (twice: through gvec's outer factor and through a_m's
-            # inner chain), W2, and w3 — never on the biases (autodiff
-            # agrees: the mask derivative is zero)
-            c = w_gp * 2.0 * (gn - 1.0) / (B * gn)             # (B, 1)
-            Gt = c * gvec                                      # (B, W)
-            dA = mm(Gt, d_w1[0])                               # (B, 512)
-            dU = m1g * dA
-            dV = mm(dU, d_w2[0])                               # (B, 256)
-            dWd1 = dWd1 + dotT0(Gt, a_m)
-            dWd2 = dWd2 + dotT0(dU, v)
-            dWd3 = dWd3 + jnp.where(
-                row8 == 0, jnp.sum(dV * m2g, axis=0, keepdims=True), 0.0
-            )
-        adam_apply(
-            list(zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3], mv[10:16])),
-            [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
-            lr_d, inv1_d, inv2_d,
-            gate=d_gate if (gate_d or padded) else None,
-        )
-
-        # ---- G phase: adversarial pass through the JUST-UPDATED D --------
-        q1 = mm(fake_in, d_w1[0]) + d_b1[0]
-        hg1 = jnp.where(q1 >= 0.0, q1, _SLOPE * q1)
-        q2 = mm(hg1, d_w2[0]) + d_b2[0]
-        hg2 = jnp.where(q2 >= 0.0, q2, _SLOPE * q2)
-        w3row_u = d_w3[0][0:1, :]         # re-read: Adam just updated D
-        zg = jnp.sum(hg2 * w3row_u, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
-        if wgan:
-            adv = -jnp.mean(zg)                                # steps.py:397
-            dzg = jnp.full((B, 1), -1.0 / B)
-        else:
-            adv = jnp.mean(
-                jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
-            )
-            dzg = (jax.nn.sigmoid(zg) - 1.0) / B
-        dhg2 = dzg * w3row_u                                  # (B, 256)
-        dq2 = dhg2 * leaky_mask(q2)
-        dhg1 = dotT1(dq2, d_w2[0])
-        dq1 = dhg1 * leaky_mask(q1)
-        dxg = dotT1(dq1, d_w1[0])                             # (B, W)
-        dpphys = dxg[:, S: S + 4]
-        span4 = (hi - lo)[0:1, 0:4] * 0.5                      # d pphys / d pn
-        dpn4_adv = w_adv * dpphys * span4                      # (B, 4)
-
-        # ---- frozen forward surrogate (eval mode; frozen params, but with
-        # detach_forward=False gradients flow THROUGH it into G) -----------
-        a = pn
-        f_saved = []  # (input, t - mu, ivar, pre-activation) per layer
-        for li in range(5):
-            fw, fb, fg, fbe = frozen[4 * li: 4 * li + 4]
-            if li == 0:
-                # input layer: 4 true param rows -> VPU outer-product sum
-                t = fb[0:1, :] + sum(
-                    a[:, k:k + 1] * fw[k:k + 1, :] for k in range(4)
+            # ---- D phase: update D on [real; stop_grad(fake)] ----------------
+            # spectra cols >= S are zero, so lane-placing the params and ADDING
+            # is an exact concat (Mosaic has no dynamic_update_slice)
+            def place_params(p4):
+                return jnp.concatenate(
+                    [jnp.zeros((B, S), jnp.float32), p4,
+                     jnp.zeros((B, W - S - 4), jnp.float32)], axis=1
                 )
+
+            real_in = spectra + place_params(params_phys)
+            fake_in = spectra + place_params(pphys[:, 0:4])
+            x0 = jnp.concatenate([real_in, fake_in], axis=0)      # (2B, W)
+            if use_inoise:
+                # D-phase-only spectrum noise (steps.py:295-298); the stream
+                # is zero beyond col S, so param lanes and pads stay clean
+                x0 = x0 + inoise_ref[step_k]
+            p1 = mm(x0, d_w1[0]) + d_b1[0]
+            h1 = jnp.where(p1 >= 0.0, p1, _SLOPE * p1)
+            p2 = mm(h1, d_w2[0]) + d_b2[0]
+            h2 = jnp.where(p2 >= 0.0, p2, _SLOPE * p2)
+            # vector head: d_w3 stored TRANSPOSED (true 256->1 column as row 0)
+            w3row = d_w3[0][0:1, :]                               # (1, 256)
+            z = jnp.sum(h2 * w3row, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
+            probs = jax.nn.sigmoid(z)
+            d_acc = 0.5 * (
+                jnp.mean((probs[:B] > 0.5).astype(jnp.float32))
+                + jnp.mean((probs[B:] <= 0.5).astype(jnp.float32))
+            )
+            if wgan:
+                # Wasserstein critic loss + gradient penalty (steps.py:311-337)
+                wass = jnp.mean(z[B:]) - jnp.mean(z[:B])
+                # ---- GP forward: critic gradient w.r.t. its INPUT at
+                # (clean spectra, eps-interpolated params).  With leaky-relu,
+                # grad_x z = W1 (m1 . (W2 (m2 . w3))) with the masks m
+                # piecewise-constant — XLA's autodiff also treats them as
+                # constants (relu'' = 0 a.e.), so the hand second-order
+                # backward below matches exactly.
+                eps = eps_ref[step_k][:, 0:1]                           # (B, 1)
+                interp4 = eps * params_phys + (1.0 - eps) * pphys[:, 0:4]
+                xg_in = spectra + place_params(interp4)            # (B, W)
+                p1g = mm(xg_in, d_w1[0]) + d_b1[0]
+                m1g = leaky_mask(p1g)
+                h1g = jnp.where(p1g >= 0.0, p1g, _SLOPE * p1g)
+                p2g = mm(h1g, d_w2[0]) + d_b2[0]
+                m2g = leaky_mask(p2g)
+                v = m2g * w3row                                    # (B, 256)
+                u = dotT1(v, d_w2[0])                              # (B, 512)
+                a_m = m1g * u
+                gvec = dotT1(a_m, d_w1[0])                         # (B, W); pads 0
+                gn = jnp.sqrt(
+                    jnp.sum(gvec * gvec, axis=1, keepdims=True) + 1e-12
+                )
+                gp = jnp.sum((gn - 1.0) ** 2) / B
+                # skip steps report the critic loss WITHOUT the gp term
+                # (steps.py d_skip_branch); d_gate is 1.0 on update steps
+                d_loss = wass + w_gp * d_gate * gp
+                dz = jnp.where(row < B, -1.0, 1.0) / B             # (2B, 1)
             else:
-                t = mm(a, fw[:, :]) + fb[0:1, :]
-            mu = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.maximum(   # flax-exact clamp, see BN comment above
-                0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
-            )
-            ivar = jax.lax.rsqrt(var + _LN_EPS)
-            tc = t - mu
-            ln = tc * ivar * fg[0:1, :] + fbe[0:1, :]
-            f_saved.append((a, tc, ivar, ln))
-            a = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
-        fw6s, fb6s, fw6m, fb6m = frozen[20:24]
-        recon = mm(a, fw6s[:]) + fb6s[0:1, :]                  # (B, W) pads 0
-        # metrics head (transposed storage): 8 VPU lane-reductions
-        pmet_full = jnp.broadcast_to(fb6m[0:1, :], (B, LANE))  # pads 0
-        for k in range(8):
-            pmk = jnp.sum(a * fw6m[k:k + 1, :], axis=1, keepdims=True)
-            pmet_full = pmet_full + jnp.where(blane == k, pmk, 0.0)
-        pmet = pmet_full[:, 0:8]
-
-        recon_l = jnp.sum((recon - spectra) ** 2) / (B * S)
-        met_l = jnp.sum((pmet - metrics_nm) ** 2) / (B * 8)
-        d1 = recon[:, 1:] - recon[:, :-1]
-        d2 = d1[:, 1:] - d1[:, :-1]                            # (B, W-2)
-        mlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        maxwell_l = jnp.sum(jnp.where(mlane < S - 2, d2 * d2, 0.0)) / (B * (S - 2))
-        f1, f2 = pmet[:, 0:1], pmet[:, 1:2]
-        pn4 = pn[:, 0:4]
-        th1 = 0.4 * pn4[:, 0:1] + 0.6 * pn4[:, 2:3]
-        th2 = 0.3 * pn4[:, 1:2] + 0.7 * pn4[:, 3:4]
-        lc_l = jnp.mean((f1 - th1) ** 2) + jnp.mean((f2 - th2) ** 2)
-        # range/violation reductions masked to the 4 REAL parameter lanes:
-        # padded lanes hold tanh(0)=0, which only drops out of the penalty
-        # while range_lo <= 0 <= range_hi — masking keeps any window exact
-        in_lane = blane < 4
-        below = jnp.where(in_lane, jnp.maximum(r_lo - pn, 0.0), 0.0)
-        above = jnp.where(in_lane, jnp.maximum(pn - r_hi, 0.0), 0.0)
-        range_l = jnp.sum(below * below + above * above) / (B * 4)
-        bad = jnp.max(
-            jnp.where(in_lane, ((pn < r_lo) | (pn > r_hi)).astype(jnp.float32), 0.0),
-            axis=1, keepdims=True,
-        )
-        viol = jnp.mean(bad)
-
-        # ---- enhanced constraint loss (ops/losses.py enhanced_constraint_
-        # loss; unified_constraint_trainer.py:295-347), annealed by the
-        # per-epoch c_scale stream ---------------------------------------
-        if w_constraint:
-            oor = jnp.maximum(jnp.maximum(pn4 - 1.0, -pn4), 0.0)     # (B, 4)
-            hard = jnp.sum(oor * oor) / B
-            bdist = jnp.minimum(pn4, 1.0 - pn4)
-            bexp = jnp.exp(jnp.minimum(-20.0 * bdist, 25.0))
-            boundary = jnp.sum(bexp) / B
-            dpar = pn4[:, 1:] - pn4[:, :-1]                          # (B, 3)
-            smooth = jnp.sum(jnp.abs(dpar)) / (B * 3)
-            # NaN/Inf validity of the surrogate spectrum (stop-gradient in
-            # the XLA path too); pads are finite zeros -> no contribution.
-            # isinf-exact (== inf, not a near-overflow threshold) so the
-            # kernel and ops/losses.py agree on every finite value
-            bad_r = (recon != recon) | (jnp.abs(recon) == jnp.inf)
-            validity = jnp.sum(bad_r.astype(jnp.float32)) / B
-            c_loss = (
-                10.0 * hard + 0.1 * boundary + 0.05 * smooth + 3.0 * validity
-            )
-        else:
-            c_loss = 0.0
-
-        # ---- physics window loss (steps.py:443-447 invocation of
-        # ops/losses.py physics_window_loss with consistency_weight=0,
-        # window_weight=1): SUM over batch of relu(f1 - f_hi) +
-        # relu(f_lo - f1) on the first predicted metric ------------------
-        if w_window:
-            window_l = jnp.sum(
-                jnp.maximum(f1 - _F_HI, 0.0) + jnp.maximum(_F_LO - f1, 0.0)
-            )
-        else:
-            window_l = 0.0
-
-        # ---- stability loss (steps.py:448-457): re-predict under input
-        # noise; second G pass on the pre-noised stream (exact XLA keys),
-        # MSE between the two predictions.  Gradients flow through BOTH
-        # passes; the noisy pass's batch stats are discarded like the
-        # cycle pass's --------------------------------------------------
-        if use_stab:
-            noisy = stab_ref[0]                                # (B, W)
-            u1s = mm(noisy, g_w1[0]) + g_b1[0]
-            mu1s = jnp.mean(u1s, axis=0, keepdims=True)
-            var1s = jnp.maximum(
-                0.0, jnp.mean(u1s * u1s, axis=0, keepdims=True) - mu1s * mu1s
-            )
-            iv1s = jax.lax.rsqrt(var1s + _BN_EPS)
-            xh1s = (u1s - mu1s) * iv1s
-            y1s = xh1s * g_gam1[0] + g_bet1[0]
-            a1s = jnp.maximum(y1s, 0.0)
-            u2s = mm(a1s, g_w2[0]) + g_b2[0]
-            mu2s = jnp.mean(u2s, axis=0, keepdims=True)
-            var2s = jnp.maximum(
-                0.0, jnp.mean(u2s * u2s, axis=0, keepdims=True) - mu2s * mu2s
-            )
-            iv2s = jax.lax.rsqrt(var2s + _BN_EPS)
-            xh2s = (u2s - mu2s) * iv2s
-            y2s = xh2s * g_gam2[0] + g_bet2[0]
-            a2s = jnp.maximum(y2s, 0.0)
-            z3s = jnp.broadcast_to(g_b3[0], (B, LANE))
-            for k in range(4):
-                zks = jnp.sum(a2s * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
-                z3s = z3s + jnp.where(blane == k, zks, 0.0)
-            tns = jnp.tanh(z3s)
-            pns = jax.nn.sigmoid(tns) if sigmoid else tns
-            stab_diff = pn[:, 0:4] - pns[:, 0:4]               # (B, 4)
-            stab_l = jnp.sum(stab_diff * stab_diff) / (B * 4)
-        else:
-            stab_l = 0.0
-
-        # ---- cycle consistency G(F(G(s))) ~ G(s) (steps.py cycle_w):
-        # second G pass on the surrogate spectrum, batch stats of the
-        # cycled batch, running stats NOT updated (the XLA path discards
-        # the cycle pass's mutated extra) ---------------------------------
-        if w_cycle:
-            u1c = mm(recon, g_w1[0]) + g_b1[0]
-            mu1c = jnp.mean(u1c, axis=0, keepdims=True)
-            var1c = jnp.maximum(
-                0.0, jnp.mean(u1c * u1c, axis=0, keepdims=True) - mu1c * mu1c
-            )
-            iv1c = jax.lax.rsqrt(var1c + _BN_EPS)
-            xh1c = (u1c - mu1c) * iv1c
-            y1c = xh1c * g_gam1[0] + g_bet1[0]
-            a1c = jnp.maximum(y1c, 0.0)
-            u2c = mm(a1c, g_w2[0]) + g_b2[0]
-            mu2c = jnp.mean(u2c, axis=0, keepdims=True)
-            var2c = jnp.maximum(
-                0.0, jnp.mean(u2c * u2c, axis=0, keepdims=True) - mu2c * mu2c
-            )
-            iv2c = jax.lax.rsqrt(var2c + _BN_EPS)
-            xh2c = (u2c - mu2c) * iv2c
-            y2c = xh2c * g_gam2[0] + g_bet2[0]
-            a2c = jnp.maximum(y2c, 0.0)
-            z3c = jnp.broadcast_to(g_b3[0], (B, LANE))
-            for k in range(4):
-                zkc = jnp.sum(a2c * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
-                z3c = z3c + jnp.where(blane == k, zkc, 0.0)
-            tnc = jnp.tanh(z3c)
-            pnc = jax.nn.sigmoid(tnc) if sigmoid else tnc
-            cyc_diff = pnc[:, 0:4] - pn4                             # (B, 4)
-            cycle_l = jnp.sum(cyc_diff * cyc_diff) / (B * 4)
-        else:
-            cycle_l = 0.0
-
-        g_loss = (
-            w_adv * adv + w_recon * recon_l + w_pmet * met_l
-            + w_maxwell * maxwell_l + w_lc * lc_l + w_range * range_l
-            + w_constraint * c_scale * c_loss + w_window * window_l
-            + w_stab * stab_l + w_cycle * cycle_l
-        )
-
-        # ---- G backward ---------------------------------------------------
-        g1 = w_lc * 2.0 * (th1 - f1) / B                       # (B, 1)
-        g2 = w_lc * 2.0 * (th2 - f2) / B
-        dpn4 = dpn4_adv + jnp.concatenate(
-            [0.4 * g1, 0.3 * g2, 0.6 * g1, 0.7 * g2], axis=1
-        )
-        if w_constraint:
-            # hand adjoint of enhanced_constraint_loss w.r.t. pn4 (validity
-            # is stop-gradient).  max/min branch signs: pn-1 wins the inner
-            # max iff pn > 0.5; pn wins the boundary min iff pn < 0.5.
-            wcs = w_constraint * c_scale
-            dhard = (2.0 * oor / B) * jnp.where(pn4 > 0.5, 1.0, -1.0)
-            noclip = (-20.0 * bdist < 25.0).astype(jnp.float32)
-            dbound = (
-                bexp * (-20.0) * noclip * jnp.where(pn4 < 0.5, 1.0, -1.0) / B
-            )
-            sgn = jnp.sign(dpar)
-            zc1 = jnp.zeros((B, 1), jnp.float32)
-            dsm = (
-                jnp.concatenate([zc1, sgn], axis=1)
-                - jnp.concatenate([sgn, zc1], axis=1)
-            ) / (B * 3)
-            dpn4 = dpn4 + wcs * (10.0 * dhard + 0.1 * dbound + 0.05 * dsm)
-        if use_stab:
-            # stability adjoint: mse(pn4, pns4) reaches G through BOTH
-            # passes — the main chain via pn4 and the noisy pass via its
-            # own full BN backward (weight grads accumulate; the input
-            # gradient lands on the noise stream and is discarded)
-            dstab = w_stab * 2.0 * stab_diff / (B * 4)         # d/d pn4
-            dpn4 = dpn4 + dstab
-            dsqs = pns[:, 0:4] * (1.0 - pns[:, 0:4]) if sigmoid else 1.0
-            dz3s4 = -dstab * dsqs * (1.0 - tns[:, 0:4] * tns[:, 0:4])
-            dz3s = jnp.concatenate(
-                [dz3s4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
-            )
-            sWg3 = sum(
-                jnp.where(
-                    row8 == k,
-                    jnp.sum(a2s * dz3s[:, k:k + 1], axis=0, keepdims=True),
-                    0.0,
-                ) for k in range(4)
-            )
-            sbg3 = csum(dz3s)
-            da2s = sum(
-                dz3s[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
-            )
-            dy2s = da2s * (y2s > 0.0).astype(jnp.float32)
-            sgam2 = csum(dy2s * xh2s)
-            sbet2 = csum(dy2s)
-            dt2s = dy2s * g_gam2[0] * iv2s
-            dvar2s = csum(
-                dy2s * g_gam2[0] * (u2s - mu2s)
-            ) * (-0.5) * iv2s * iv2s * iv2s
-            du2s = (
-                dt2s - jnp.mean(dt2s, axis=0, keepdims=True)
-                + dvar2s * 2.0 * (u2s - mu2s) / B
-            )
-            sWg2 = dotT0(a1s, du2s)
-            sbg2 = csum(du2s)
-            da1s = dotT1(du2s, g_w2[0])
-            dy1s = da1s * (y1s > 0.0).astype(jnp.float32)
-            sgam1 = csum(dy1s * xh1s)
-            sbet1 = csum(dy1s)
-            dt1s = dy1s * g_gam1[0] * iv1s
-            dvar1s = csum(
-                dy1s * g_gam1[0] * (u1s - mu1s)
-            ) * (-0.5) * iv1s * iv1s * iv1s
-            du1s = (
-                dt1s - jnp.mean(dt1s, axis=0, keepdims=True)
-                + dvar1s * 2.0 * (u1s - mu1s) / B
-            )
-            sWg1 = dotT0(noisy, du1s)
-            sbg1 = csum(du1s)
-
-        if w_cycle:
-            # cycle adjoint: first-arg path into pn4 directly; second-arg
-            # path backprops the SECOND G pass (weight grads accumulate
-            # into the main-chain grads below; the input gradient reaches
-            # recon only when gradients flow through F, i.e. not detach)
-            dcyc2 = w_cycle * 2.0 * cyc_diff / (B * 4)         # d/d pnc4
-            dpn4 = dpn4 - dcyc2
-            dsqc = pnc[:, 0:4] * (1.0 - pnc[:, 0:4]) if sigmoid else 1.0
-            dz3c4 = dcyc2 * dsqc * (1.0 - tnc[:, 0:4] * tnc[:, 0:4])
-            dz3c = jnp.concatenate(
-                [dz3c4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
-            )
-            cWg3 = sum(
-                jnp.where(
-                    row8 == k,
-                    jnp.sum(a2c * dz3c[:, k:k + 1], axis=0, keepdims=True),
-                    0.0,
-                ) for k in range(4)
-            )
-            cbg3 = csum(dz3c)
-            da2c = sum(
-                dz3c[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
-            )
-            dy2c = da2c * (y2c > 0.0).astype(jnp.float32)
-            cgam2 = csum(dy2c * xh2c)
-            cbet2 = csum(dy2c)
-            dt2c = dy2c * g_gam2[0] * iv2c
-            dvar2c = csum(
-                dy2c * g_gam2[0] * (u2c - mu2c)
-            ) * (-0.5) * iv2c * iv2c * iv2c
-            du2c = (
-                dt2c - jnp.mean(dt2c, axis=0, keepdims=True)
-                + dvar2c * 2.0 * (u2c - mu2c) / B
-            )
-            cWg2 = dotT0(a1c, du2c)
-            cbg2 = csum(du2c)
-            da1c = dotT1(du2c, g_w2[0])
-            dy1c = da1c * (y1c > 0.0).astype(jnp.float32)
-            cgam1 = csum(dy1c * xh1c)
-            cbet1 = csum(dy1c)
-            dt1c = dy1c * g_gam1[0] * iv1c
-            dvar1c = csum(
-                dy1c * g_gam1[0] * (u1c - mu1c)
-            ) * (-0.5) * iv1c * iv1c * iv1c
-            du1c = (
-                dt1c - jnp.mean(dt1c, axis=0, keepdims=True)
-                + dvar1c * 2.0 * (u1c - mu1c) / B
-            )
-            cWg1 = dotT0(recon, du1c)
-            cbg1 = csum(du1c)
-            drecon_c = dotT1(du1c, g_w1[0])                    # (B, W)
-        dpn = jnp.concatenate(
-            [dpn4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
-        )
-        dpn = dpn + jnp.where(
-            blane < 4, w_range * (2.0 * above - 2.0 * below) / (B * 4), 0.0
-        )
-
-        if not detach:
-            # gradients through the frozen surrogate (unified_trainer
-            # semantics): recon-MSE, metrics-MSE, Maxwell and the lc f-side
-            # all reach G via F's input.
-            met_pad = met_ref[0]
-            dmet = jnp.where(
-                blane < 8, w_pmet * 2.0 * (pmet_full - met_pad) / (B * 8), 0.0
-            )
-            dmet = dmet + jnp.where(blane == 0, w_lc * 2.0 * (f1 - th1) / B, 0.0)
-            dmet = dmet + jnp.where(blane == 1, w_lc * 2.0 * (f2 - th2) / B, 0.0)
-            if w_window:
-                # window adjoint (batch SUM, no /B): relu'(f1-hi) -
-                # relu'(lo-f1), strict at the kink like jax.nn.relu
-                dwin = w_window * (
-                    (f1 > _F_HI).astype(jnp.float32)
-                    - (f1 < _F_LO).astype(jnp.float32)
+                labels = jnp.where(row < B, lab_r, lab_f)
+                d_loss = 2.0 * jnp.mean(
+                    jnp.maximum(z, 0.0) - z * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(z)))
                 )
-                dmet = dmet + jnp.where(blane == 0, dwin, 0.0)
-            drecon = w_recon * 2.0 * (recon - spectra) / (B * S)
-            # maxwell adjoint: d/ds_k of mean(d2^2) with d2_j = s_j - 2 s_{j+1}
-            # + s_{j+2}; with m = masked d2, ds = c*(m_k - 2 m_{k-1} + m_{k-2})
-            d2m = jnp.where(mlane < S - 2, d2, 0.0)
-            d2p = jnp.concatenate(
-                [d2m, jnp.zeros((B, 2), jnp.float32)], axis=1
-            )                                                  # (B, W)
-            zcol = jnp.zeros((B, 1), jnp.float32)
-            sh1 = jnp.concatenate([zcol, d2p[:, : W - 1]], axis=1)
-            sh2 = jnp.concatenate([zcol, zcol, d2p[:, : W - 2]], axis=1)
-            coef = w_maxwell * 2.0 / (B * (S - 2))
-            drecon = drecon + coef * (d2p - 2.0 * sh1 + sh2)
-            if w_cycle:
-                # cycle's second G pass reads recon: its input gradient
-                # joins the physics terms before the F backward
-                drecon = drecon + drecon_c
-            da = dotT1(drecon, fw6s[:]) + sum(
-                dmet[:, k:k + 1] * fw6m[k:k + 1, :] for k in range(8)
-            )                                                  # (B, 256)
-            for li in range(4, -1, -1):
-                fw, _, fg, _ = frozen[4 * li: 4 * li + 4]
-                a_in, tc, ivar, ln = f_saved[li]
-                dy = da * leaky_mask(ln)
-                dxh = dy * fg[0:1, :]
-                c_dim = tc.shape[1]
-                dvar = jnp.sum(
-                    dxh * tc, axis=-1, keepdims=True
-                ) * (-0.5) * ivar * ivar * ivar
-                dt = dxh * ivar
-                dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
+                dz = 2.0 * (probs - labels) / (2.0 * B)            # (2B, 1)
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
+            # transposed-head backward: dW = h2^T dz has ONE true column ->
+            # one VPU batch-reduction placed on row 0; dh = dz w3^T is an
+            # outer product -> one VPU broadcast
+            dWd3 = jnp.where(
+                row8 == 0, jnp.sum(h2 * dz, axis=0, keepdims=True), 0.0
+            )                                                      # (8, 256)
+            dbd3 = jnp.where(lane1 == 0, jnp.sum(dz), 0.0)        # (1, LANE)
+            dh2 = dz * w3row                                      # (2B, 256)
+            dp2 = dh2 * leaky_mask(p2)
+            dWd2 = dotT0(h1, dp2)
+            dbd2 = csum(dp2)
+            dh1 = dotT1(dp2, d_w2[0])
+            dp1 = dh1 * leaky_mask(p1)
+            dWd1 = dotT0(x0, dp1)
+            dbd1 = csum(dp1)
+            if wgan:
+                # ---- GP backward (second-order, masks constant): gp depends
+                # on W1 (twice: through gvec's outer factor and through a_m's
+                # inner chain), W2, and w3 — never on the biases (autodiff
+                # agrees: the mask derivative is zero)
+                c = w_gp * 2.0 * (gn - 1.0) / (B * gn)             # (B, 1)
+                Gt = c * gvec                                      # (B, W)
+                dA = mm(Gt, d_w1[0])                               # (B, 512)
+                dU = m1g * dA
+                dV = mm(dU, d_w2[0])                               # (B, 256)
+                dWd1 = dWd1 + dotT0(Gt, a_m)
+                dWd2 = dWd2 + dotT0(dU, v)
+                dWd3 = dWd3 + jnp.where(
+                    row8 == 0, jnp.sum(dV * m2g, axis=0, keepdims=True), 0.0
+                )
+            adam_apply(
+                list(zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3], mv[10:16])),
+                [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
+                lr_d, inv1_d, inv2_d,
+                gate=d_gate if (gate_d or padded) else None,
+            )
+
+            # ---- G phase: adversarial pass through the JUST-UPDATED D --------
+            q1 = mm(fake_in, d_w1[0]) + d_b1[0]
+            hg1 = jnp.where(q1 >= 0.0, q1, _SLOPE * q1)
+            q2 = mm(hg1, d_w2[0]) + d_b2[0]
+            hg2 = jnp.where(q2 >= 0.0, q2, _SLOPE * q2)
+            w3row_u = d_w3[0][0:1, :]         # re-read: Adam just updated D
+            zg = jnp.sum(hg2 * w3row_u, axis=1, keepdims=True) + d_b3[0][0:1, 0:1]
+            if wgan:
+                adv = -jnp.mean(zg)                                # steps.py:397
+                dzg = jnp.full((B, 1), -1.0 / B)
+            else:
+                adv = jnp.mean(
+                    jnp.maximum(zg, 0.0) - zg + jnp.log1p(jnp.exp(-jnp.abs(zg)))
+                )
+                dzg = (jax.nn.sigmoid(zg) - 1.0) / B
+            dhg2 = dzg * w3row_u                                  # (B, 256)
+            dq2 = dhg2 * leaky_mask(q2)
+            dhg1 = dotT1(dq2, d_w2[0])
+            dq1 = dhg1 * leaky_mask(q1)
+            dxg = dotT1(dq1, d_w1[0])                             # (B, W)
+            dpphys = dxg[:, S: S + 4]
+            span4 = (hi - lo)[0:1, 0:4] * 0.5                      # d pphys / d pn
+            dpn4_adv = w_adv * dpphys * span4                      # (B, 4)
+
+            # ---- frozen forward surrogate (eval mode; frozen params, but with
+            # detach_forward=False gradients flow THROUGH it into G) -----------
+            a = pn
+            f_saved = []  # (input, t - mu, ivar, pre-activation) per layer
+            for li in range(5):
+                fw, fb, fg, fbe = frozen[4 * li: 4 * li + 4]
                 if li == 0:
-                    # transposed input layer: dx = dt W^T -> 4 VPU rowsums
-                    da = sum(
-                        jnp.where(
-                            blane == k,
-                            jnp.sum(dt * fw[k:k + 1, :], axis=1, keepdims=True),
-                            0.0,
-                        ) for k in range(4)
+                    # input layer: 4 true param rows -> VPU outer-product sum
+                    t = fb[0:1, :] + sum(
+                        a[:, k:k + 1] * fw[k:k + 1, :] for k in range(4)
                     )
                 else:
-                    da = dotT1(dt, fw[:, :])
-            dpn = dpn + da                                     # F input == pn
-
-        dsq = pn * (1.0 - pn) if sigmoid else 1.0
-        dz3 = dpn * dsq * (1.0 - tn * tn)
-        # transposed-head backward (dz3 is zero beyond lane 4 — dpn4,
-        # the masked range term, and F's zero-padded input rows all stop
-        # at lane 4): 4 VPU reductions/broadcasts replace 2 MXU ops
-        dWg3 = sum(
-            jnp.where(
-                row8 == k,
-                jnp.sum(a2 * dz3[:, k:k + 1], axis=0, keepdims=True),
-                0.0,
-            ) for k in range(4)
-        )                                                      # (8, 256)
-        dbg3 = csum(dz3)
-        da2 = sum(dz3[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4))
-        dy2 = da2 * (y2 > 0.0).astype(jnp.float32)
-        dgam2 = csum(dy2 * xh2)
-        dbet2 = csum(dy2)
-        dt2 = dy2 * g_gam2[0] * iv2
-        dvar2 = csum(dy2 * g_gam2[0] * (u2 - mu2)) * (-0.5) * iv2 * iv2 * iv2
-        du2 = dt2 - jnp.mean(dt2, axis=0, keepdims=True) + dvar2 * 2.0 * (u2 - mu2) / B
-        dWg2 = dotT0(a1, du2)
-        dbg2 = csum(du2)
-        da1 = dotT1(du2, g_w2[0])
-        dy1 = da1 * (y1 > 0.0).astype(jnp.float32)
-        dgam1 = csum(dy1 * xh1)
-        dbet1 = csum(dy1)
-        dt1 = dy1 * g_gam1[0] * iv1
-        dvar1 = csum(dy1 * g_gam1[0] * (u1 - mu1)) * (-0.5) * iv1 * iv1 * iv1
-        du1 = dt1 - jnp.mean(dt1, axis=0, keepdims=True) + dvar1 * 2.0 * (u1 - mu1) / B
-        dWg1 = dotT0(spectra, du1)
-        dbg1 = csum(du1)
-        if w_cycle:
-            # G's params are used by BOTH passes: grads accumulate
-            dWg1, dbg1 = dWg1 + cWg1, dbg1 + cbg1
-            dgam1, dbet1 = dgam1 + cgam1, dbet1 + cbet1
-            dWg2, dbg2 = dWg2 + cWg2, dbg2 + cbg2
-            dgam2, dbet2 = dgam2 + cgam2, dbet2 + cbet2
-            dWg3, dbg3 = dWg3 + cWg3, dbg3 + cbg3
-        if use_stab:
-            dWg1, dbg1 = dWg1 + sWg1, dbg1 + sbg1
-            dgam1, dbet1 = dgam1 + sgam1, dbet1 + sbet1
-            dWg2, dbg2 = dWg2 + sWg2, dbg2 + sbg2
-            dgam2, dbet2 = dgam2 + sgam2, dbet2 + sbet2
-            dWg3, dbg3 = dWg3 + sWg3, dbg3 + sbg3
-        adam_apply(
-            list(zip(
-                [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
-                 g_w3, g_b3],
-                mv[:10],
-            )),
-            [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
-            lr_g, inv1_g, inv2_g,
-            gate=live,
-        )
-
-        if ema:
-            # generator EMA track (steps.py:474-484): lerp of the JUST-
-            # updated params; zero-padded areas stay exactly zero.  EMA
-            # bufs are packed (1, r, c).
-            g_bufs = (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2,
-                      g_bet2, g_w3, g_b3)
-            for eref, gref in zip(ema_bufs, g_bufs):
-                lerped = mu_ema * eref[0] + (1.0 - mu_ema) * gref[0]
-                eref[0] = (
-                    lerped if not padded
-                    else jnp.where(live > 0.0, lerped, eref[0])
+                    t = mm(a, fw[:, :]) + fb[0:1, :]
+                mu = jnp.mean(t, axis=-1, keepdims=True)
+                var = jnp.maximum(   # flax-exact clamp, see BN comment above
+                    0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
                 )
+                ivar = jax.lax.rsqrt(var + _LN_EPS)
+                tc = t - mu
+                ln = tc * ivar * fg[0:1, :] + fbe[0:1, :]
+                f_saved.append((a, tc, ivar, ln))
+                a = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
+            fw6s, fb6s, fw6m, fb6m = frozen[20:24]
+            recon = mm(a, fw6s[:]) + fb6s[0:1, :]                  # (B, W) pads 0
+            # metrics head (transposed storage): 8 VPU lane-reductions
+            pmet_full = jnp.broadcast_to(fb6m[0:1, :], (B, LANE))  # pads 0
+            for k in range(8):
+                pmk = jnp.sum(a * fw6m[k:k + 1, :], axis=1, keepdims=True)
+                pmet_full = pmet_full + jnp.where(blane == k, pmk, 0.0)
+            pmet = pmet_full[:, 0:8]
 
-        # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
-        upd = (
-            (lambda ref, j, x: x) if not padded
-            else (lambda ref, j, x: jnp.where(live > 0.0, x, ref[j]))
-        )
-        st1[0] = upd(st1, 0, _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1)
-        st1[1] = upd(st1, 1, _BN_MOM * st1[1] + (1.0 - _BN_MOM) * var1)
-        st2[0] = upd(st2, 0, _BN_MOM * st2[0] + (1.0 - _BN_MOM) * mu2)
-        st2[1] = upd(st2, 1, _BN_MOM * st2[1] + (1.0 - _BN_MOM) * var2)
-
-        # ---- per-epoch metric means --------------------------------------
-        vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
-                lc_l, range_l, viol)
-        if w_constraint:
-            vals = vals + (c_loss,)  # unscaled, like the XLA aux entry
-        if _DEBUG_LANES:
-            vals = vals + (
-                jnp.sum(jnp.abs(spectra)), jnp.sum(jnp.abs(params_phys)),
-                jnp.sum(jnp.abs(u1)), jnp.min(var1), jnp.sum(jnp.abs(pn)),
-                jnp.sum(jnp.abs(x0)), jnp.sum(jnp.abs(p1)),
-                jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
-                jnp.sum(jnp.abs(mv[10][0].astype(jnp.float32))),
-                jnp.sum(jnp.abs(mv[10][1].astype(jnp.float32))),
-                jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
-                lr_g, inv2_g, jnp.sum(jnp.abs(sched_row)),
+            recon_l = jnp.sum((recon - spectra) ** 2) / (B * S)
+            met_l = jnp.sum((pmet - metrics_nm) ** 2) / (B * 8)
+            d1 = recon[:, 1:] - recon[:, :-1]
+            d2 = d1[:, 1:] - d1[:, :-1]                            # (B, W-2)
+            mlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            maxwell_l = jnp.sum(jnp.where(mlane < S - 2, d2 * d2, 0.0)) / (B * (S - 2))
+            f1, f2 = pmet[:, 0:1], pmet[:, 1:2]
+            pn4 = pn[:, 0:4]
+            th1 = 0.4 * pn4[:, 0:1] + 0.6 * pn4[:, 2:3]
+            th2 = 0.3 * pn4[:, 1:2] + 0.7 * pn4[:, 3:4]
+            lc_l = jnp.mean((f1 - th1) ** 2) + jnp.mean((f2 - th2) ** 2)
+            # range/violation reductions masked to the 4 REAL parameter lanes:
+            # padded lanes hold tanh(0)=0, which only drops out of the penalty
+            # while range_lo <= 0 <= range_hi — masking keeps any window exact
+            in_lane = blane < 4
+            below = jnp.where(in_lane, jnp.maximum(r_lo - pn, 0.0), 0.0)
+            above = jnp.where(in_lane, jnp.maximum(pn - r_hi, 0.0), 0.0)
+            range_l = jnp.sum(below * below + above * above) / (B * 4)
+            bad = jnp.max(
+                jnp.where(in_lane, ((pn < r_lo) | (pn > r_hi)).astype(jnp.float32), 0.0),
+                axis=1, keepdims=True,
             )
-        mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        mrow = jnp.zeros((1, LANE), jnp.float32)
-        for k, v in enumerate(vals):
-            mrow = jnp.where(mlane1 == k, v, mrow)
-        if padded:
-            # padded tail steps contribute exact zeros to the epoch row
-            mrow = mrow * live
+            viol = jnp.mean(bad)
+
+            # ---- enhanced constraint loss (ops/losses.py enhanced_constraint_
+            # loss; unified_constraint_trainer.py:295-347), annealed by the
+            # per-epoch c_scale stream ---------------------------------------
+            if w_constraint:
+                oor = jnp.maximum(jnp.maximum(pn4 - 1.0, -pn4), 0.0)     # (B, 4)
+                hard = jnp.sum(oor * oor) / B
+                bdist = jnp.minimum(pn4, 1.0 - pn4)
+                bexp = jnp.exp(jnp.minimum(-20.0 * bdist, 25.0))
+                boundary = jnp.sum(bexp) / B
+                dpar = pn4[:, 1:] - pn4[:, :-1]                          # (B, 3)
+                smooth = jnp.sum(jnp.abs(dpar)) / (B * 3)
+                # NaN/Inf validity of the surrogate spectrum (stop-gradient in
+                # the XLA path too); pads are finite zeros -> no contribution.
+                # isinf-exact (== inf, not a near-overflow threshold) so the
+                # kernel and ops/losses.py agree on every finite value
+                bad_r = (recon != recon) | (jnp.abs(recon) == jnp.inf)
+                validity = jnp.sum(bad_r.astype(jnp.float32)) / B
+                c_loss = (
+                    10.0 * hard + 0.1 * boundary + 0.05 * smooth + 3.0 * validity
+                )
+            else:
+                c_loss = 0.0
+
+            # ---- physics window loss (steps.py:443-447 invocation of
+            # ops/losses.py physics_window_loss with consistency_weight=0,
+            # window_weight=1): SUM over batch of relu(f1 - f_hi) +
+            # relu(f_lo - f1) on the first predicted metric ------------------
+            if w_window:
+                window_l = jnp.sum(
+                    jnp.maximum(f1 - _F_HI, 0.0) + jnp.maximum(_F_LO - f1, 0.0)
+                )
+            else:
+                window_l = 0.0
+
+            # ---- stability loss (steps.py:448-457): re-predict under input
+            # noise; second G pass on the pre-noised stream (exact XLA keys),
+            # MSE between the two predictions.  Gradients flow through BOTH
+            # passes; the noisy pass's batch stats are discarded like the
+            # cycle pass's --------------------------------------------------
+            if use_stab:
+                noisy = stab_ref[step_k]                                # (B, W)
+                u1s = mm(noisy, g_w1[0]) + g_b1[0]
+                mu1s = jnp.mean(u1s, axis=0, keepdims=True)
+                var1s = jnp.maximum(
+                    0.0, jnp.mean(u1s * u1s, axis=0, keepdims=True) - mu1s * mu1s
+                )
+                iv1s = jax.lax.rsqrt(var1s + _BN_EPS)
+                xh1s = (u1s - mu1s) * iv1s
+                y1s = xh1s * g_gam1[0] + g_bet1[0]
+                a1s = jnp.maximum(y1s, 0.0)
+                u2s = mm(a1s, g_w2[0]) + g_b2[0]
+                mu2s = jnp.mean(u2s, axis=0, keepdims=True)
+                var2s = jnp.maximum(
+                    0.0, jnp.mean(u2s * u2s, axis=0, keepdims=True) - mu2s * mu2s
+                )
+                iv2s = jax.lax.rsqrt(var2s + _BN_EPS)
+                xh2s = (u2s - mu2s) * iv2s
+                y2s = xh2s * g_gam2[0] + g_bet2[0]
+                a2s = jnp.maximum(y2s, 0.0)
+                z3s = jnp.broadcast_to(g_b3[0], (B, LANE))
+                for k in range(4):
+                    zks = jnp.sum(a2s * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+                    z3s = z3s + jnp.where(blane == k, zks, 0.0)
+                tns = jnp.tanh(z3s)
+                pns = jax.nn.sigmoid(tns) if sigmoid else tns
+                stab_diff = pn[:, 0:4] - pns[:, 0:4]               # (B, 4)
+                stab_l = jnp.sum(stab_diff * stab_diff) / (B * 4)
+            else:
+                stab_l = 0.0
+
+            # ---- cycle consistency G(F(G(s))) ~ G(s) (steps.py cycle_w):
+            # second G pass on the surrogate spectrum, batch stats of the
+            # cycled batch, running stats NOT updated (the XLA path discards
+            # the cycle pass's mutated extra) ---------------------------------
+            if w_cycle:
+                u1c = mm(recon, g_w1[0]) + g_b1[0]
+                mu1c = jnp.mean(u1c, axis=0, keepdims=True)
+                var1c = jnp.maximum(
+                    0.0, jnp.mean(u1c * u1c, axis=0, keepdims=True) - mu1c * mu1c
+                )
+                iv1c = jax.lax.rsqrt(var1c + _BN_EPS)
+                xh1c = (u1c - mu1c) * iv1c
+                y1c = xh1c * g_gam1[0] + g_bet1[0]
+                a1c = jnp.maximum(y1c, 0.0)
+                u2c = mm(a1c, g_w2[0]) + g_b2[0]
+                mu2c = jnp.mean(u2c, axis=0, keepdims=True)
+                var2c = jnp.maximum(
+                    0.0, jnp.mean(u2c * u2c, axis=0, keepdims=True) - mu2c * mu2c
+                )
+                iv2c = jax.lax.rsqrt(var2c + _BN_EPS)
+                xh2c = (u2c - mu2c) * iv2c
+                y2c = xh2c * g_gam2[0] + g_bet2[0]
+                a2c = jnp.maximum(y2c, 0.0)
+                z3c = jnp.broadcast_to(g_b3[0], (B, LANE))
+                for k in range(4):
+                    zkc = jnp.sum(a2c * g_w3[0][k:k + 1, :], axis=1, keepdims=True)
+                    z3c = z3c + jnp.where(blane == k, zkc, 0.0)
+                tnc = jnp.tanh(z3c)
+                pnc = jax.nn.sigmoid(tnc) if sigmoid else tnc
+                cyc_diff = pnc[:, 0:4] - pn4                             # (B, 4)
+                cycle_l = jnp.sum(cyc_diff * cyc_diff) / (B * 4)
+            else:
+                cycle_l = 0.0
+
+            g_loss = (
+                w_adv * adv + w_recon * recon_l + w_pmet * met_l
+                + w_maxwell * maxwell_l + w_lc * lc_l + w_range * range_l
+                + w_constraint * c_scale * c_loss + w_window * window_l
+                + w_stab * stab_l + w_cycle * cycle_l
+            )
+
+            # ---- G backward ---------------------------------------------------
+            g1 = w_lc * 2.0 * (th1 - f1) / B                       # (B, 1)
+            g2 = w_lc * 2.0 * (th2 - f2) / B
+            dpn4 = dpn4_adv + jnp.concatenate(
+                [0.4 * g1, 0.3 * g2, 0.6 * g1, 0.7 * g2], axis=1
+            )
+            if w_constraint:
+                # hand adjoint of enhanced_constraint_loss w.r.t. pn4 (validity
+                # is stop-gradient).  max/min branch signs: pn-1 wins the inner
+                # max iff pn > 0.5; pn wins the boundary min iff pn < 0.5.
+                wcs = w_constraint * c_scale
+                dhard = (2.0 * oor / B) * jnp.where(pn4 > 0.5, 1.0, -1.0)
+                noclip = (-20.0 * bdist < 25.0).astype(jnp.float32)
+                dbound = (
+                    bexp * (-20.0) * noclip * jnp.where(pn4 < 0.5, 1.0, -1.0) / B
+                )
+                sgn = jnp.sign(dpar)
+                zc1 = jnp.zeros((B, 1), jnp.float32)
+                dsm = (
+                    jnp.concatenate([zc1, sgn], axis=1)
+                    - jnp.concatenate([sgn, zc1], axis=1)
+                ) / (B * 3)
+                dpn4 = dpn4 + wcs * (10.0 * dhard + 0.1 * dbound + 0.05 * dsm)
+            if use_stab:
+                # stability adjoint: mse(pn4, pns4) reaches G through BOTH
+                # passes — the main chain via pn4 and the noisy pass via its
+                # own full BN backward (weight grads accumulate; the input
+                # gradient lands on the noise stream and is discarded)
+                dstab = w_stab * 2.0 * stab_diff / (B * 4)         # d/d pn4
+                dpn4 = dpn4 + dstab
+                dsqs = pns[:, 0:4] * (1.0 - pns[:, 0:4]) if sigmoid else 1.0
+                dz3s4 = -dstab * dsqs * (1.0 - tns[:, 0:4] * tns[:, 0:4])
+                dz3s = jnp.concatenate(
+                    [dz3s4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+                )
+                sWg3 = sum(
+                    jnp.where(
+                        row8 == k,
+                        jnp.sum(a2s * dz3s[:, k:k + 1], axis=0, keepdims=True),
+                        0.0,
+                    ) for k in range(4)
+                )
+                sbg3 = csum(dz3s)
+                da2s = sum(
+                    dz3s[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
+                )
+                dy2s = da2s * (y2s > 0.0).astype(jnp.float32)
+                sgam2 = csum(dy2s * xh2s)
+                sbet2 = csum(dy2s)
+                dt2s = dy2s * g_gam2[0] * iv2s
+                dvar2s = csum(
+                    dy2s * g_gam2[0] * (u2s - mu2s)
+                ) * (-0.5) * iv2s * iv2s * iv2s
+                du2s = (
+                    dt2s - jnp.mean(dt2s, axis=0, keepdims=True)
+                    + dvar2s * 2.0 * (u2s - mu2s) / B
+                )
+                sWg2 = dotT0(a1s, du2s)
+                sbg2 = csum(du2s)
+                da1s = dotT1(du2s, g_w2[0])
+                dy1s = da1s * (y1s > 0.0).astype(jnp.float32)
+                sgam1 = csum(dy1s * xh1s)
+                sbet1 = csum(dy1s)
+                dt1s = dy1s * g_gam1[0] * iv1s
+                dvar1s = csum(
+                    dy1s * g_gam1[0] * (u1s - mu1s)
+                ) * (-0.5) * iv1s * iv1s * iv1s
+                du1s = (
+                    dt1s - jnp.mean(dt1s, axis=0, keepdims=True)
+                    + dvar1s * 2.0 * (u1s - mu1s) / B
+                )
+                sWg1 = dotT0(noisy, du1s)
+                sbg1 = csum(du1s)
+
+            if w_cycle:
+                # cycle adjoint: first-arg path into pn4 directly; second-arg
+                # path backprops the SECOND G pass (weight grads accumulate
+                # into the main-chain grads below; the input gradient reaches
+                # recon only when gradients flow through F, i.e. not detach)
+                dcyc2 = w_cycle * 2.0 * cyc_diff / (B * 4)         # d/d pnc4
+                dpn4 = dpn4 - dcyc2
+                dsqc = pnc[:, 0:4] * (1.0 - pnc[:, 0:4]) if sigmoid else 1.0
+                dz3c4 = dcyc2 * dsqc * (1.0 - tnc[:, 0:4] * tnc[:, 0:4])
+                dz3c = jnp.concatenate(
+                    [dz3c4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+                )
+                cWg3 = sum(
+                    jnp.where(
+                        row8 == k,
+                        jnp.sum(a2c * dz3c[:, k:k + 1], axis=0, keepdims=True),
+                        0.0,
+                    ) for k in range(4)
+                )
+                cbg3 = csum(dz3c)
+                da2c = sum(
+                    dz3c[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4)
+                )
+                dy2c = da2c * (y2c > 0.0).astype(jnp.float32)
+                cgam2 = csum(dy2c * xh2c)
+                cbet2 = csum(dy2c)
+                dt2c = dy2c * g_gam2[0] * iv2c
+                dvar2c = csum(
+                    dy2c * g_gam2[0] * (u2c - mu2c)
+                ) * (-0.5) * iv2c * iv2c * iv2c
+                du2c = (
+                    dt2c - jnp.mean(dt2c, axis=0, keepdims=True)
+                    + dvar2c * 2.0 * (u2c - mu2c) / B
+                )
+                cWg2 = dotT0(a1c, du2c)
+                cbg2 = csum(du2c)
+                da1c = dotT1(du2c, g_w2[0])
+                dy1c = da1c * (y1c > 0.0).astype(jnp.float32)
+                cgam1 = csum(dy1c * xh1c)
+                cbet1 = csum(dy1c)
+                dt1c = dy1c * g_gam1[0] * iv1c
+                dvar1c = csum(
+                    dy1c * g_gam1[0] * (u1c - mu1c)
+                ) * (-0.5) * iv1c * iv1c * iv1c
+                du1c = (
+                    dt1c - jnp.mean(dt1c, axis=0, keepdims=True)
+                    + dvar1c * 2.0 * (u1c - mu1c) / B
+                )
+                cWg1 = dotT0(recon, du1c)
+                cbg1 = csum(du1c)
+                drecon_c = dotT1(du1c, g_w1[0])                    # (B, W)
+            dpn = jnp.concatenate(
+                [dpn4, jnp.zeros((B, LANE - 4), jnp.float32)], axis=1
+            )
+            dpn = dpn + jnp.where(
+                blane < 4, w_range * (2.0 * above - 2.0 * below) / (B * 4), 0.0
+            )
+
+            if not detach:
+                # gradients through the frozen surrogate (unified_trainer
+                # semantics): recon-MSE, metrics-MSE, Maxwell and the lc f-side
+                # all reach G via F's input.
+                met_pad = met_ref[step_k]
+                dmet = jnp.where(
+                    blane < 8, w_pmet * 2.0 * (pmet_full - met_pad) / (B * 8), 0.0
+                )
+                dmet = dmet + jnp.where(blane == 0, w_lc * 2.0 * (f1 - th1) / B, 0.0)
+                dmet = dmet + jnp.where(blane == 1, w_lc * 2.0 * (f2 - th2) / B, 0.0)
+                if w_window:
+                    # window adjoint (batch SUM, no /B): relu'(f1-hi) -
+                    # relu'(lo-f1), strict at the kink like jax.nn.relu
+                    dwin = w_window * (
+                        (f1 > _F_HI).astype(jnp.float32)
+                        - (f1 < _F_LO).astype(jnp.float32)
+                    )
+                    dmet = dmet + jnp.where(blane == 0, dwin, 0.0)
+                drecon = w_recon * 2.0 * (recon - spectra) / (B * S)
+                # maxwell adjoint: d/ds_k of mean(d2^2) with d2_j = s_j - 2 s_{j+1}
+                # + s_{j+2}; with m = masked d2, ds = c*(m_k - 2 m_{k-1} + m_{k-2})
+                d2m = jnp.where(mlane < S - 2, d2, 0.0)
+                d2p = jnp.concatenate(
+                    [d2m, jnp.zeros((B, 2), jnp.float32)], axis=1
+                )                                                  # (B, W)
+                zcol = jnp.zeros((B, 1), jnp.float32)
+                sh1 = jnp.concatenate([zcol, d2p[:, : W - 1]], axis=1)
+                sh2 = jnp.concatenate([zcol, zcol, d2p[:, : W - 2]], axis=1)
+                coef = w_maxwell * 2.0 / (B * (S - 2))
+                drecon = drecon + coef * (d2p - 2.0 * sh1 + sh2)
+                if w_cycle:
+                    # cycle's second G pass reads recon: its input gradient
+                    # joins the physics terms before the F backward
+                    drecon = drecon + drecon_c
+                da = dotT1(drecon, fw6s[:]) + sum(
+                    dmet[:, k:k + 1] * fw6m[k:k + 1, :] for k in range(8)
+                )                                                  # (B, 256)
+                for li in range(4, -1, -1):
+                    fw, _, fg, _ = frozen[4 * li: 4 * li + 4]
+                    a_in, tc, ivar, ln = f_saved[li]
+                    dy = da * leaky_mask(ln)
+                    dxh = dy * fg[0:1, :]
+                    c_dim = tc.shape[1]
+                    dvar = jnp.sum(
+                        dxh * tc, axis=-1, keepdims=True
+                    ) * (-0.5) * ivar * ivar * ivar
+                    dt = dxh * ivar
+                    dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
+                    if li == 0:
+                        # transposed input layer: dx = dt W^T -> 4 VPU rowsums
+                        da = sum(
+                            jnp.where(
+                                blane == k,
+                                jnp.sum(dt * fw[k:k + 1, :], axis=1, keepdims=True),
+                                0.0,
+                            ) for k in range(4)
+                        )
+                    else:
+                        da = dotT1(dt, fw[:, :])
+                dpn = dpn + da                                     # F input == pn
+
+            dsq = pn * (1.0 - pn) if sigmoid else 1.0
+            dz3 = dpn * dsq * (1.0 - tn * tn)
+            # transposed-head backward (dz3 is zero beyond lane 4 — dpn4,
+            # the masked range term, and F's zero-padded input rows all stop
+            # at lane 4): 4 VPU reductions/broadcasts replace 2 MXU ops
+            dWg3 = sum(
+                jnp.where(
+                    row8 == k,
+                    jnp.sum(a2 * dz3[:, k:k + 1], axis=0, keepdims=True),
+                    0.0,
+                ) for k in range(4)
+            )                                                      # (8, 256)
+            dbg3 = csum(dz3)
+            da2 = sum(dz3[:, k:k + 1] * g_w3[0][k:k + 1, :] for k in range(4))
+            dy2 = da2 * (y2 > 0.0).astype(jnp.float32)
+            dgam2 = csum(dy2 * xh2)
+            dbet2 = csum(dy2)
+            dt2 = dy2 * g_gam2[0] * iv2
+            dvar2 = csum(dy2 * g_gam2[0] * (u2 - mu2)) * (-0.5) * iv2 * iv2 * iv2
+            du2 = dt2 - jnp.mean(dt2, axis=0, keepdims=True) + dvar2 * 2.0 * (u2 - mu2) / B
+            dWg2 = dotT0(a1, du2)
+            dbg2 = csum(du2)
+            da1 = dotT1(du2, g_w2[0])
+            dy1 = da1 * (y1 > 0.0).astype(jnp.float32)
+            dgam1 = csum(dy1 * xh1)
+            dbet1 = csum(dy1)
+            dt1 = dy1 * g_gam1[0] * iv1
+            dvar1 = csum(dy1 * g_gam1[0] * (u1 - mu1)) * (-0.5) * iv1 * iv1 * iv1
+            du1 = dt1 - jnp.mean(dt1, axis=0, keepdims=True) + dvar1 * 2.0 * (u1 - mu1) / B
+            dWg1 = dotT0(spectra, du1)
+            dbg1 = csum(du1)
+            if w_cycle:
+                # G's params are used by BOTH passes: grads accumulate
+                dWg1, dbg1 = dWg1 + cWg1, dbg1 + cbg1
+                dgam1, dbet1 = dgam1 + cgam1, dbet1 + cbet1
+                dWg2, dbg2 = dWg2 + cWg2, dbg2 + cbg2
+                dgam2, dbet2 = dgam2 + cgam2, dbet2 + cbet2
+                dWg3, dbg3 = dWg3 + cWg3, dbg3 + cbg3
+            if use_stab:
+                dWg1, dbg1 = dWg1 + sWg1, dbg1 + sbg1
+                dgam1, dbet1 = dgam1 + sgam1, dbet1 + sbet1
+                dWg2, dbg2 = dWg2 + sWg2, dbg2 + sbg2
+                dgam2, dbet2 = dgam2 + sgam2, dbet2 + sbet2
+                dWg3, dbg3 = dWg3 + sWg3, dbg3 + sbg3
+            adam_apply(
+                list(zip(
+                    [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
+                     g_w3, g_b3],
+                    mv[:10],
+                )),
+                [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
+                lr_g, inv1_g, inv2_g,
+                gate=live,
+            )
+
+            if ema:
+                # generator EMA track (steps.py:474-484): lerp of the JUST-
+                # updated params; zero-padded areas stay exactly zero.  EMA
+                # bufs are packed (1, r, c).
+                g_bufs = (g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2,
+                          g_bet2, g_w3, g_b3)
+                for eref, gref in zip(ema_bufs, g_bufs):
+                    lerped = mu_ema * eref[0] + (1.0 - mu_ema) * gref[0]
+                    eref[0] = (
+                        lerped if not padded
+                        else jnp.where(live > 0.0, lerped, eref[0])
+                    )
+
+            # BN running stats (flax: momentum * ra + (1 - momentum) * batch)
+            upd = (
+                (lambda ref, j, x: x) if not padded
+                else (lambda ref, j, x: jnp.where(live > 0.0, x, ref[j]))
+            )
+            st1[0] = upd(st1, 0, _BN_MOM * st1[0] + (1.0 - _BN_MOM) * mu1)
+            st1[1] = upd(st1, 1, _BN_MOM * st1[1] + (1.0 - _BN_MOM) * var1)
+            st2[0] = upd(st2, 0, _BN_MOM * st2[0] + (1.0 - _BN_MOM) * mu2)
+            st2[1] = upd(st2, 1, _BN_MOM * st2[1] + (1.0 - _BN_MOM) * var2)
+
+            # ---- per-epoch metric means --------------------------------------
+            vals = (d_loss, g_loss, d_acc, adv, recon_l, met_l, maxwell_l,
+                    lc_l, range_l, viol)
+            if w_constraint:
+                vals = vals + (c_loss,)  # unscaled, like the XLA aux entry
+            if _DEBUG_LANES:
+                vals = vals + (
+                    jnp.sum(jnp.abs(spectra)), jnp.sum(jnp.abs(params_phys)),
+                    jnp.sum(jnp.abs(u1)), jnp.min(var1), jnp.sum(jnp.abs(pn)),
+                    jnp.sum(jnp.abs(x0)), jnp.sum(jnp.abs(p1)),
+                    jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
+                    jnp.sum(jnp.abs(mv[10][0].astype(jnp.float32))),
+                    jnp.sum(jnp.abs(mv[10][1].astype(jnp.float32))),
+                    jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
+                    lr_g, inv2_g, jnp.sum(jnp.abs(sched_row)),
+                )
+            mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            mrow = jnp.zeros((1, LANE), jnp.float32)
+            for k, v in enumerate(vals):
+                mrow = jnp.where(mlane1 == k, v, mrow)
+            if padded:
+                # padded tail steps contribute exact zeros to the epoch row
+                mrow = mrow * live
+            return mrow
+
+        mrow = _one_step(0)
+        for _k in range(1, pack):
+            mrow = mrow + _one_step(_k)
         if _DEBUG_PER_STEP:
             metrics_ref[0] = mrow
             return
         mrow = mrow / steps_per_epoch
+        rs_g = rs // pack
 
-        @pl.when(i % rs == 0)
+        @pl.when(i % rs_g == 0)
         def _():
             metrics_ref[0] = mrow
 
-        @pl.when(i % rs != 0)
+        @pl.when(i % rs_g != 0)
         def _():
             metrics_ref[0] = metrics_ref[0] + mrow
 
@@ -1570,7 +1658,7 @@ def make_pallas_multi_epoch_fn(
 
     def _kernel_body(state, E: int, spe: int, *streams):
         T = E * spe
-        _, _, plan_rs, spe_pad = _launch_plan(E, spe)
+        plan_ls, _, plan_rs, spe_pad = _launch_plan(E, spe)
         pad = spe_pad - spe
         *step_streams, lo, hi = streams
         sched = step_streams[3]
@@ -1602,17 +1690,18 @@ def make_pallas_multi_epoch_fn(
         aliases = {} if _NO_ALIAS else {
             30 + n_extra + k: k for k in range(n_state)
         }
+        pack = 1 if _DEBUG_PER_STEP else _resolve_pack(plan_ls, plan_rs)
         kernel = _make_kernel(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
             row_steps=plan_rs, padded=pad > 0,
-            mv_dtype=mv_b[0].dtype,
+            mv_dtype=mv_b[0].dtype, pack=pack,
         )
 
         def launch(bufs, streams, n_steps, rsl):
             spec_c, par_c, met_c, sched_c, *extra_c = streams
-            row = lambda *shape: pl.BlockSpec(  # noqa: E731 — per-step block
-                (1,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            row = lambda *shape: pl.BlockSpec(  # noqa: E731 — pack-step block
+                (pack,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
             in_specs = (
                 [row(B, W), row(B, LANE), row(B, LANE), row(1, LANE)]
@@ -1625,7 +1714,7 @@ def make_pallas_multi_epoch_fn(
             )
             n_rows = n_steps if _DEBUG_PER_STEP else n_steps // rsl
             midx = (lambda i: (i, 0, 0)) if _DEBUG_PER_STEP else (
-                lambda i: (i // rsl, 0, 0))
+                lambda i: (i // (rsl // pack), 0, 0))
             out_specs = (
                 [const(b.shape) for b in bufs]
                 + [pl.BlockSpec((1, 1, LANE), midx, memory_space=pltpu.VMEM)]
@@ -1636,7 +1725,7 @@ def make_pallas_multi_epoch_fn(
             )
             outs = pl.pallas_call(
                 kernel,
-                grid=(n_steps,),
+                grid=(n_steps // pack,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
@@ -1848,9 +1937,11 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
 def _make_forward_kernel(
     S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
     dropout_rate: float, bf16: bool = False, row_steps: int | None = None,
-    padded: bool = False, mv_dtype=jnp.float32,
+    padded: bool = False, mv_dtype=jnp.float32, pack: int = 1,
 ):
     rs = row_steps or steps_per_epoch
+    if pack < 1 or rs % pack:
+        raise ValueError(f"pack {pack} must divide row_steps {rs}")
     W = _up(S + 4)
     w_spec = float(fsettings.spectrum_w)
     w_met = float(fsettings.metrics_w)
@@ -1896,184 +1987,192 @@ def _make_forward_kernel(
         metrics_ref = refs[out0 + 48]
 
         i = pl.program_id(0)
-        sched_row = sched_ref[0]
-        lr = sched_row[0, 0]
-        inv1 = sched_row[0, 1]
-        inv2 = sched_row[0, 2]
-        # gated tail-call padding (_fwd_sub_plan): 0.0 on padded steps —
-        # the Adam update is skipped and the metric row zeroed, making a
-        # padded step a complete no-op (mirrors the GAN kernel's `live`)
-        live = sched_row[0, 3] if padded else None
-        if use_drop:
-            pltpu.prng_seed(seed_ref[0][0, 0])
 
-        x0 = par_ref[0]                 # (B, LANE) params_norm, pads 0
-        spectra = spec_ref[0]           # (B, W), pads 0
-        met_pad = met_ref[0]            # (B, LANE), pads 0
-
-        a = x0
-        saved = []
-        for li in range(5):
-            wb, bb, gb, beb = train[4 * li: 4 * li + 4]
-            if li == 0:
-                # input layer: 4 true param rows -> VPU outer-product sum
-                t = bb[0] + sum(
-                    a[:, k:k + 1] * wb[0][k:k + 1, :] for k in range(4)
-                )
-            else:
-                t = mm(a, wb[0]) + bb[0]
-            mu = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.maximum(   # flax-exact clamp, see BN comment above
-                0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
-            )
-            ivar = jax.lax.rsqrt(var + _LN_EPS)
-            tc = t - mu
-            ln = tc * ivar * gb[0] + beb[0]
-            act = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
+        def _one_step(step_k):
+            sched_row = sched_ref[step_k]
+            lr = sched_row[0, 0]
+            inv1 = sched_row[0, 1]
+            inv2 = sched_row[0, 2]
+            # gated tail-call padding (_fwd_sub_plan): 0.0 on padded steps —
+            # the Adam update is skipped and the metric row zeroed, making a
+            # padded step a complete no-op (mirrors the GAN kernel's `live`)
+            live = sched_row[0, 3] if padded else None
             if use_drop:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(act.shape), jnp.uint32
-                )
-                sc = jnp.where(bits < thresh, 1.0 / keep, 0.0)
-                a_out = act * sc
-            else:
-                sc = None
-                a_out = act
-            saved.append((a, tc, ivar, ln, sc))
-            a = a_out
-        w6s, b6s, w6m, b6m = train[20], train[21], train[22], train[23]
-        pred_spec = mm(a, w6s[0]) + b6s[0]           # (B, W) pads 0
-        # metrics head (transposed storage): 8 VPU lane-reductions
-        mlane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
-        pred_metf = jnp.broadcast_to(b6m[0], (B, LANE))   # pads 0
-        for k in range(8):
-            pmk = jnp.sum(a * w6m[0][k:k + 1, :], axis=1, keepdims=True)
-            pred_metf = pred_metf + jnp.where(mlane == k, pmk, 0.0)
+                pltpu.prng_seed(seed_ref[step_k][0, 0])
 
-        ds_spec = pred_spec - spectra
-        ds_met = pred_metf - met_pad                  # pads 0
-        spec_l = jnp.sum(ds_spec * ds_spec) / (B * S)
-        met_l = jnp.sum(ds_met * ds_met) / (B * 8)
-        loss = w_spec * spec_l + w_met * met_l
-        drecon = w_spec * 2.0 * ds_spec / (B * S)
-        dmet = jnp.where(mlane < 8, w_met * 2.0 * ds_met / (B * 8), 0.0)
-        if w_smooth:
-            d1 = pred_spec[:, 1:] - pred_spec[:, :-1]
-            d2 = d1[:, 1:] - d1[:, :-1]
-            dlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            d2m = jnp.where(dlane < S - 2, d2, 0.0)
-            loss = loss + w_smooth * jnp.sum(d2m * d2m) / (B * (S - 2))
-            d2p = jnp.concatenate([d2m, jnp.zeros((B, 2), jnp.float32)], axis=1)
-            zc = jnp.zeros((B, 1), jnp.float32)
-            sh1 = jnp.concatenate([zc, d2p[:, : W - 1]], axis=1)
-            sh2 = jnp.concatenate([zc, zc, d2p[:, : W - 2]], axis=1)
-            drecon = drecon + w_smooth * 2.0 / (B * (S - 2)) * (
-                d2p - 2.0 * sh1 + sh2
-            )
-        if w_l1:
-            loss = loss + w_l1 * (
-                jnp.sum(jnp.abs(ds_spec)) / (B * S)
-                + jnp.sum(jnp.abs(ds_met)) / (B * 8)
-            )
-            drecon = drecon + w_l1 * jnp.sign(ds_spec) / (B * S)
-            dmet = dmet + jnp.where(
-                mlane < 8, w_l1 * jnp.sign(ds_met) / (B * 8), 0.0
-            )
+            x0 = par_ref[step_k]                 # (B, LANE) params_norm, pads 0
+            spectra = spec_ref[step_k]           # (B, W), pads 0
+            met_pad = met_ref[step_k]            # (B, LANE), pads 0
 
-        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
-        dW6s = dotT0(a, drecon)
-        db6s = csum(drecon)
-        # transposed metrics head: dW rows and the dx outer on the VPU
-        dW6m = sum(
-            jnp.where(
-                row8 == k,
-                jnp.sum(a * dmet[:, k:k + 1], axis=0, keepdims=True),
-                0.0,
-            ) for k in range(8)
-        )                                              # (8, 256)
-        db6m = csum(dmet)
-        da = dotT1(drecon, w6s[0]) + sum(
-            dmet[:, k:k + 1] * w6m[0][k:k + 1, :] for k in range(8)
-        )
-        grads = [None] * 20
-        for li in range(4, -1, -1):
-            wb = train[4 * li]
-            a_in, tc, ivar, ln, sc = saved[li]
-            if sc is not None:
-                da = da * sc
-            dln = da * jnp.where(ln >= 0.0, 1.0, _SLOPE)
-            grads[4 * li + 2] = csum(dln * (tc * ivar))   # dgamma
-            grads[4 * li + 3] = csum(dln)                  # dbeta
-            gb = train[4 * li + 2]
-            dxh = dln * gb[0]
-            c_dim = tc.shape[1]
-            dvar = jnp.sum(dxh * tc, axis=-1, keepdims=True) * (
-                -0.5
-            ) * ivar * ivar * ivar
-            dt = dxh * ivar
-            dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
-            if li == 0:
-                # transposed input layer (4 true rows): dW on the VPU;
-                # dx = dt W^T only feeds the debug checksum lane
-                grads[0] = sum(
-                    jnp.where(
-                        row8 == k,
-                        jnp.sum(a_in[:, k:k + 1] * dt, axis=0, keepdims=True),
-                        0.0,
-                    ) for k in range(4)
+            a = x0
+            saved = []
+            for li in range(5):
+                wb, bb, gb, beb = train[4 * li: 4 * li + 4]
+                if li == 0:
+                    # input layer: 4 true param rows -> VPU outer-product sum
+                    t = bb[0] + sum(
+                        a[:, k:k + 1] * wb[0][k:k + 1, :] for k in range(4)
+                    )
+                else:
+                    t = mm(a, wb[0]) + bb[0]
+                mu = jnp.mean(t, axis=-1, keepdims=True)
+                var = jnp.maximum(   # flax-exact clamp, see BN comment above
+                    0.0, jnp.mean(t * t, axis=-1, keepdims=True) - mu * mu
                 )
-                grads[1] = csum(dt)
-                if _DEBUG_LANES:
-                    da = sum(
+                ivar = jax.lax.rsqrt(var + _LN_EPS)
+                tc = t - mu
+                ln = tc * ivar * gb[0] + beb[0]
+                act = jnp.where(ln >= 0.0, ln, _SLOPE * ln)
+                if use_drop:
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits(act.shape), jnp.uint32
+                    )
+                    sc = jnp.where(bits < thresh, 1.0 / keep, 0.0)
+                    a_out = act * sc
+                else:
+                    sc = None
+                    a_out = act
+                saved.append((a, tc, ivar, ln, sc))
+                a = a_out
+            w6s, b6s, w6m, b6m = train[20], train[21], train[22], train[23]
+            pred_spec = mm(a, w6s[0]) + b6s[0]           # (B, W) pads 0
+            # metrics head (transposed storage): 8 VPU lane-reductions
+            mlane = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+            pred_metf = jnp.broadcast_to(b6m[0], (B, LANE))   # pads 0
+            for k in range(8):
+                pmk = jnp.sum(a * w6m[0][k:k + 1, :], axis=1, keepdims=True)
+                pred_metf = pred_metf + jnp.where(mlane == k, pmk, 0.0)
+
+            ds_spec = pred_spec - spectra
+            ds_met = pred_metf - met_pad                  # pads 0
+            spec_l = jnp.sum(ds_spec * ds_spec) / (B * S)
+            met_l = jnp.sum(ds_met * ds_met) / (B * 8)
+            loss = w_spec * spec_l + w_met * met_l
+            drecon = w_spec * 2.0 * ds_spec / (B * S)
+            dmet = jnp.where(mlane < 8, w_met * 2.0 * ds_met / (B * 8), 0.0)
+            if w_smooth:
+                d1 = pred_spec[:, 1:] - pred_spec[:, :-1]
+                d2 = d1[:, 1:] - d1[:, :-1]
+                dlane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                d2m = jnp.where(dlane < S - 2, d2, 0.0)
+                loss = loss + w_smooth * jnp.sum(d2m * d2m) / (B * (S - 2))
+                d2p = jnp.concatenate([d2m, jnp.zeros((B, 2), jnp.float32)], axis=1)
+                zc = jnp.zeros((B, 1), jnp.float32)
+                sh1 = jnp.concatenate([zc, d2p[:, : W - 1]], axis=1)
+                sh2 = jnp.concatenate([zc, zc, d2p[:, : W - 2]], axis=1)
+                drecon = drecon + w_smooth * 2.0 / (B * (S - 2)) * (
+                    d2p - 2.0 * sh1 + sh2
+                )
+            if w_l1:
+                loss = loss + w_l1 * (
+                    jnp.sum(jnp.abs(ds_spec)) / (B * S)
+                    + jnp.sum(jnp.abs(ds_met)) / (B * 8)
+                )
+                drecon = drecon + w_l1 * jnp.sign(ds_spec) / (B * S)
+                dmet = dmet + jnp.where(
+                    mlane < 8, w_l1 * jnp.sign(ds_met) / (B * 8), 0.0
+                )
+
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 256), 0)
+            dW6s = dotT0(a, drecon)
+            db6s = csum(drecon)
+            # transposed metrics head: dW rows and the dx outer on the VPU
+            dW6m = sum(
+                jnp.where(
+                    row8 == k,
+                    jnp.sum(a * dmet[:, k:k + 1], axis=0, keepdims=True),
+                    0.0,
+                ) for k in range(8)
+            )                                              # (8, 256)
+            db6m = csum(dmet)
+            da = dotT1(drecon, w6s[0]) + sum(
+                dmet[:, k:k + 1] * w6m[0][k:k + 1, :] for k in range(8)
+            )
+            grads = [None] * 20
+            for li in range(4, -1, -1):
+                wb = train[4 * li]
+                a_in, tc, ivar, ln, sc = saved[li]
+                if sc is not None:
+                    da = da * sc
+                dln = da * jnp.where(ln >= 0.0, 1.0, _SLOPE)
+                grads[4 * li + 2] = csum(dln * (tc * ivar))   # dgamma
+                grads[4 * li + 3] = csum(dln)                  # dbeta
+                gb = train[4 * li + 2]
+                dxh = dln * gb[0]
+                c_dim = tc.shape[1]
+                dvar = jnp.sum(dxh * tc, axis=-1, keepdims=True) * (
+                    -0.5
+                ) * ivar * ivar * ivar
+                dt = dxh * ivar
+                dt = dt - jnp.mean(dt, axis=-1, keepdims=True) + dvar * 2.0 * tc / c_dim
+                if li == 0:
+                    # transposed input layer (4 true rows): dW on the VPU;
+                    # dx = dt W^T only feeds the debug checksum lane
+                    grads[0] = sum(
                         jnp.where(
-                            mlane == k,
-                            jnp.sum(dt * wb[0][k:k + 1, :], axis=1,
-                                    keepdims=True),
+                            row8 == k,
+                            jnp.sum(a_in[:, k:k + 1] * dt, axis=0, keepdims=True),
                             0.0,
                         ) for k in range(4)
                     )
-            else:
-                grads[4 * li] = dotT0(a_in, dt)            # dW
-                grads[4 * li + 1] = csum(dt)               # db
-                da = dotT1(dt, wb[0])
-        adam_apply(
-            list(zip(train, mv)), grads + [dW6s, db6s, dW6m, db6m],
-            lr, inv1, inv2, gate=live,
-        )
+                    grads[1] = csum(dt)
+                    if _DEBUG_LANES:
+                        da = sum(
+                            jnp.where(
+                                mlane == k,
+                                jnp.sum(dt * wb[0][k:k + 1, :], axis=1,
+                                        keepdims=True),
+                                0.0,
+                            ) for k in range(4)
+                        )
+                else:
+                    grads[4 * li] = dotT0(a_in, dt)            # dW
+                    grads[4 * li + 1] = csum(dt)               # db
+                    da = dotT1(dt, wb[0])
+            adam_apply(
+                list(zip(train, mv)), grads + [dW6s, db6s, dW6m, db6m],
+                lr, inv1, inv2, gate=live,
+            )
 
-        vals = (loss, spec_l, met_l)
-        if _DEBUG_LANES:
-            # forensic checksums for the hardware NaN bisect (fwd_subepoch
-            # probe): forward-pass stages, backward seeds, optimizer inputs
-            # and a post-update weight — the first NaN lane localizes the
-            # corruption point.  Order = FWD_DEBUG_KEYS.
-            dbg = {
-                "x0": jnp.sum(jnp.abs(x0)),
-                "spectra": jnp.sum(jnp.abs(spectra)),
-                "ln1": jnp.sum(jnp.abs(saved[0][3])),
-                "ln5": jnp.sum(jnp.abs(saved[4][3])),
-                "pred_spec": jnp.sum(jnp.abs(pred_spec)),
-                "drecon": jnp.sum(jnp.abs(drecon)),
-                "dW6s": jnp.sum(jnp.abs(dW6s)),
-                "dW1": jnp.sum(jnp.abs(grads[0])),
-                "dx": jnp.sum(jnp.abs(da)),
-                "lr": lr, "inv1": inv1, "inv2": inv2,
-                "W1_post": jnp.sum(jnp.abs(train[0][0])),
-            }
-            vals = vals + tuple(dbg[k] for k in FWD_DEBUG_KEYS)
-        mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        mrow = jnp.zeros((1, LANE), jnp.float32)
-        for k, v in enumerate(vals):
-            mrow = jnp.where(mlane1 == k, v, mrow)
-        if padded:
-            mrow = mrow * live
+            vals = (loss, spec_l, met_l)
+            if _DEBUG_LANES:
+                # forensic checksums for the hardware NaN bisect (fwd_subepoch
+                # probe): forward-pass stages, backward seeds, optimizer inputs
+                # and a post-update weight — the first NaN lane localizes the
+                # corruption point.  Order = FWD_DEBUG_KEYS.
+                dbg = {
+                    "x0": jnp.sum(jnp.abs(x0)),
+                    "spectra": jnp.sum(jnp.abs(spectra)),
+                    "ln1": jnp.sum(jnp.abs(saved[0][3])),
+                    "ln5": jnp.sum(jnp.abs(saved[4][3])),
+                    "pred_spec": jnp.sum(jnp.abs(pred_spec)),
+                    "drecon": jnp.sum(jnp.abs(drecon)),
+                    "dW6s": jnp.sum(jnp.abs(dW6s)),
+                    "dW1": jnp.sum(jnp.abs(grads[0])),
+                    "dx": jnp.sum(jnp.abs(da)),
+                    "lr": lr, "inv1": inv1, "inv2": inv2,
+                    "W1_post": jnp.sum(jnp.abs(train[0][0])),
+                }
+                vals = vals + tuple(dbg[k] for k in FWD_DEBUG_KEYS)
+            mlane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            mrow = jnp.zeros((1, LANE), jnp.float32)
+            for k, v in enumerate(vals):
+                mrow = jnp.where(mlane1 == k, v, mrow)
+            if padded:
+                mrow = mrow * live
+            return mrow
+
+        mrow = _one_step(0)
+        for _k in range(1, pack):
+            mrow = mrow + _one_step(_k)
         mrow = mrow / steps_per_epoch
+        rs_g = rs // pack
 
-        @pl.when(i % rs == 0)
+        @pl.when(i % rs_g == 0)
         def _():
             metrics_ref[0] = mrow
 
-        @pl.when(i % rs != 0)
+        @pl.when(i % rs_g != 0)
         def _():
             metrics_ref[0] = metrics_ref[0] + mrow
 
@@ -2136,29 +2235,30 @@ def make_pallas_forward_epoch_fn(
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
-        row3 = lambda: pl.BlockSpec(  # noqa: E731
-            (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
         aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
         # the kernel's metric-row granularity must match the launch plan
         # _chunked_launch will resolve for these ungated streams
-        _prs = _resolve_plan(E, spe, padded_streams=False)[2]
+        _pls, _, _prs, _ = _resolve_plan(E, spe, padded_streams=False)
+        pack = 1 if _DEBUG_PER_STEP else _resolve_pack(_pls, _prs)
+        row3 = lambda: pl.BlockSpec(  # noqa: E731
+            (pack, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
         kernel = _make_forward_kernel(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=_prs, mv_dtype=mv_b[0].dtype,
+            row_steps=_prs, mv_dtype=mv_b[0].dtype, pack=pack,
         )
 
         def launch(bufs, streams, n_steps, rsl):
             par_c, spec_c, met_c, sched_c, seed_c = streams
             in_specs = (
                 [
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, LANE), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, W), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, LANE), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                     row3(), row3(),
                 ]
@@ -2166,7 +2266,8 @@ def make_pallas_forward_epoch_fn(
             )
             out_specs = (
                 [const(b.shape) for b in bufs]
-                + [pl.BlockSpec((1, 1, LANE), lambda i: (i // rsl, 0, 0),
+                + [pl.BlockSpec((1, 1, LANE),
+                                lambda i: (i // (rsl // pack), 0, 0),
                                 memory_space=pltpu.VMEM)]
             )
             out_shape = (
@@ -2175,7 +2276,7 @@ def make_pallas_forward_epoch_fn(
             )
             outs = pl.pallas_call(
                 kernel,
-                grid=(n_steps,),
+                grid=(n_steps // pack,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,
@@ -2310,8 +2411,9 @@ def make_pallas_forward_subepoch_fn(
             const = lambda shape: pl.BlockSpec(  # noqa: E731
                 shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
             )
+            pack = 1 if _DEBUG_PER_STEP else _resolve_pack(L, L)
             row3 = lambda: pl.BlockSpec(  # noqa: E731
-                (1, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (pack, 1, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
             aliases = {} if _NO_ALIAS else {5 + k: k for k in range(len(train))}
             kernel = _make_forward_kernel(
@@ -2319,14 +2421,15 @@ def make_pallas_forward_subepoch_fn(
                 dropout_rate=cfg.forward_model.dropout_rate,
                 bf16=cfg.train.compute_dtype == "bfloat16",
                 row_steps=L, padded=padded, mv_dtype=mv_b[0].dtype,
+                pack=pack,
             )
             in_specs = (
                 [
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, LANE), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, W), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, W), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, B, LANE), lambda i: (i, 0, 0),
+                    pl.BlockSpec((pack, B, LANE), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                     row3(), row3(),
                 ]
@@ -2343,7 +2446,7 @@ def make_pallas_forward_subepoch_fn(
             )
             outs = pl.pallas_call(
                 kernel,
-                grid=(L,),
+                grid=(L // pack,),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 out_shape=out_shape,

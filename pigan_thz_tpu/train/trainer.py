@@ -270,6 +270,42 @@ class Trainer:
                 total = total + jnp.sum(x).astype(jnp.float32)
         return math.isfinite(float(total))
 
+    def _plan_small_grid_routes(self, epochs: int, forward: bool) -> set:
+        """Chunk start-epochs whose megakernel program would fall in the
+        v5e small-grid miscompile class (ops/megakernel.py _MIN_CLEAN_GRID:
+        pack=1 launch under 120 grid steps with no step-pack divisor).
+        Such chunks are PLANNED onto the XLA path — a route, not a
+        fallback trip.  Under megakernel='force' any planned route raises
+        up-front (before any training) so a forced run never silently
+        leaves the kernel mid-run."""
+        from ..ops.megakernel import small_grid_risk, small_grid_risk_forward
+
+        risk_fn = small_grid_risk_forward if forward else small_grid_risk
+        routes, epoch = {}, 0
+        while epoch < epochs:
+            chunk = min(self.epochs_per_call, epochs - epoch)
+            if forward:
+                from ..ops.megakernel import _FWD_MAX_TOTAL
+
+                chunk = min(chunk, max(1, _FWD_MAX_TOTAL // self.steps_per_epoch))
+            else:
+                chunk = self._mega_gan_chunk_cap(chunk)
+            reason = risk_fn(chunk, self.steps_per_epoch)
+            if reason is not None:
+                routes[epoch] = reason
+            epoch += chunk
+        if routes and self.megakernel == "force":
+            what = "forward" if forward else "pigan"
+            raise ValueError(
+                f"megakernel='force' but {len(routes)} {what} chunk(s) "
+                f"would compile in the v5e small-grid miscompile class "
+                f"(first: epoch {min(routes)}: {routes[min(routes)]}); "
+                "pick an epoch count whose tail chunk packs (or >= "
+                "8 epochs), or use megakernel='auto' to route those "
+                "chunks onto the XLA path"
+            )
+        return set(routes)
+
     def _chunk_with_fallback(
         self, multi_epoch, mega_active, xla_factory, state, sub, scales, what,
         at: int = -1,
@@ -394,6 +430,11 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
         epoch = 0
         stop = False
+        xla_routes = (
+            self._plan_small_grid_routes(epochs, forward=True)
+            if mega_active and not getattr(multi_epoch, "sub_epoch", False)
+            else set()
+        )
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
             if mega_active and not getattr(multi_epoch, "sub_epoch", False):
@@ -408,13 +449,25 @@ class Trainer:
                     chunk, max(1, _FWD_MAX_TOTAL // self.steps_per_epoch)
                 )
             key, sub = jax.random.split(key)
-            self.forward_state, rows, multi_epoch, mega_active = (
-                self._chunk_with_fallback(
-                    multi_epoch, mega_active, _xla_epoch_fn,
+            if mega_active and epoch in xla_routes:
+                # planned route (small-grid miscompile class), NOT a trip
+                self._log_always(
+                    f"forward chunk at epoch {epoch} ({chunk} epochs) "
+                    "planned onto the XLA path (v5e small-grid envelope)"
+                )
+                self.forward_state, rows, _, _ = self._chunk_with_fallback(
+                    _xla_epoch_fn(), False, _xla_epoch_fn,
                     self.forward_state, sub, jnp.ones((chunk,), jnp.float32),
                     "forward", at=epoch,
                 )
-            )
+            else:
+                self.forward_state, rows, multi_epoch, mega_active = (
+                    self._chunk_with_fallback(
+                        multi_epoch, mega_active, _xla_epoch_fn,
+                        self.forward_state, sub,
+                        jnp.ones((chunk,), jnp.float32), "forward", at=epoch,
+                    )
+                )
             improved_in_chunk = False
             for j in range(chunk):
                 e = epoch + j
@@ -569,6 +622,10 @@ class Trainer:
         t0 = time.time()
         epoch = 0
         stop = False
+        xla_routes = (
+            self._plan_small_grid_routes(epochs, forward=False)
+            if mega_active else set()
+        )
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
             if mega_active:
@@ -581,12 +638,24 @@ class Trainer:
                 ],
                 jnp.float32,
             )
-            self.pigan_state, rows, multi_epoch, mega_active = (
-                self._chunk_with_fallback(
-                    multi_epoch, mega_active, _xla_epoch_fn,
+            if mega_active and epoch in xla_routes:
+                # planned route (small-grid miscompile class), NOT a trip:
+                # the megakernel stays engaged for the remaining chunks
+                self._log_always(
+                    f"pigan chunk at epoch {epoch} ({chunk} epochs) planned "
+                    "onto the XLA path (v5e small-grid envelope)"
+                )
+                self.pigan_state, rows, _, _ = self._chunk_with_fallback(
+                    _xla_epoch_fn(), False, _xla_epoch_fn,
                     self.pigan_state, sub, scales, "pigan", at=epoch,
                 )
-            )
+            else:
+                self.pigan_state, rows, multi_epoch, mega_active = (
+                    self._chunk_with_fallback(
+                        multi_epoch, mega_active, _xla_epoch_fn,
+                        self.pigan_state, sub, scales, "pigan", at=epoch,
+                    )
+                )
             chunk_has_best = False
             for j in range(chunk):
                 e = epoch + j

@@ -1435,3 +1435,178 @@ def test_forward_megakernel_bf16_adam_state(cfg):
             err_msg=_leafname(path),
         )
     assert st_p.opt[1][0].nu["Dense_0"]["kernel"].dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# Step packing (_PACK_MAX): K training steps per grid iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pack_must_divide_row_steps():
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    with pytest.raises(ValueError, match="pack"):
+        MK._make_kernel(250, 64, 15, StepSettings(), 1.0, pack=4)
+    with pytest.raises(ValueError, match="pack"):
+        MK._make_forward_kernel(
+            250, 64, 15, ForwardStepSettings(), 1.0, dropout_rate=0.0, pack=4
+        )
+
+
+def test_pack_parity_gan(cfg, monkeypatch):
+    """Packed launches (K steps per grid iteration) are the SAME program
+    as unpacked ones: identical per-step math against VMEM-resident state,
+    so params/moments come out bit-identical; per-epoch metric rows differ
+    only in summation order (divide-then-add vs add-then-divide, ~1 ulp)."""
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=256))
+    ds = synthetic_dataset(c.data)
+    g, d, f = build_trio(c)
+    spe = ds.num_samples // c.train.batch_size          # 4
+    g_tx, d_tx, _ = make_optimizers(c, spe)
+    settings = StepSettings.from_config(c)
+    st0 = init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(1))
+    key, ones = jax.random.PRNGKey(7), jnp.ones((3,), jnp.float32)
+
+    def run(pack_max):
+        monkeypatch.setattr(MK, "_PACK_MAX", pack_max)
+        fn = make_pallas_multi_epoch_fn(c, settings, interpret=True)
+        return fn(jax.tree.map(jnp.copy, st0), ds, key, ones)
+
+    st1, m1 = run(1)
+    st4, m4 = run(8)                                     # pack = 4
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m4[k]), np.asarray(m1[k]), rtol=2e-6, err_msg=k
+        )
+    for tree1, tree4 in (
+        (st1.g.params, st4.g.params), (st1.d.params, st4.d.params),
+        (st1.g_opt[1][0].mu, st4.g_opt[1][0].mu),
+        (st1.d_opt[1][0].nu, st4.d_opt[1][0].nu),
+        (st1.g.extra["batch_stats"], st4.g.extra["batch_stats"]),
+    ):
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(tree1)[0],
+            jax.tree.leaves(tree4),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(b), np.asarray(a), err_msg=_leafname(path)
+            )
+
+
+def test_pack_parity_forward(cfg, monkeypatch):
+    """Forward kernel packing is bit-identical.  (Dropout keeps the same
+    bitstream too — the hardware PRNG re-seeds from the per-step seed
+    stream at the top of every packed step exactly like consecutive grid
+    steps — but pltpu.prng_seed has no CPU interpret lowering, so like
+    every interpret-mode forward parity test this runs dropout 0.)"""
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    c = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_samples=256),
+        forward_model=dataclasses.replace(cfg.forward_model, dropout_rate=0.0),
+    )
+    ds = synthetic_dataset(c.data)
+    _, _, f = build_trio(c)
+    spe = ds.num_samples // c.train.batch_size
+    _, _, f_tx = make_optimizers(c, spe)
+    st0 = init_forward_state(f, f_tx, jax.random.PRNGKey(2))
+    fset = ForwardStepSettings()
+    key, ones = jax.random.PRNGKey(5), jnp.ones((2,), jnp.float32)
+
+    def run(pack_max):
+        monkeypatch.setattr(MK, "_PACK_MAX", pack_max)
+        fn = make_pallas_forward_epoch_fn(c, fset, interpret=True)
+        return fn(jax.tree.map(jnp.copy, st0), ds, key, ones)
+
+    st1, m1 = run(1)
+    st4, m4 = run(8)
+    for k in FWD_METRIC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(m4[k]), np.asarray(m1[k]), rtol=2e-6, err_msg=k
+        )
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(st1.f.params)[0],
+        jax.tree.leaves(st4.f.params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(b), np.asarray(a), err_msg=_leafname(path)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Small-grid miscompile envelope: _resolve_pack / small_grid_risk / routing
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_pack_rule():
+    """pack=1 at or above the proven-clean grid scale (full speed); below
+    it the largest row_steps divisor <= _PACK_MAX; 1 + small grid = the
+    shape the Trainer must route off the kernel."""
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    assert MK._resolve_pack(120, 15) == 1          # at the boundary: fast path
+    assert MK._resolve_pack(1500, 15) == 1         # bench shape
+    assert MK._resolve_pack(15, 15) == 5           # E=1 tail at spe=15
+    assert MK._resolve_pack(60, 15) == 5           # E=4 tail
+    assert MK._resolve_pack(26, 13) == 1           # prime rs: CANNOT pack
+    assert MK._resolve_pack(8, 8) == 8
+
+
+def test_small_grid_risk():
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    assert MK.small_grid_risk(2, 15) is None       # packs (pack=5)
+    assert MK.small_grid_risk(25, 15) is None      # grid 375 >= 120
+    assert MK.small_grid_risk(9, 13) is not None   # 117 < 120, prime rs
+    assert MK.small_grid_risk(10, 13) is None      # 130 >= 120
+    msg = MK.small_grid_risk(2, 13)
+    assert msg is not None and "26" in msg
+    # forward variant mirrors the rule on the whole-epoch driver's plan
+    assert MK.small_grid_risk_forward(2, 13) is not None
+    assert MK.small_grid_risk_forward(25, 15) is None
+    assert MK.small_grid_risk_forward(1, MK._FWD_MAX_TOTAL + 1) is None  # sub
+
+
+def test_trainer_small_grid_routes(cfg, capsys):
+    """spe=13 (prime, no pack divisor): a 2-epoch run's only chunk is in
+    the miscompile class -> force raises UP-FRONT; the planner marks the
+    same chunk for the XLA route when the kernel is engaged."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=13 * 64))
+    ds = synth(c.data)
+    t = Trainer(c, ds=ds, epochs_per_call=2, megakernel="force")
+    t.init_pigan()
+    with pytest.raises(ValueError, match="small-grid"):
+        t.train_pigan(epochs=2, log_every=10**9)
+    # planner: chunks of 25 are fine, a 2-epoch tail at spe=13 is routed
+    t2 = Trainer(c, ds=ds, epochs_per_call=25, megakernel="off")
+    assert t2._plan_small_grid_routes(27, forward=False) == {25}
+    assert t2._plan_small_grid_routes(50, forward=False) == set()
+    with pytest.raises(ValueError, match="small-grid"):
+        t2.megakernel = "force"
+        t2._plan_small_grid_routes(27, forward=False)
+    # packable spe (15): no routes anywhere
+    c3 = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=15 * 64))
+    t3 = Trainer(c3, ds=synth(c3.data), epochs_per_call=25, megakernel="off")
+    assert t3._plan_small_grid_routes(27, forward=False) == set()
+    assert t3._plan_small_grid_routes(27, forward=True) == set()
+
+
+def test_trainer_force_engages_with_packable_tail(cfg):
+    """spe=15 dataset, 3-epoch run under force: the chunk packs (pack=5)
+    instead of raising or routing -- the megakernel covers the whole run."""
+    from pigan_thz_tpu.data import synthetic_dataset as synth
+    from pigan_thz_tpu.train import Trainer
+
+    c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
+    ds = synth(c.data)
+    t = Trainer(c, ds=ds, epochs_per_call=25, megakernel="force")
+    t.init_pigan()
+    t.train_pigan(epochs=3, log_every=10**9)
+    assert any(k[0] == "gan-mega" for k in t._epoch_fns)
+    assert t.fallback_trips == 0
+    assert len(t.train_history["pigan/d_loss"]) == 3
