@@ -573,7 +573,7 @@ def cmd_export(args) -> int:
                 f"--use-ema: no 'generator_ema' artifact in {args.models}"
             )
         g_vars = {"params": st.g_ema, **st.g.extra}
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    dtype = {"bfloat16": jnp.bfloat16, "int8": "int8"}.get(args.dtype)
     os.makedirs(args.out, exist_ok=True)
     written = []
     if args.artifact in ("designer", "all"):
@@ -910,8 +910,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--use-ema", action="store_true",
                    help="export the EMA generator track (requires a "
                         "'generator_ema' artifact in --models)")
-    g.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
-                   help="bfloat16 = measured 2.06x serving throughput at large batch")
+    g.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="bfloat16 = measured 2.06x serving throughput at large "
+                        "batch; int8 = post-training quantized cycle (designer "
+                        "artifact only; baseline trio)")
     g.add_argument("--pallas", action="store_true",
                    help="fused-kernel TPU-only artifact (baseline trio only)")
     g.set_defaults(fn=cmd_export)

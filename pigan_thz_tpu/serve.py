@@ -77,6 +77,21 @@ def make_inverse_design_fn(
 
         return fn
 
+    if compute_dtype == "int8" or compute_dtype is jnp.int8:
+        # Post-training int8 quantization (ops/quantized.py): weight scales
+        # and BN folding happen here, once; the jitted program runs int8
+        # MXU matmuls with fp32 norm/activation math between them.
+        from .ops.quantized import make_int8_cycle_fn
+
+        cycle = make_int8_cycle_fn(g_variables, f_variables, ds.spectrum_dim)
+
+        @jax.jit
+        def fn(spectra):
+            pn, spec, met = cycle(spectra)
+            return denormalize_params(pn, ds.param_lo, ds.param_hi), spec, met
+
+        return fn
+
     if compute_dtype is not None:
         # flax dtype attrs cascade from the top-level module into every block
         generator = generator.clone(dtype=compute_dtype)
