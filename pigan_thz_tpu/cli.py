@@ -595,6 +595,7 @@ def cmd_export(args) -> int:
             trainer.forward_model, st.f.variables, trainer.ds,
             os.path.join(args.out, "surrogate.stablehlo"),
             batch_size=args.batch_size, use_pallas=args.pallas,
+            compute_dtype="int8" if args.dtype == "int8" else None,
         ))
     for path in written:
         print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
@@ -913,8 +914,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="bfloat16 = measured 2.06x serving throughput at large "
-                        "batch; int8 = post-training quantized cycle (designer "
-                        "artifact only; baseline trio)")
+                        "batch; int8 = post-training quantized designer/"
+                        "surrogate artifacts (baseline trio)")
     g.add_argument("--pallas", action="store_true",
                    help="fused-kernel TPU-only artifact (baseline trio only)")
     g.set_defaults(fn=cmd_export)

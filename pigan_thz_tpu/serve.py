@@ -133,13 +133,25 @@ def export_generator(
 
 def export_forward_surrogate(
     forward_model, f_variables, ds: ThzDataset, path: str, batch_size: int = 64,
-    use_pallas: bool = False,
+    use_pallas: bool = False, compute_dtype=None,
 ) -> str:
     """normalized params (B, 4) -> (spectrum (B, S), metrics (B, 8)).
 
     ``use_pallas=True`` bakes the fused VMEM kernel into a TPU-only artifact
-    (2.5x measured over the XLA path at serving batch sizes)."""
-    if use_pallas:
+    (2.5x measured over the XLA path at serving batch sizes);
+    ``compute_dtype="int8"`` bakes the post-training-quantized chain
+    (ops/quantized.py) into a ~4x smaller portable artifact."""
+    if use_pallas and compute_dtype == "int8":
+        raise ValueError("use_pallas and int8 are mutually exclusive")
+    if compute_dtype == "int8" or compute_dtype is jnp.int8:
+        from .ops.quantized import int8_forward_apply, quantize_forward
+
+        qf = quantize_forward(f_variables)
+
+        def fn(params_norm):
+            return int8_forward_apply(qf, params_norm, ds.spectrum_dim)
+
+    elif use_pallas:
         from .ops.pallas_kernels import forward_surrogate_fused
 
         def fn(params_norm):

@@ -100,6 +100,29 @@ def test_int8_export_roundtrip(models, small_ds, tmp_path):
     assert met.shape == (8, 8)
 
 
+def test_int8_surrogate_export_roundtrip(models, small_ds, tmp_path):
+    from pigan_thz_tpu.ops.quantized import int8_forward_apply, quantize_forward
+    from pigan_thz_tpu.serve import export_forward_surrogate
+
+    g, f, gv, fv = models
+    path = str(tmp_path / "surrogate_int8.stablehlo")
+    export_forward_surrogate(
+        f, fv, small_ds, path, batch_size=8, compute_dtype="int8"
+    )
+    fn = load_exported(path)
+    spec, met = fn(small_ds.params_norm[:8])
+    want_spec, want_met = int8_forward_apply(
+        quantize_forward(fv), small_ds.params_norm[:8], small_ds.spectrum_dim
+    )
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(want_spec), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(met), np.asarray(want_met), atol=1e-5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_forward_surrogate(
+            f, fv, small_ds, path, batch_size=8, use_pallas=True,
+            compute_dtype="int8",
+        )
+
+
 def test_int8_rejects_enhanced_models(cfg, small_ds):
     import dataclasses
 
