@@ -35,10 +35,15 @@ VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
 real_make_kernel = MK._make_kernel
 
 def stripped_make_kernel(S, B, steps_per_epoch, settings, clip, bf16=False,
-                         row_steps=None, padded=False, mv_dtype=jnp.float32):
+                         row_steps=None, padded=False, mv_dtype=jnp.float32,
+                         pack=1):
     if VARIANT == "full":
         return real_make_kernel(S, B, steps_per_epoch, settings, clip, bf16,
-                                row_steps, padded, mv_dtype)
+                                row_steps, padded, mv_dtype, pack)
+    if pack != 1:
+        # stripped bodies model one step per grid iteration; probe at full
+        # grids (>= _MIN_CLEAN_GRID) where _resolve_pack returns 1
+        raise SystemExit(f"stripped variants require pack=1, got {pack}")
     W = _up(S + 4)
     rs = row_steps or steps_per_epoch
     n_state = 34

@@ -44,23 +44,39 @@ MK._PACK_MAX = PACK
 fn = MK.make_pallas_multi_epoch_fn(cfg, settings)
 key, ones = jax.random.PRNGKey(7), jnp.ones((E,), jnp.float32)
 
+def _tree_max_delta(xs, ys):
+    """NaN-PROPAGATING max |x - y| across leaf pairs (Python max() masks
+    NaN — max(0.0, nan) is 0.0 — the probe bug class from round 3b)."""
+    return float(np.max(np.array(
+        [np.max(np.abs(a - b)) for a, b in zip(xs, ys)]
+    )))
+
+
 for trial in range(2):
     st, m = fn(jax.tree.map(jnp.copy, state0), ds, key, ones)
     mets = {k: np.asarray(jax.device_get(m[k])) for k in MK.METRIC_KEYS}
     pt = [np.asarray(jax.device_get(x)) for x in jax.tree.leaves(st.g.params)]
-    moved = max(float(np.max(np.abs(a - b))) for a, b in zip(pt, p0))
+    moved = _tree_max_delta(pt, p0)
+    params_finite = bool(all(np.all(np.isfinite(a)) for a in pt))
+    metrics_finite = bool(all(np.all(np.isfinite(v)) for v in mets.values()))
     print(f"--- trial {trial} (pack_max={PACK}, E={E}) ---")
     for k, v in mets.items():
         print(f"  {k:>20}: {np.array2string(v, precision=5)} "
               f"finite={bool(np.all(np.isfinite(v)))}")
-    print(f"  g-param max|move| vs state0: {moved:.3e}")
+    print(f"  g-param max|move| vs state0: {moved:.3e} "
+          f"params_finite={params_finite}")
     if trial == 0:
         prev, prev_m = pt, mets
     else:
-        ddet = max(float(np.max(np.abs(a - b))) for a, b in zip(pt, prev))
-        mdet = max(float(np.max(np.abs(prev_m[k] - mets[k])))
-                   for k in mets if np.all(np.isfinite(mets[k])))
-        print(f"  run-to-run param delta: {ddet:.3e}  metric delta: {mdet:.3e}")
+        ddet = _tree_max_delta(pt, prev)
+        fin_keys = [k for k in mets if np.all(np.isfinite(mets[k]))
+                    and np.all(np.isfinite(prev_m[k]))]
+        mdet = (max(float(np.max(np.abs(prev_m[k] - mets[k])))
+                    for k in fin_keys) if fin_keys else float("nan"))
+        print(f"  run-to-run param delta: {ddet:.3e}  metric delta: {mdet:.3e}"
+              f"  ({len(fin_keys)}/{len(mets)} metric keys finite both runs)")
         print(json.dumps({"probe": "pack1_nan_repro", "pack_max": PACK,
                           "epochs": E, "param_moved": moved,
+                          "params_finite": params_finite,
+                          "metrics_finite": metrics_finite,
                           "run_to_run_delta": ddet}))

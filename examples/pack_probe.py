@@ -45,8 +45,18 @@ g, d, f = build_trio(cfg)
 spe = ds.num_samples // cfg.train.batch_size
 g_tx, d_tx, f_tx = make_optimizers(cfg, spe)
 settings = StepSettings.from_config(cfg)
-pack = MK._largest_divisor(spe, MK._PACK_MAX)
-print(f"spe={spe} _PACK_MAX={MK._PACK_MAX} -> pack={pack}", flush=True)
+
+
+def resolved_pack(epochs: int) -> int:
+    """The pack the kernel will ACTUALLY engage for an epochs-long launch:
+    _resolve_pack returns 1 (full speed) at proven-clean grids
+    (>= _MIN_CLEAN_GRID) regardless of _PACK_MAX — report that, not the
+    divisor cap, or timing/parity JSON claims packing it never ran."""
+    return MK._resolve_pack(epochs * spe, spe)
+
+
+print(f"spe={spe} _PACK_MAX={MK._PACK_MAX} "
+      f"(resolved pack at E=1: {resolved_pack(1)})", flush=True)
 
 if "--fwd" in sys.argv:
     c = cfg.replace(
@@ -66,7 +76,8 @@ if "--fwd" in sys.argv:
     print("PACKED loss:", lp)
     assert np.all(np.isfinite(lp)), "packed forward kernel produced non-finite"
     np.testing.assert_allclose(lp, lx, rtol=2e-2)
-    print(json.dumps({"probe": "fwd_parity", "pack": pack, "ok": True}))
+    print(json.dumps({"probe": "fwd_parity", "pack": resolved_pack(8),
+                      "ok": True}))
     sys.exit(0)
 
 state0 = init_pigan_state(
@@ -94,7 +105,8 @@ if "--parity" in sys.argv:
         ok = ok and fin and (rel < 5e-2 or (k in loose and rel < 10.0))
         print(f"{k:>20}: xla[-1]={a[-1]:.5f} packed[-1]={b[-1]:.5f} "
               f"max_rel={rel:.2e} finite={fin}", flush=True)
-    print(json.dumps({"probe": "gan_parity", "pack": pack, "ok": ok}))
+    print(json.dumps({"probe": "gan_parity", "pack": resolved_pack(8),
+                      "ok": ok}))
     sys.exit(0 if ok else 1)
 
 if "--vs-pack1" in sys.argv:
@@ -121,22 +133,39 @@ if "--vs-pack1" in sys.argv:
     for E in (1, 2, 4, 8):
         st1, m1 = run(1, E)
         stk, mk = run(pm_hi, E)
-        dmax = 0.0
-        for a, b in zip(jax.tree.leaves(st1.g.params),
-                        jax.tree.leaves(stk.g.params)):
-            dmax = max(dmax, float(np.max(np.abs(
-                np.asarray(jax.device_get(a)) - np.asarray(jax.device_get(b))))))
+        # np.max PROPAGATES NaN (Python max(0.0, nan) masks it — the exact
+        # bug class that hid the pack=1 small-grid NaN once already)
+        deltas = np.array([
+            np.max(np.abs(np.asarray(jax.device_get(a))
+                          - np.asarray(jax.device_get(b))))
+            for a, b in zip(jax.tree.leaves(st1.g.params),
+                            jax.tree.leaves(stk.g.params))
+        ])
+        fin1 = bool(np.all(np.isfinite(
+            np.concatenate([np.asarray(jax.device_get(x)).ravel()
+                            for x in jax.tree.leaves(st1.g.params)]))))
+        dmax = float(np.max(deltas)) if len(deltas) else float("nan")
         g1 = float(np.asarray(jax.device_get(m1["g_loss"]))[-1])
         gk = float(np.asarray(jax.device_get(mk["g_loss"]))[-1])
-        fin = bool(np.isfinite(gk))
-        rows.append({"epochs": E, "g_param_max_delta": dmax,
-                     "g_loss_pack1": g1, "g_loss_packed": gk, "finite": fin})
+        fink = bool(np.isfinite(gk))
+        # run(pm_hi, E) left MK._PACK_MAX = pm_hi, so this is the pack the
+        # packed call actually traced with
+        rows.append({"epochs": E, "packed_pack": resolved_pack(E),
+                     "g_param_max_delta": dmax,
+                     "g_loss_pack1": g1, "g_loss_packed": gk,
+                     "pack1_finite": fin1, "packed_finite": fink})
         print(f"E={E}: g-param max|delta|={dmax:.3e} "
-              f"g_loss {g1:.4f} vs {gk:.4f} finite={fin}", flush=True)
-    # benign = starts tiny and grows; defect = big at E=1
-    ok = all(r["finite"] for r in rows) and rows[0]["g_param_max_delta"] < 1e-5
-    print(json.dumps({"probe": "gan_vs_pack1", "pack": pack, "ok": ok,
-                      "sweep": rows}))
+              f"g_loss {g1:.4f} vs {gk:.4f} "
+              f"pack1_finite={fin1} packed_finite={fink}", flush=True)
+    # The packed kernel must be finite everywhere.  The delta criterion
+    # only applies where the pack=1 BASELINE is itself finite (on v5e the
+    # sub-_MIN_CLEAN_GRID pack=1 shapes NaN deterministically — that is
+    # what packing exists to fix, and it must not flip this probe green).
+    ok = all(r["packed_finite"] for r in rows) and all(
+        r["g_param_max_delta"] < 1e-5
+        for r in rows if r["pack1_finite"] and r["epochs"] == 1
+    )
+    print(json.dumps({"probe": "gan_vs_pack1", "ok": ok, "sweep": rows}))
     sys.exit(0 if ok else 1)
 
 # ---- timing (bench.py methodology) ---------------------------------------
@@ -157,7 +186,8 @@ for e in range(4):
 d_loss = float(jax.device_get(m["d_loss"])[-1])
 rates.sort()
 print(json.dumps({
-    "probe": "gan_timing", "pack": pack, "best_steps_per_s": round(rates[-1], 1),
+    "probe": "gan_timing", "pack": resolved_pack(chunk),
+    "best_steps_per_s": round(rates[-1], 1),
     "median": round(rates[2], 1), "us_per_step": round(1e6 / rates[-1], 2),
     "final_d_loss": d_loss, "finite": bool(np.isfinite(d_loss)),
 }))

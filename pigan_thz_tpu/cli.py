@@ -556,6 +556,11 @@ def cmd_design(args) -> int:
 
 def cmd_export(args) -> int:
     """Serialize trained models as StableHLO serving artifacts (serve.py)."""
+    if args.pallas and args.dtype != "float32":
+        raise SystemExit(
+            "--pallas and --dtype are mutually exclusive "
+            "(the fused kernels run fp32)"
+        )
     cfg = _make_cfg(args)
     cfg = _overlay_saved_model_config(cfg, args)
     import jax.numpy as jnp

@@ -63,6 +63,11 @@ def make_inverse_design_fn(
     ``use_pallas=True`` routes both models through the fused VMEM kernels
     instead (numerics-verified alternative; measured at parity with XLA —
     baseline MLP trio only, ops/pallas_kernels.py validates the layout)."""
+    if use_pallas and compute_dtype is not None:
+        raise ValueError(
+            "use_pallas and compute_dtype are mutually exclusive "
+            "(the fused kernels run fp32)"
+        )
     if use_pallas:
         from .ops.pallas_kernels import forward_surrogate_fused, generator_fused
 
@@ -141,8 +146,11 @@ def export_forward_surrogate(
     (2.5x measured over the XLA path at serving batch sizes);
     ``compute_dtype="int8"`` bakes the post-training-quantized chain
     (ops/quantized.py) into a ~4x smaller portable artifact."""
-    if use_pallas and compute_dtype == "int8":
-        raise ValueError("use_pallas and int8 are mutually exclusive")
+    if use_pallas and compute_dtype is not None:
+        raise ValueError(
+            "use_pallas and compute_dtype are mutually exclusive "
+            "(the fused kernel runs fp32)"
+        )
     if compute_dtype == "int8" or compute_dtype is jnp.int8:
         from .ops.quantized import int8_forward_apply, quantize_forward
 

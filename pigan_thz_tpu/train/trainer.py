@@ -449,25 +449,21 @@ class Trainer:
                     chunk, max(1, _FWD_MAX_TOTAL // self.steps_per_epoch)
                 )
             key, sub = jax.random.split(key)
-            if mega_active and epoch in xla_routes:
+            routed = mega_active and epoch in xla_routes
+            if routed:
                 # planned route (small-grid miscompile class), NOT a trip
                 self._log_always(
                     f"forward chunk at epoch {epoch} ({chunk} epochs) "
                     "planned onto the XLA path (v5e small-grid envelope)"
                 )
-                self.forward_state, rows, _, _ = self._chunk_with_fallback(
-                    _xla_epoch_fn(), False, _xla_epoch_fn,
-                    self.forward_state, sub, jnp.ones((chunk,), jnp.float32),
-                    "forward", at=epoch,
-                )
-            else:
-                self.forward_state, rows, multi_epoch, mega_active = (
-                    self._chunk_with_fallback(
-                        multi_epoch, mega_active, _xla_epoch_fn,
-                        self.forward_state, sub,
-                        jnp.ones((chunk,), jnp.float32), "forward", at=epoch,
-                    )
-                )
+            fn, active = (_xla_epoch_fn(), False) if routed \
+                else (multi_epoch, mega_active)
+            self.forward_state, rows, fn, active = self._chunk_with_fallback(
+                fn, active, _xla_epoch_fn, self.forward_state, sub,
+                jnp.ones((chunk,), jnp.float32), "forward", at=epoch,
+            )
+            if not routed:
+                multi_epoch, mega_active = fn, active
             improved_in_chunk = False
             for j in range(chunk):
                 e = epoch + j
@@ -638,24 +634,22 @@ class Trainer:
                 ],
                 jnp.float32,
             )
-            if mega_active and epoch in xla_routes:
+            routed = mega_active and epoch in xla_routes
+            if routed:
                 # planned route (small-grid miscompile class), NOT a trip:
                 # the megakernel stays engaged for the remaining chunks
                 self._log_always(
                     f"pigan chunk at epoch {epoch} ({chunk} epochs) planned "
                     "onto the XLA path (v5e small-grid envelope)"
                 )
-                self.pigan_state, rows, _, _ = self._chunk_with_fallback(
-                    _xla_epoch_fn(), False, _xla_epoch_fn,
-                    self.pigan_state, sub, scales, "pigan", at=epoch,
-                )
-            else:
-                self.pigan_state, rows, multi_epoch, mega_active = (
-                    self._chunk_with_fallback(
-                        multi_epoch, mega_active, _xla_epoch_fn,
-                        self.pigan_state, sub, scales, "pigan", at=epoch,
-                    )
-                )
+            fn, active = (_xla_epoch_fn(), False) if routed \
+                else (multi_epoch, mega_active)
+            self.pigan_state, rows, fn, active = self._chunk_with_fallback(
+                fn, active, _xla_epoch_fn,
+                self.pigan_state, sub, scales, "pigan", at=epoch,
+            )
+            if not routed:
+                multi_epoch, mega_active = fn, active
             chunk_has_best = False
             for j in range(chunk):
                 e = epoch + j
