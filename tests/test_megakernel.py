@@ -111,6 +111,29 @@ def test_supports_guard(cfg):
             cfg.forward_model, leaky_slope=0.3)))
 
 
+def test_canonical_programs_in_envelope(cfg):
+    """Every phase of the canonical training programs (progressive pipeline
+    + post-hoc constraint finetune, train/programs.py) must stay inside the
+    megakernel envelope — the round-3 claim that the reference's richest
+    pipelines run on the fast path end to end (proven on hardware by
+    examples/program_probe.py under megakernel='force').  Guards against
+    programs.py and supports_megakernel drifting apart."""
+    from pigan_thz_tpu.ops.megakernel import supports_forward_megakernel
+    from pigan_thz_tpu.train.programs import (
+        constraint_finetune_phase,
+        progressive_pipeline,
+    )
+
+    phases = progressive_pipeline() + [constraint_finetune_phase()]
+    assert len(phases) == 7
+    for phase in phases:
+        if phase.kind == "gan":
+            reason = supports_megakernel(cfg, phase.gan_settings)
+        else:
+            reason = supports_forward_megakernel(cfg)
+        assert reason is None, f"phase {phase.name!r} off-envelope: {reason}"
+
+
 def test_trainer_grid_cap_fallback(cfg):
     """steps_per_epoch above the grid cap: sub-epoch launches when spe has
     a usable divisor, GATED padding when it does not (round 3) — BOTH
