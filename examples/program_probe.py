@@ -130,7 +130,10 @@ def run_inner(args) -> int:
     )
 
     cfg = default_config()
-    cfg = cfg.replace(data=dc.replace(cfg.data, num_samples=args.num_samples))
+    cfg = cfg.replace(
+        data=dc.replace(cfg.data, num_samples=args.num_samples),
+        train=dc.replace(cfg.train, seed=args.seed),
+    )
     E = args.epoch_scale
 
     def build_phases():
@@ -144,6 +147,7 @@ def run_inner(args) -> int:
                  "megakernel": args.megakernel,
                  "num_samples": args.num_samples,
                  "epoch_scale": E,
+                 "seed": args.seed,
                  "force_gates": bool(args.force_gates)}
 
     trainer = Trainer(cfg, megakernel=args.megakernel)
@@ -202,6 +206,7 @@ def supervise(args) -> int:
     cmd = [sys.executable, os.path.abspath(__file__), "--inner",
            "--num-samples", str(args.num_samples),
            "--epoch-scale", str(args.epoch_scale),
+           "--seed", str(args.seed),
            "--megakernel", args.megakernel,
            ] + (["--cpu"] if args.cpu else []) \
              + (["--force-gates"] if args.force_gates else []) \
@@ -230,6 +235,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true")
     ap.add_argument("--num-samples", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="cfg.train.seed — vary to measure the run-to-run "
+                         "spread of the program's final quality (the "
+                         "constraint_finetune phase is documented to trade "
+                         "param R2 chaotically; RESULTS.md)")
     ap.add_argument("--epoch-scale", type=int, default=1,
                     help="multiply every canonical phase's epoch count")
     ap.add_argument("--megakernel", default="force",
