@@ -5,7 +5,10 @@ steps_per_epoch exceeds the multi-launch grid cap, each epoch decomposes
 into uniform sub-epoch launches of the largest divisor of spe within the
 cap (ops/megakernel.py _launch_plan).  This probe validates the new shape
 class END TO END on hardware at the 20k-sample scale the native CSV parser
-targets (spe=312 at batch 64 -> launches of 52):
+targets (spe=312 at batch 64 -> launches of 52), and — with
+--num-samples past ~240k (spe > _MAX_PROGRAM_GRID) — the round-3c chained
+GAN sub-epoch driver (make_pallas_subepoch_fn: each epoch as spe/L chained
+single-launch jitted calls; the JSON's `mega_sub` reports engagement):
 
   1. parity: megakernel vs XLA trajectories from the SAME state over the
      same key stream (fresh state AND checkpoint-restored state — the
@@ -102,7 +105,9 @@ def run_inner(args) -> int:
     gl_m, gl_x = hm["pigan/g_loss"], hx["pigan/g_loss"]
     rel = max(abs(a - b) / max(abs(b), 1e-3) for a, b in zip(gl_m, gl_x))
     out.update(
-        mega_engaged=any(k[0] == "gan-mega" for k in t_m._epoch_fns),
+        mega_engaged=any(
+            k[0] in ("gan-mega", "gan-mega-sub") for k in t_m._epoch_fns),
+        mega_sub=any(k[0] == "gan-mega-sub" for k in t_m._epoch_fns),
         fallback_trips=t_m.fallback_trips,
         fallback_events=t_m.fallback_events,
         finite=finite,
@@ -130,7 +135,8 @@ def run_inner(args) -> int:
         resume_finite=all(math.isfinite(x) for v in hr.values() for x in v),
         resume_trips=t_r.fallback_trips,
         resume_events=t_r.fallback_events,
-        resume_mega=any(k[0] == "gan-mega" for k in t_r._epoch_fns),
+        resume_mega=any(
+            k[0] in ("gan-mega", "gan-mega-sub") for k in t_r._epoch_fns),
     )
     mgr.close()
 
@@ -150,7 +156,9 @@ def run_inner(args) -> int:
             fn = t._make_multi_epoch(
                 step, with_scale=True, cache_key=("probe", settings)
             )
-        else:
+        elif not getattr(fn, "sub_epoch", False):
+            # the chained sub-epoch driver (datasets past the one-program
+            # envelope) bounds its per-call launches internally
             Ec = t._mega_gan_chunk_cap(epc)
         ones = jnp.ones((Ec,), jnp.float32)
         st = jax.tree.map(jnp.copy, t.pigan_state)

@@ -711,18 +711,27 @@ def cmd_doctor(args) -> int:
         from .train.steps import StepSettings
 
         cfg = _make_cfg(args)
-        r_gan = MK.supports_megakernel(cfg, StepSettings.from_config(cfg))
+        settings = StepSettings.from_config(cfg)
+        r_gan = MK.supports_megakernel(cfg, settings)
         spe = cfg.data.num_samples // cfg.train.batch_size
+        gan_sub = False
         if r_gan is None:
-            # mirror Trainer._maybe_megakernel's per-program refusal: one
-            # EPOCH must fit a single launch (trainer.py grid-cap check)
+            # mirror Trainer._maybe_megakernel's routing: one EPOCH past
+            # the per-program envelope goes to the chained sub-epoch
+            # driver (its tighter stochastic-knob envelope applies)
             spe_pad = MK._launch_plan(2, spe)[3]
             if spe_pad > MK._MAX_PROGRAM_GRID:
-                r_gan = (f"per-epoch grid {spe_pad} exceeds the "
-                         f"per-program envelope {MK._MAX_PROGRAM_GRID} "
-                         "(dataset too large for one-epoch-per-call)")
+                sub_reason = MK.supports_gan_subepoch(settings)
+                if sub_reason is not None:
+                    r_gan = (f"dataset past the one-program envelope "
+                             f"({spe_pad} > {MK._MAX_PROGRAM_GRID}) and "
+                             f"{sub_reason}")
+                else:
+                    gan_sub = True
         add("GAN megakernel", True,
-            "engages on TPU" if r_gan is None else f"XLA path: {r_gan}")
+            ("engages on TPU"
+             + (" (chained sub-epoch driver)" if gan_sub else ""))
+            if r_gan is None else f"XLA path: {r_gan}")
         r_fwd = MK.supports_forward_megakernel(cfg)
         if r_fwd is None and spe > MK._FWD_MAX_TOTAL and not MK._FWD_SUB_AUTO_OK:
             # the Trainer's auto gate is OFF-switched (_FWD_SUB_AUTO_OK)

@@ -120,6 +120,32 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
     return None
 
 
+def supports_gan_subepoch(settings) -> str | None:
+    """Extra envelope for the chained GAN sub-epoch driver
+    (make_pallas_subepoch_fn, datasets past the one-program grid
+    envelope).  The stochastic knobs consume per-STEP keys from an rng
+    chain that spans the whole epoch — the one-program prologue scans it
+    once for all T steps (make_pallas_multi_epoch_fn._streams), but a
+    chained call at epoch offset o would need the chain advanced o*9
+    splits, an O(spe) sequential prologue per call.  Until a use case
+    needs them at this scale, datasets past the boundary train these
+    knobs on the XLA path (Trainer auto mode routes; 'force' raises)."""
+    s = settings
+    if (
+        float(s.augment_noise) > 0.0
+        or float(s.augment_shift) > 0.0
+        or float(s.augment_scale) > 0.0
+    ):
+        return "data augmentation streams need the whole-epoch rng chain"
+    if float(s.instance_noise) > 0.0:
+        return "instance-noise streams need the whole-epoch rng chain"
+    if float(s.stability_w) > 0.0:
+        return "stability-noise streams need the whole-epoch rng chain"
+    if s.gan_loss == "wgan_gp":
+        return "the WGAN-GP eps stream needs the whole-epoch rng chain"
+    return None
+
+
 # ---------------------------------------------------------------------------
 # State packing: PiGanState <-> padded VMEM buffers
 # ---------------------------------------------------------------------------
@@ -443,6 +469,8 @@ _FWD_MAX_TOTAL = 1440
 # single-program pattern is depth-1 (Trainer syncs per chunk reading
 # metrics); hardware forensics for the sub-epoch chain set this.
 _FWD_SYNC_EVERY = 0
+# Same depth bound for the GAN sub-epoch driver (make_pallas_subepoch_fn).
+_GAN_SUB_SYNC_EVERY = 0
 # Forensic variant: bake each sub-call's epoch offset into its program
 # (one jitted program per (live, offset) pair) instead of a traced
 # dynamic_slice — isolates the dynamic-slice-fed gather as a trigger.
@@ -638,6 +666,26 @@ def _fwd_sub_plan(spe: int) -> tuple[int, int]:
     if L >= floor:
         return L, spe
     return _best_pad_divisor(spe, _FWD_MAX_TOTAL, floor)
+
+
+def _gan_sub_plan(spe: int) -> tuple[int, int]:
+    """(call_steps, spe_pad) for the GAN SUB-EPOCH driver
+    (make_pallas_subepoch_fn, datasets past the one-program envelope):
+    each epoch runs as spe_pad/L chained jitted calls, every call ONE
+    single launch of L <= _MAX_GRID grid steps (the hardware-proven
+    shape).  The floor is _MIN_CLEAN_GRID — a launch at or above it never
+    needs step packing (the v5e small-grid class is below it), so every
+    sub-epoch call keeps the full-speed pack=1 shape.  Divisor-less spe
+    pads to the nearest count with a divisor in [floor, _MAX_GRID]; the
+    tail call's padded steps are gated no-ops (`live` lane, exactly like
+    _launch_plan's gated plans)."""
+    if spe <= _MAX_GRID:
+        return spe, spe
+    floor = min(_MIN_CLEAN_GRID, _MAX_GRID)  # caps may be test-shrunk
+    L = _largest_divisor(spe, _MAX_GRID)
+    if L >= floor:
+        return L, spe
+    return _best_pad_divisor(spe, _MAX_GRID, floor)
 
 
 def _resolve_plan(E: int, spe: int, padded_streams: bool):
@@ -1792,6 +1840,264 @@ def make_pallas_multi_epoch_fn(
         )
         return kernel_jit(state, E, spe, *streams)
 
+    return multi_epoch
+
+
+def make_pallas_subepoch_fn(
+    cfg: PiGanConfig, settings, *, lr_g: float | None = None,
+    lr_d: float | None = None, schedule_g: str | None = None,
+    schedule_d: str | None = None, horizon_epochs: int | None = None,
+    interpret: bool = False,
+):
+    """GAN driver for datasets past the one-program grid envelope
+    (spe_pad > _MAX_PROGRAM_GRID, i.e. beyond ~240k samples at batch 64,
+    where make_pallas_multi_epoch_fn cannot fit even ONE epoch in a
+    jitted program).  Each epoch runs as spe_pad/L chained jitted calls
+    of L grid steps (_gan_sub_plan), every call ONE single launch with
+    the split XLA prologue — the hardware-proven-clean program shape
+    (the forward sub-epoch driver's round-3 root-cause design).  Same
+    contract as make_pallas_multi_epoch_fn; per-epoch metric rows are
+    the sums of the calls' partial rows (the kernel divides by the TRUE
+    steps_per_epoch).  Divisor-less spe pads each epoch to spe_pad and
+    gates the tail call's padded steps into no-ops via the sched
+    stream's `live` lane (lane 8): zero G/D/BN/EMA update, zero metric
+    contribution, step/rng/counts advanced by REAL steps only.
+
+    Extra envelope vs the one-program factory: the stochastic-stream
+    knobs stay on XLA (supports_gan_subepoch — their per-step rng chain
+    spans the whole epoch); everything else (constraint annealing,
+    cycle, d_update_every, sigmoid squash, EMA, per-phase optimizer
+    overrides, both detach modes) runs in-kernel."""
+    reason = supports_megakernel(cfg, settings) or supports_gan_subepoch(settings)
+    if reason is not None:
+        raise ValueError(f"GAN sub-epoch megakernel unsupported here: {reason}")
+    g_overridden = lr_g is not None or schedule_g is not None
+    d_overridden = lr_d is not None or schedule_d is not None
+    if (g_overridden or d_overridden) and horizon_epochs is None:
+        raise ValueError("optimizer overrides need horizon_epochs")
+    S = cfg.data.spectrum_dim
+    B = cfg.train.batch_size
+    W = _up(S + 4)
+    clip = float(cfg.train.grad_clip)
+    k_d = int(settings.d_update_every)
+    use_ema = float(settings.ema_decay) > 0.0
+    bf16 = cfg.train.compute_dtype == "bfloat16"
+
+    def _mk_sched(kind: str, lr: float, total_epochs: int, spe: int):
+        from ..train.schedules import make_schedule
+
+        return make_schedule(kind, lr, total_epochs, spe)
+
+    def _mk_sub_call(live_steps: int):
+        def _streams(step, g_count, d_count, ds, key_e, scale, offset):
+            """Gather/schedule stream construction for ONE sub-epoch call
+            (the XLA prologue) — compiled as its OWN jitted program,
+            exactly like the forward sub-epoch driver (fusing it with the
+            aliased pallas_call corrupts kernel operands on v5e)."""
+            N = ds.spectra.shape[0]
+            spe = max(1, N // B)
+            L, spe_pad = _gan_sub_plan(spe)
+            if g_overridden:
+                g_sched = _mk_sched(
+                    schedule_g or "cosine",
+                    cfg.train.lr_g if lr_g is None else lr_g,
+                    horizon_epochs, spe,
+                )
+            else:
+                g_sched = cosine_schedule(
+                    cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01
+                )
+            if d_overridden:
+                d_sched = _mk_sched(
+                    schedule_d or "step",
+                    cfg.train.lr_d if lr_d is None else lr_d,
+                    horizon_epochs, spe,
+                )
+            else:
+                d_sched = step_schedule(
+                    cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25
+                )
+            idx_full = epoch_indices(key_e, N, B)              # (spe, B)
+            if spe_pad != spe:
+                # gated tail rows index sample 0 — data content is
+                # irrelevant (the live gate zeroes their effect) but must
+                # be a valid, finite batch
+                idx_full = jnp.pad(idx_full, ((0, spe_pad - spe), (0, 0)))
+            idx = jax.lax.dynamic_slice(idx_full, (offset, 0), (L, B))
+            par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
+            met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+            spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]
+            mask = (jnp.arange(L) < live_steps).astype(jnp.float32)
+            if k_d > 1:
+                d_mask = (
+                    (step + jnp.arange(L)) % k_d == 0
+                ).astype(jnp.float32) * mask
+                upd_before = (jnp.cumsum(d_mask) - d_mask).astype(d_count.dtype)
+            else:
+                d_mask = mask
+                upd_before = jnp.arange(L, dtype=d_count.dtype)
+            tg = g_count + jnp.arange(L)
+            td = d_count + upd_before
+            tgf = (tg + 1).astype(jnp.float32)
+            tdf = (td + 1).astype(jnp.float32)
+            lanes = [
+                g_sched(tg) * mask, d_sched(td) * mask,
+                mask / (1.0 - jnp.power(_B1, tgf)),
+                mask / (1.0 - jnp.power(_B2, tgf)),
+                mask / (1.0 - jnp.power(_B1, tdf)),
+                mask / (1.0 - jnp.power(_B2, tdf)),
+                d_mask,
+                scale.astype(jnp.float32) * mask,
+                mask,                              # `live` gate (lane 8)
+            ]
+            sched = jnp.stack(
+                lanes + [jnp.zeros((L,), jnp.float32)] * (LANE - len(lanes)),
+                axis=1,
+            ).reshape(L, 1, LANE)
+            lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
+            hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
+            return spec_g, par_g, met_g, sched, lo, hi
+
+        def _kernel_body(state, spe, *streams):
+            L, spe_pad = _gan_sub_plan(spe)
+            padded = spe_pad != spe
+            spec_c, par_c, met_c, sched_c, lo, hi = streams
+            if k_d > 1:
+                # D's actual update count this call = the live steps whose
+                # d_mask lane is 1 (padded tail rows stream d_mask 0)
+                d_inc = jnp.sum(sched_c[:, 0, 6]).astype(
+                    state.d_opt[1][0].count.dtype)
+            else:
+                d_inc = None
+            params_b, mv_b, stats, frozen = pack_state(
+                state, S, frozen_bf16=bf16
+            )
+            train = params_b + mv_b
+            if use_ema:
+                if state.g_ema is None:
+                    raise ValueError(
+                        "StepSettings.ema_decay > 0 requires a state carrying "
+                        "g_ema — init with init_pigan_state(..., ema=True) "
+                        "(Trainer does this automatically)"
+                    )
+                stats = stats + pack_ema(state, S)
+            bufs = train + stats
+            const = lambda shape: pl.BlockSpec(  # noqa: E731
+                shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+            )
+            n_state = len(bufs)
+            n_lead = 4 + 2 + len(frozen)          # streams + lo/hi + frozen
+            aliases = {} if _NO_ALIAS else {
+                n_lead + k: k for k in range(n_state)
+            }
+            pack = 1 if _DEBUG_PER_STEP else _resolve_pack(L, L)
+            kernel = _make_kernel(
+                S, B, spe, settings, clip,
+                bf16=bf16, row_steps=L, padded=padded,
+                mv_dtype=mv_b[0].dtype, pack=pack,
+            )
+            row = lambda *shape: pl.BlockSpec(  # noqa: E731
+                (pack,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+            in_specs = (
+                [row(B, W), row(B, LANE), row(B, LANE), row(1, LANE)]
+                + [const((1, LANE)), const((1, LANE))]
+                + [const(f.shape) for f in frozen]
+                + [const(b.shape) for b in bufs]
+            )
+            n_rows = L if _DEBUG_PER_STEP else 1
+            midx = (lambda i: (i, 0, 0)) if _DEBUG_PER_STEP else (
+                lambda i: (0, 0, 0))
+            out_specs = (
+                [const(b.shape) for b in bufs]
+                + [pl.BlockSpec((1, 1, LANE), midx, memory_space=pltpu.VMEM)]
+            )
+            out_shape = (
+                [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs]
+                + [jax.ShapeDtypeStruct((n_rows, 1, LANE), jnp.float32)]
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=(L // pack,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases=aliases,
+                interpret=interpret,
+                **({} if interpret else dict(
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 2**20,
+                    ))),
+            )(spec_c, par_c, met_c, sched_c, lo, hi, *frozen, *bufs)
+            bufs_out = outs[:n_state]
+            mrows = outs[n_state]
+            n_p = len(params_b)
+            params_out = bufs_out[:n_p]
+            mv_out = bufs_out[n_p: 2 * n_p]
+            stats_out = bufs_out[2 * n_p: 2 * n_p + 2]
+            ema_out = bufs_out[2 * n_p + 2:] if use_ema else None
+            new_state = unpack_state(
+                state, params_out, mv_out, stats_out, live_steps, S,
+                d_steps=d_inc, ema_out=ema_out,
+            )
+            return new_state, jnp.sum(mrows, axis=0)[0]        # (LANE,)
+
+        donate = () if _NO_DONATE else (0,)
+        stream_jit = jax.jit(_streams)
+        kernel_jit = partial(jax.jit, static_argnums=(1,),
+                             donate_argnums=donate)(_kernel_body)
+
+        def sub_call(state, ds, key_e, scale, offset):
+            spe = max(1, ds.spectra.shape[0] // B)
+            streams = stream_jit(
+                state.step, state.g_opt[1][0].count,
+                state.d_opt[1][0].count, ds, key_e, scale, offset,
+            )
+            return kernel_jit(state, spe, *streams)
+
+        return sub_call
+
+    calls: dict = {}
+
+    def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
+        E = int(scales.shape[0])
+        N = int(ds.spectra.shape[0])
+        spe = max(1, N // B)
+        L, spe_pad = _gan_sub_plan(spe)
+        n_sub = spe_pad // L
+        tail_live = L - (spe_pad - spe)     # == L on ungated plans
+        keys = jax.random.split(key, E)
+        rows = []
+        dispatched = 0
+        for e in range(E):
+            acc = None
+            for j in range(n_sub):
+                live = tail_live if j == n_sub - 1 else L
+                if live not in calls:
+                    calls[live] = _mk_sub_call(live)
+                state, mrow = calls[live](
+                    state, ds, keys[e], scales[e], jnp.int32(j * L)
+                )
+                acc = mrow if acc is None else acc + mrow
+                dispatched += 1
+                if _GAN_SUB_SYNC_EVERY and dispatched % _GAN_SUB_SYNC_EVERY == 0:
+                    jax.device_get(state.step)
+            rows.append(acc)
+        mets = jnp.stack(rows)                                 # (E, LANE)
+        mkeys = METRIC_KEYS + (
+            ("constraint_loss",) if settings.constraint_w else ()
+        )
+        metrics = {k: mets[:, j] for j, k in enumerate(mkeys)}
+        if _DEBUG_LANES:
+            for off in range(16):
+                metrics[f"dbg_{off}"] = mets[:, len(mkeys) + off]
+        return state, metrics
+
+    multi_epoch.sub_epoch = True  # Trainer: skip the per-call chunk clamp
+    # exposed for hardware forensics (examples/gan_subepoch_probe.py):
+    # drive individual sub-calls with host syncs between them
+    multi_epoch._mk_sub_call = _mk_sub_call
+    multi_epoch._calls = calls
     return multi_epoch
 
 

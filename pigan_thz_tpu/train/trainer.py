@@ -141,30 +141,45 @@ class Trainer:
         )
 
         # every dataset size is in-envelope: large spe decomposes each
-        # epoch into uniform sub-epoch launches, and divisor-less spe
-        # (e.g. prime) pads each epoch with gated no-op steps
-        # (ops/megakernel.py _launch_plan)
+        # epoch into uniform sub-epoch launches, divisor-less spe (e.g.
+        # prime) pads each epoch with gated no-op steps (ops/megakernel.py
+        # _launch_plan), and datasets past even the ONE-epoch-per-program
+        # scale run each epoch as chained single-launch jitted calls
+        # (make_pallas_subepoch_fn — the forward driver's proven design)
         reason = supports_megakernel(self.cfg, settings)
+        use_sub = False
         if reason is None:
-            from ..ops.megakernel import _launch_plan, _MAX_PROGRAM_GRID
+            from ..ops.megakernel import (
+                _launch_plan,
+                _MAX_PROGRAM_GRID,
+                supports_gan_subepoch,
+            )
 
             spe_pad = _launch_plan(2, self.steps_per_epoch)[3]
             if spe_pad > _MAX_PROGRAM_GRID:
                 # even a one-epoch call would exceed the proven per-program
-                # grid scale (_mega_gan_chunk_cap can't clamp below E=1)
-                reason = (
-                    f"per-epoch grid {spe_pad} exceeds the per-program "
-                    f"envelope {_MAX_PROGRAM_GRID} (dataset too large for "
-                    "one-epoch-per-call)"
-                )
+                # grid scale (_mega_gan_chunk_cap can't clamp below E=1):
+                # chained sub-epoch driver, with its tighter envelope
+                sub_reason = supports_gan_subepoch(settings)
+                if sub_reason is not None:
+                    reason = (
+                        f"dataset past the one-program envelope "
+                        f"({spe_pad} > {_MAX_PROGRAM_GRID}) and {sub_reason}"
+                    )
+                else:
+                    use_sub = True
         on_tpu = jax.default_backend() == "tpu"
         if reason is not None or (self.megakernel == "auto" and not on_tpu):
             if self.megakernel == "force" and reason is not None:
                 raise ValueError(f"megakernel='force' but: {reason}")
             return None
-        cache_key = ("gan-mega", settings, override_key)
+        cache_key = ("gan-mega-sub" if use_sub else "gan-mega",
+                     settings, override_key)
         if cache_key not in self._epoch_fns:
-            self._log_always("megakernel engaged: VMEM-resident Pallas epoch kernel")
+            self._log_always(
+                "megakernel engaged: VMEM-resident Pallas epoch kernel"
+                + (" (chained sub-epoch driver)" if use_sub else "")
+            )
             kwargs = {}
             if override_key:
                 # per-phase optimizer policy: same knobs train_pigan used to
@@ -176,7 +191,13 @@ class Trainer:
                     lr_g=lr_g, lr_d=lr_d, schedule_g=schedule_g,
                     schedule_d=schedule_d, horizon_epochs=epochs,
                 )
-            self._epoch_fns[cache_key] = make_pallas_multi_epoch_fn(
+            if use_sub:
+                from ..ops.megakernel import make_pallas_subepoch_fn
+
+                factory = make_pallas_subepoch_fn
+            else:
+                factory = make_pallas_multi_epoch_fn
+            self._epoch_fns[cache_key] = factory(
                 self.cfg, settings, interpret=not on_tpu, **kwargs
             )
         return self._epoch_fns[cache_key]
@@ -620,11 +641,15 @@ class Trainer:
         stop = False
         xla_routes = (
             self._plan_small_grid_routes(epochs, forward=False)
-            if mega_active else set()
+            if mega_active and not getattr(multi_epoch, "sub_epoch", False)
+            else set()
         )
         while epoch < epochs and not stop:
             chunk = min(self.epochs_per_call, epochs - epoch)
-            if mega_active:
+            if mega_active and not getattr(multi_epoch, "sub_epoch", False):
+                # the sub-epoch driver (datasets past the one-program
+                # envelope) enforces the per-program bound internally —
+                # every sub-call is one single launch of <= _MAX_GRID steps
                 chunk = self._mega_gan_chunk_cap(chunk)
             key, sub = jax.random.split(key)
             scales = jnp.asarray(

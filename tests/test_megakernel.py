@@ -761,6 +761,195 @@ def test_megakernel_nondefault_range_window(cfg):
         )
 
 
+def _setup_sub(cfg, num_samples, settings=None, monkeypatch=None):
+    """Like _setup but builds the chained GAN SUB-EPOCH driver
+    (make_pallas_subepoch_fn) with the grid caps monkeypatched small so
+    interpret mode stays cheap — plus the ONE-PROGRAM pallas factory at
+    the SAME caps as the bit-exact reference (at these caps _launch_plan
+    decomposes it into the same launch/row sizes, so the two must agree
+    BITWISE; the one-program kernel's own XLA parity is covered by
+    test_megakernel_matches_xla_step and friends)."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    monkeypatch.setattr(MK, "_MAX_GRID", 4)
+    monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 2)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
+    ds = synthetic_dataset(cfg.data)
+    g, d, f = build_trio(cfg)
+    spe = ds.num_samples // cfg.train.batch_size
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    if settings is None:
+        settings = StepSettings.from_config(cfg)
+    state = init_pigan_state(
+        g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
+        ema=float(settings.ema_decay) > 0.0,
+    )
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi)
+    xla = make_multi_epoch_fn(step, cfg.train.batch_size, with_scale=True, unroll=1)
+    one = make_pallas_multi_epoch_fn(cfg, settings, interpret=True)
+    from pigan_thz_tpu.ops.megakernel import make_pallas_subepoch_fn
+
+    sub = make_pallas_subepoch_fn(cfg, settings, interpret=True)
+    return ds, state, xla, one, sub
+
+
+def _assert_bitwise_state(st_a, st_b):
+    """Every leaf of two PiGanStates identical to the bit (metrics aside,
+    the chained driver must reproduce the one-program kernel EXACTLY —
+    same kernel function, same launch sizes, exact pad/crop round trips
+    between calls)."""
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_a)[0], jax.tree.leaves(st_b)
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=_leafname(path)
+        )
+
+
+def _assert_gan_state_close(st_x, st_p):
+    """vs-XLA trailer (established megakernel tolerances): bookkeeping
+    exact, D params / BN stats / non-gauge G params elementwise-close."""
+    assert int(st_p.step) == int(st_x.step)
+    assert bool(jnp.all(st_p.rng == st_x.rng))
+    assert int(st_p.g_opt[1][0].count) == int(st_x.g_opt[1][0].count)
+    assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count)
+    # atols here are a touch looser than test_megakernel_matches_xla_step's
+    # (those were tuned on its specific trajectory); they still catch
+    # structural errors, which give O(1) differences — the bit-exact
+    # sub-vs-one-program check is the load-bearing assertion
+    for x, y in zip(jax.tree.leaves(st_x.d.params), jax.tree.leaves(st_p.d.params)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=2e-3)
+    # BN running stats absorb the gauge biases' ±lr random walk (module
+    # docstring); the drift depends on the trajectory
+    for x, y in zip(jax.tree.leaves(st_x.g.extra), jax.tree.leaves(st_p.g.extra)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=3e-2)
+    for (path, x), y in zip(
+        jax.tree_util.tree_flatten_with_path(st_x.g.params)[0],
+        jax.tree.leaves(st_p.g.params),
+    ):
+        if _leafname(path) in _GAUGE:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=2e-3, err_msg=_leafname(path)
+        )
+
+
+def test_gan_subepoch_driver_parity(cfg, monkeypatch):
+    """Chained GAN sub-epoch driver (round 3c, datasets past the
+    one-program grid envelope): each epoch runs as spe/L chained
+    single-launch jitted calls.  BIT-identical to the one-program pallas
+    kernel at the same launch sizes (metrics and every state leaf), and
+    within the established megakernel tolerances of the XLA trajectory.
+    Caps monkeypatched small: spe=8 -> two calls of 4 steps per epoch."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    ds, state, xla, one, sub = _setup_sub(cfg, 512, monkeypatch=monkeypatch)
+    assert MK._gan_sub_plan(8) == (4, 8)
+    assert getattr(sub, "sub_epoch", False)
+    st0_b, st0_c = (jax.tree.map(jnp.copy, state) for _ in range(2))
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    st_x, m_x = xla(state, ds, key, ones)
+    st_o, m_o = one(st0_b, ds, key, ones)
+    st_p, m_p = sub(st0_c, ds, key, ones)
+    assert set(m_p) == set(METRIC_KEYS) == set(m_x)
+    for k in METRIC_KEYS:
+        np.testing.assert_array_equal(
+            np.asarray(m_p[k]), np.asarray(m_o[k]), err_msg=k
+        )
+    _assert_bitwise_state(st_o, st_p)
+    assert int(st_p.step) == 16
+    _assert_gan_state_close(st_x, st_p)
+
+
+@pytest.mark.slow
+def test_gan_subepoch_gated_padding_parity(cfg, monkeypatch):
+    """Divisor-less spe on the GAN sub-epoch driver: the epoch pads to
+    spe_pad chained call steps and the TAIL call's padded steps are gated
+    no-ops — bit-identical to the one-program gated plan, and step/rng/
+    counts advance by REAL steps only.  spe=7 (prime) pads to 8: two
+    calls of 4, tail live=3."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    ds, state, xla, one, sub = _setup_sub(cfg, 448, monkeypatch=monkeypatch)
+    assert MK._gan_sub_plan(7) == (4, 8)
+    st0_b, st0_c = (jax.tree.map(jnp.copy, state) for _ in range(2))
+    ones = jnp.ones((2,), jnp.float32)
+    key = jax.random.PRNGKey(13)
+    st_x, m_x = xla(state, ds, key, ones)
+    st_o, m_o = one(st0_b, ds, key, ones)
+    st_p, m_p = sub(st0_c, ds, key, ones)
+    for k in METRIC_KEYS:
+        np.testing.assert_array_equal(
+            np.asarray(m_p[k]), np.asarray(m_o[k]), err_msg=k
+        )
+    _assert_bitwise_state(st_o, st_p)
+    # padded tail steps advance NOTHING: step/rng/counts all count 14 real
+    assert int(st_p.step) == int(st_x.step) == 14
+    _assert_gan_state_close(st_x, st_p)
+
+
+@pytest.mark.slow
+def test_gan_subepoch_program_knobs_parity(cfg, monkeypatch):
+    """The program-phase knobs the sub driver supports in-kernel
+    (d_update_every > 1 with cross-call D-count continuity, constraint
+    annealing via the scale lane, EMA track) stay bit-identical to the
+    one-program kernel through a padded chained plan (spe=7 -> calls of
+    4, tail live=3) with a non-uniform annealing schedule, and track XLA
+    at the established tolerances."""
+    settings = dataclasses.replace(
+        StepSettings.from_config(cfg),
+        d_update_every=2, constraint_w=0.5, ema_decay=0.99,
+    )
+    ds, state, xla, one, sub = _setup_sub(
+        cfg, 448, settings=settings, monkeypatch=monkeypatch
+    )
+    st0_b, st0_c = (jax.tree.map(jnp.copy, state) for _ in range(2))
+    scales = jnp.asarray([1.0, 0.25], jnp.float32)
+    key = jax.random.PRNGKey(17)
+    st_x, m_x = xla(state, ds, key, scales)
+    st_o, m_o = one(st0_b, ds, key, scales)
+    st_p, m_p = sub(st0_c, ds, key, scales)
+    assert set(m_p) == set(METRIC_KEYS) | {"constraint_loss"}
+    for k in m_p:
+        np.testing.assert_array_equal(
+            np.asarray(m_p[k]), np.asarray(m_o[k]), err_msg=k
+        )
+    _assert_bitwise_state(st_o, st_p)
+    # D updated on every SECOND real step only: 14 real steps -> 7 updates
+    assert int(st_p.d_opt[1][0].count) == int(st_x.d_opt[1][0].count) == 7
+    _assert_gan_state_close(st_x, st_p)
+    for x, y in zip(jax.tree.leaves(st_x.g_ema), jax.tree.leaves(st_p.g_ema)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=5e-4)
+
+
+def test_gan_subepoch_envelope(cfg):
+    """supports_gan_subepoch: the stochastic-stream knobs are out of the
+    chained driver's envelope (their rng chain spans the whole epoch) and
+    the factory refuses them."""
+    from pigan_thz_tpu.ops.megakernel import (
+        make_pallas_subepoch_fn,
+        supports_gan_subepoch,
+    )
+
+    base = StepSettings.from_config(cfg)
+    assert supports_gan_subepoch(base) is None
+    assert supports_gan_subepoch(
+        dataclasses.replace(base, d_update_every=2, constraint_w=1.0,
+                            cycle_w=0.5, sigmoid_squash=True, ema_decay=0.9)
+    ) is None
+    for bad in (
+        dict(instance_noise=0.05),
+        dict(stability_w=0.1),
+        dict(augment_noise=0.05),
+        dict(gan_loss="wgan_gp"),
+    ):
+        s = dataclasses.replace(base, **bad)
+        assert supports_gan_subepoch(s) is not None
+        with pytest.raises(ValueError, match="rng chain"):
+            make_pallas_subepoch_fn(cfg, s, interpret=True)
+
+
 def test_launch_plan_uniform(monkeypatch):
     """Launch decomposition is UNIFORM: n identical launches, no tail.
     Covers the round-2 corrupting shape (epochs_per_call=25 at spe=15,

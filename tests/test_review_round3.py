@@ -51,21 +51,29 @@ def test_backup_tag_rejects_canonical_collisions(cfg, small_ds, tmp_path):
     assert ckpt.exists(str(tmp_path), "generator_emergency")
 
 
-def test_gan_megakernel_refuses_oversized_epoch(cfg, small_ds, monkeypatch):
+def test_gan_megakernel_oversized_epoch_routing(cfg, small_ds, monkeypatch):
     """A single epoch larger than _MAX_PROGRAM_GRID can't be clamped by the
-    chunk cap (E=1 floor): auto returns None, force raises — never an
+    chunk cap (E=1 floor): default settings route to the chained
+    sub-epoch driver (round 3c); settings outside its stochastic-stream
+    envelope return None in auto and raise under force — never an
     unprobed program size."""
+    import dataclasses as dc
+
     from pigan_thz_tpu.ops import megakernel as MK
     from pigan_thz_tpu.train import trainer as trainer_mod
 
     monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
     t = Trainer(cfg, ds=small_ds, megakernel="auto")
     t.steps_per_epoch = MK._MAX_PROGRAM_GRID + 1
-    assert t._maybe_megakernel(StepSettings.from_config(cfg), None) is None
+    fn = t._maybe_megakernel(StepSettings.from_config(cfg), None)
+    assert fn is not None and getattr(fn, "sub_epoch", False)
+    # a stochastic-stream knob is outside the sub driver's envelope
+    noisy = dc.replace(StepSettings.from_config(cfg), instance_noise=0.05)
+    assert t._maybe_megakernel(noisy, None) is None
     tf = Trainer(cfg, ds=small_ds, megakernel="force")
     tf.steps_per_epoch = MK._MAX_PROGRAM_GRID + 1
-    with pytest.raises(ValueError, match="per-program envelope"):
-        tf._maybe_megakernel(StepSettings.from_config(cfg), None)
+    with pytest.raises(ValueError, match="whole-epoch rng chain"):
+        tf._maybe_megakernel(noisy, None)
 
 
 def test_gated_pad_policy_shared():
