@@ -35,19 +35,18 @@ VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
 real_make_kernel = MK._make_kernel
 
 def stripped_make_kernel(S, B, steps_per_epoch, settings, clip, bf16=False,
-                         row_steps=None, padded=False, mv_dtype=jnp.float32,
-                         pack=1):
+                         row_steps=None, padded=False, pack=1):
     if VARIANT == "full":
         return real_make_kernel(S, B, steps_per_epoch, settings, clip, bf16,
-                                row_steps, padded, mv_dtype, pack)
+                                row_steps, padded, pack)
     if pack != 1:
         # stripped bodies model one step per grid iteration; probe at full
         # grids (>= _MIN_CLEAN_GRID) where _resolve_pack returns 1
         raise SystemExit(f"stripped variants require pack=1, got {pack}")
     W = _up(S + 4)
     rs = row_steps or steps_per_epoch
-    n_state = 34
-    adam_apply = MK._make_adam(MK._B1, MK._B2, clip, mv_dtype)
+    n_state = 18
+    adam_apply = MK._make_adam(MK._B1, MK._B2, clip)
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -60,7 +59,6 @@ def stripped_make_kernel(S, B, steps_per_epoch, settings, clip, bf16=False,
         for _ in range(n_state):
             next(it)
         train = [next(it) for _ in range(16)]
-        mv = [next(it) for _ in range(16)]
         stats = [next(it) for _ in range(2)]
         metrics_ref = next(it)
 
@@ -113,7 +111,7 @@ def stripped_make_kernel(S, B, steps_per_epoch, settings, clip, bf16=False,
             dWd1 = jax.lax.dot_general(x0, dp1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dbd1 = jnp.sum(dp1, axis=0, keepdims=True)
             if VARIANT != "noadam":
-                adam_apply(list(zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3], mv[10:16])),
+                adam_apply([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
                            [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3], lr_d, inv1_d, inv2_d)
             else:
                 for pref, gr in zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],

@@ -99,8 +99,15 @@ def supports_megakernel(cfg: PiGanConfig, settings) -> str | None:
         return "forward model is not the baseline MLP"
     if cfg.train.compute_dtype not in ("float32", "bfloat16"):
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
-    if cfg.train.adam_state_dtype not in ("float32", "bfloat16"):
-        return f"adam_state_dtype {cfg.train.adam_state_dtype!r} unsupported"
+    if cfg.train.adam_state_dtype != "float32":
+        # bf16 moments need the split param/moment buffer layout, which
+        # miscompiles on v5e (round-3d root cause: the split DOUBLED the
+        # aliased operand count and corrupted both kernels — small-grid
+        # NaNs + finite-but-wrong forward training; RESULTS.md).  The
+        # kernel carries the hardware-validated packed (3, r, c) fp32
+        # layout; narrow moments stay an XLA-path feature
+        # (schedules.scale_by_adam_bf16).
+        return "adam_state_dtype != float32 is XLA-path only"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
     if cfg.discriminator.leaky_slope != 0.2 or cfg.forward_model.leaky_slope != 0.2:
@@ -229,14 +236,18 @@ _F_DIMS = (256, 512, 1024, 512, 256)
 
 
 def pack_state(state, S: int, frozen_bf16: bool = False):
-    """PiGanState -> (param_bufs, mv_bufs, stat_bufs, frozen_bufs), padded.
+    """PiGanState -> (train_bufs, stat_bufs, frozen_bufs), all padded fp32.
 
-    param buf = (1, r, c) fp32; mv buf = stack([adam_mu, adam_nu]) ->
-    (2, r, c) in the STATE's own moment dtype — fp32, or bf16 under
-    adam_state_dtype="bfloat16"; the split layout is what lets the
-    moments carry a narrower dtype than the master weights, halving the
-    optimizer-state VMEM traffic that bounds the kernel (RESULTS.md);
-    stat buf = stack([running_mean, running_var]) -> (2, 1, c).
+    train buf = stack([param, adam_mu, adam_nu]) -> (3, r, c);
+    stat buf  = stack([running_mean, running_var]) -> (2, 1, c).
+
+    The packed (3, r, c) layout is a HARDWARE invariant, not a style
+    choice: splitting it into (1, r, c) param + (2, r, c) moment planes
+    (to carry bf16 moments) doubled the aliased operand count and
+    miscompiled both kernels on v5e — deterministic small-grid NaNs and
+    finite-but-wrong forward training, exact in interpret mode
+    (round-3d root cause, RESULTS.md).  supports_megakernel gates
+    adam_state_dtype != float32 onto the XLA path instead.
 
     frozen_bf16 stores F's MXU-consumed matrices (the four hidden-layer
     kernels and the spectrum head) in bfloat16 — bit-identical to
@@ -247,17 +258,19 @@ def pack_state(state, S: int, frozen_bf16: bool = False):
     g_adam = state.g_opt[1][0]
     d_adam = state.d_opt[1][0]
     trees = {"g": (gP, g_adam.mu, g_adam.nu), "d": (dP, d_adam.mu, d_adam.nu)}
-    params, mv = [], []
+    train = []
     for path, (r, c) in _train_tensor_specs(S):
         p, mu, nu = trees[path[0]]
         tr = path in _TRANSPOSED
 
         def grab(t):
             x = _get(t, path[1:])
-            return x.T if tr else x
+            x = x.T if tr else x
+            return x.astype(jnp.float32)
 
-        params.append(_pad2(grab(p), r, c).reshape(1, r, c))
-        mv.append(jnp.stack([_pad2(grab(mu), r, c), _pad2(grab(nu), r, c)]))
+        train.append(jnp.stack([
+            _pad2(grab(p), r, c), _pad2(grab(mu), r, c), _pad2(grab(nu), r, c),
+        ]))
     bs = state.g.extra["batch_stats"]
     stats = []
     for blk, c in (("MLPBlock_0", 512), ("MLPBlock_1", 256)):
@@ -292,7 +305,7 @@ def pack_state(state, S: int, frozen_bf16: bool = False):
         # MXU-consumed matrices only: layer 1-4 kernels + spectrum head
         for idx in (4, 8, 12, 16, 20):
             frozen[idx] = frozen[idx].astype(jnp.bfloat16)
-    return params, mv, stats, frozen
+    return train, stats, frozen
 
 
 def pack_ema(state, S: int):
@@ -306,7 +319,7 @@ def pack_ema(state, S: int):
     return out
 
 
-def unpack_state(state, params_out, mv_out, stats_out, n_steps: int, S: int,
+def unpack_state(state, train_out, stats_out, n_steps: int, S: int,
                  d_steps=None, ema_out=None):
     """Rebuild a PiGanState from the kernel's updated buffers.  `d_steps`
     (default n_steps) is D's ACTUAL update count — with d_update_every > 1
@@ -319,15 +332,14 @@ def unpack_state(state, params_out, mv_out, stats_out, n_steps: int, S: int,
         "g": [gP, g_adam.mu, g_adam.nu],
         "d": [dP, d_adam.mu, d_adam.nu],
     }
-    for i, (path, _) in enumerate(_train_tensor_specs(S)):
-        planes = (params_out[i][0], mv_out[i][0], mv_out[i][1])
+    for (path, _), buf in zip(_train_tensor_specs(S), train_out):
         for slot in range(3):
             tgt = new[path[0]][slot]
             leaf = _get(tgt, path[1:])
             if path in _TRANSPOSED:
-                val = _crop(planes[slot], (leaf.shape[1], leaf.shape[0])).T
+                val = _crop(buf[slot], (leaf.shape[1], leaf.shape[0])).T
             else:
-                val = _crop(planes[slot], leaf.shape)
+                val = _crop(buf[slot], leaf.shape)
             new[path[0]][slot] = _set(tgt, path[1:], val.astype(leaf.dtype))
     bs = state.g.extra["batch_stats"]
     for (blk, c), buf in zip((("MLPBlock_0", 512), ("MLPBlock_1", 256)), stats_out):
@@ -394,33 +406,28 @@ _BN_EPS, _LN_EPS, _BN_MOM = 1e-5, 1e-6, 0.9
 _SLOPE = 0.2
 
 
-def _make_adam(b1: float, b2: float, clip: float, mv_dtype=jnp.float32):
-    """In-kernel clip_by_global_norm + Adam over split buffers: each entry
-    of `bufs` is a (param_ref (1,r,c) fp32, mv_ref (2,r,c) mv_dtype) pair.
-    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections.  The moment
-    recurrence computes in fp32 and stores in mv_dtype (optax parity in
-    fp32; schedules.scale_by_adam_bf16 parity in bf16).  `gate` (scalar
-    0/1) skips the whole update when 0 — params AND moments stay put,
-    reproducing the XLA d_update_every skip branch where the optimizer
-    state is untouched."""
+def _make_adam(b1: float, b2: float, clip: float):
+    """In-kernel clip_by_global_norm + Adam over packed (3, r, c) buffers.
+    inv1/inv2 are the precomputed 1/(1-b^t) bias corrections.  `gate`
+    (scalar 0/1) skips the whole update when 0 — params AND moments stay
+    put, reproducing the XLA d_update_every skip branch where the
+    optimizer state is untouched."""
 
     def apply(bufs, grads, lr, inv1, inv2, gate=None):
         gn = jnp.sqrt(sum(jnp.sum(g * g) for g in grads))
         scale = jnp.where(gn < clip, 1.0, clip / gn)
-        for (pref, mvref), g in zip(bufs, grads):
+        for ref, g in zip(bufs, grads):
             g = g * scale
-            m = b1 * mvref[0].astype(jnp.float32) + (1.0 - b1) * g
-            v = b2 * mvref[1].astype(jnp.float32) + (1.0 - b2) * g * g
-            p = pref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
+            m = b1 * ref[1] + (1.0 - b1) * g
+            v = b2 * ref[2] + (1.0 - b2) * g * g
+            p = ref[0] - lr * (m * inv1) / (jnp.sqrt(v * inv2) + _EPS)
             if gate is None:
-                pref[0] = p
-                mvref[0] = m.astype(mv_dtype)
-                mvref[1] = v.astype(mv_dtype)
+                ref[0], ref[1], ref[2] = p, m, v
             else:
                 on = gate > 0.0
-                pref[0] = jnp.where(on, p, pref[0])
-                mvref[0] = jnp.where(on, m.astype(mv_dtype), mvref[0])
-                mvref[1] = jnp.where(on, v.astype(mv_dtype), mvref[1])
+                ref[0] = jnp.where(on, p, ref[0])
+                ref[1] = jnp.where(on, m, ref[1])
+                ref[2] = jnp.where(on, v, ref[2])
 
     return apply
 
@@ -740,7 +747,7 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int,
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False, row_steps: int | None = None, padded: bool = False,
-    mv_dtype=jnp.float32, pack: int = 1,
+    pack: int = 1,
 ):
     """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
     tensor) lerped after each G update, VMEM-resident like the params.
@@ -816,10 +823,9 @@ def _make_kernel(
     def csum(x):
         return jnp.sum(x, axis=0, keepdims=True)
 
-    adam_apply = _make_adam(_B1, _B2, clip, mv_dtype)
+    adam_apply = _make_adam(_B1, _B2, clip)
 
-    # 16 param + 16 adam-moment + 2 stats (+ 10 G EMA)
-    n_state = 34 + (10 if ema else 0)
+    n_state = 18 + (10 if ema else 0)  # 16 train + 2 stats (+ 10 G EMA)
 
     def kernel(*refs):
         it = iter(refs)
@@ -831,10 +837,9 @@ def _make_kernel(
         frozen = [next(it) for _ in range(24)]
         for _ in range(n_state):   # aliased state inputs; use output refs
             next(it)
-        train = [next(it) for _ in range(16)]   # param planes (1, r, c)
-        mv = [next(it) for _ in range(16)]      # adam moments (2, r, c)
+        train = [next(it) for _ in range(16)]   # packed (3, r, c) buffers
         stats = [next(it) for _ in range(2)]
-        ema_bufs = [next(it) for _ in range(n_state - 34)]
+        ema_bufs = [next(it) for _ in range(n_state - 18)]
         metrics_ref = next(it)
 
         i = pl.program_id(0)
@@ -1005,7 +1010,7 @@ def _make_kernel(
                     row8 == 0, jnp.sum(dV * m2g, axis=0, keepdims=True), 0.0
                 )
             adam_apply(
-                list(zip([d_w1, d_b1, d_w2, d_b2, d_w3, d_b3], mv[10:16])),
+                [d_w1, d_b1, d_w2, d_b2, d_w3, d_b3],
                 [dWd1, dbd1, dWd2, dbd2, dWd3, dbd3],
                 lr_d, inv1_d, inv2_d,
                 gate=d_gate if (gate_d or padded) else None,
@@ -1439,11 +1444,8 @@ def _make_kernel(
                 dgam2, dbet2 = dgam2 + sgam2, dbet2 + sbet2
                 dWg3, dbg3 = dWg3 + sWg3, dbg3 + sbg3
             adam_apply(
-                list(zip(
-                    [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
-                     g_w3, g_b3],
-                    mv[:10],
-                )),
+                [g_w1, g_b1, g_gam1, g_bet1, g_w2, g_b2, g_gam2, g_bet2,
+                 g_w3, g_b3],
                 [dWg1, dbg1, dgam1, dbet1, dWg2, dbg2, dgam2, dbet2, dWg3, dbg3],
                 lr_g, inv1_g, inv2_g,
                 gate=live,
@@ -1483,8 +1485,7 @@ def _make_kernel(
                     jnp.sum(jnp.abs(u1)), jnp.min(var1), jnp.sum(jnp.abs(pn)),
                     jnp.sum(jnp.abs(x0)), jnp.sum(jnp.abs(p1)),
                     jnp.sum(jnp.abs(z)), jnp.sum(jnp.abs(d_w1[0])),
-                    jnp.sum(jnp.abs(mv[10][0].astype(jnp.float32))),
-                    jnp.sum(jnp.abs(mv[10][1].astype(jnp.float32))),
+                    jnp.sum(jnp.abs(d_w1[1])), jnp.sum(jnp.abs(d_w1[2])),
                     jnp.sum(jnp.abs(g_w1[0])), jnp.sum(jnp.abs(recon)),
                     lr_g, inv2_g, jnp.sum(jnp.abs(sched_row)),
                 )
@@ -1717,10 +1718,9 @@ def make_pallas_multi_epoch_fn(
                 state.d_opt[1][0].count.dtype)
         else:
             d_inc = None
-        params_b, mv_b, stats, frozen = pack_state(
+        train, stats, frozen = pack_state(
             state, S, frozen_bf16=cfg.train.compute_dtype == "bfloat16"
         )
-        train = params_b + mv_b
         if use_ema:
             if state.g_ema is None:
                 raise ValueError(
@@ -1742,8 +1742,7 @@ def make_pallas_multi_epoch_fn(
         kernel = _make_kernel(
             S, B, spe, settings, clip,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=plan_rs, padded=pad > 0,
-            mv_dtype=mv_b[0].dtype, pack=pack,
+            row_steps=plan_rs, padded=pad > 0, pack=pack,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -1789,13 +1788,11 @@ def make_pallas_multi_epoch_fn(
         bufs, mrows = _chunked_launch(
             launch, train + stats, tuple(step_streams), E, spe,
         )
-        n_p = len(params_b)
-        params_out = bufs[:n_p]
-        mv_out = bufs[n_p: 2 * n_p]
-        stats_out = bufs[2 * n_p: 2 * n_p + 2]
-        ema_out = bufs[2 * n_p + 2:] if use_ema else None
+        train_out = bufs[:16]
+        stats_out = bufs[16:18]
+        ema_out = bufs[18:] if use_ema else None
         new_state = unpack_state(
-            state, params_out, mv_out, stats_out, T, S, d_steps=d_inc,
+            state, train_out, stats_out, T, S, d_steps=d_inc,
             ema_out=ema_out,
         )
         mkeys = METRIC_KEYS + (
@@ -1969,10 +1966,7 @@ def make_pallas_subepoch_fn(
                     state.d_opt[1][0].count.dtype)
             else:
                 d_inc = None
-            params_b, mv_b, stats, frozen = pack_state(
-                state, S, frozen_bf16=bf16
-            )
-            train = params_b + mv_b
+            train, stats, frozen = pack_state(state, S, frozen_bf16=bf16)
             if use_ema:
                 if state.g_ema is None:
                     raise ValueError(
@@ -1993,8 +1987,7 @@ def make_pallas_subepoch_fn(
             pack = 1 if _DEBUG_PER_STEP else _resolve_pack(L, L)
             kernel = _make_kernel(
                 S, B, spe, settings, clip,
-                bf16=bf16, row_steps=L, padded=padded,
-                mv_dtype=mv_b[0].dtype, pack=pack,
+                bf16=bf16, row_steps=L, padded=padded, pack=pack,
             )
             row = lambda *shape: pl.BlockSpec(  # noqa: E731
                 (pack,) + shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -2031,13 +2024,11 @@ def make_pallas_subepoch_fn(
             )(spec_c, par_c, met_c, sched_c, lo, hi, *frozen, *bufs)
             bufs_out = outs[:n_state]
             mrows = outs[n_state]
-            n_p = len(params_b)
-            params_out = bufs_out[:n_p]
-            mv_out = bufs_out[n_p: 2 * n_p]
-            stats_out = bufs_out[2 * n_p: 2 * n_p + 2]
-            ema_out = bufs_out[2 * n_p + 2:] if use_ema else None
+            train_out = bufs_out[:16]
+            stats_out = bufs_out[16:18]
+            ema_out = bufs_out[18:] if use_ema else None
             new_state = unpack_state(
-                state, params_out, mv_out, stats_out, live_steps, S,
+                state, train_out, stats_out, live_steps, S,
                 d_steps=d_inc, ema_out=ema_out,
             )
             return new_state, jnp.sum(mrows, axis=0)[0]        # (LANE,)
@@ -2122,8 +2113,12 @@ def supports_forward_megakernel(cfg: PiGanConfig) -> str | None:
         return "forward model is not the baseline MLP"
     if cfg.train.compute_dtype not in ("float32", "bfloat16"):
         return f"compute_dtype {cfg.train.compute_dtype!r} unsupported"
-    if cfg.train.adam_state_dtype not in ("float32", "bfloat16"):
-        return f"adam_state_dtype {cfg.train.adam_state_dtype!r} unsupported"
+    if cfg.train.adam_state_dtype != "float32":
+        # same hardware invariant as the GAN kernel: the split
+        # param/moment layout bf16 moments require miscompiles on v5e
+        # (round-3d root cause, RESULTS.md) — narrow moments are an
+        # XLA-path feature
+        return "adam_state_dtype != float32 is XLA-path only"
     if cfg.data.param_dim != 4 or cfg.data.metrics_dim != 8:
         return "non-default param/metrics dims"
     if cfg.forward_model.leaky_slope != 0.2:
@@ -2160,11 +2155,11 @@ def _fwd_tensor_specs(S: int):
 
 
 def pack_forward_state(state, S: int):
-    """ForwardState -> (param_bufs (1,r,c) fp32, mv_bufs (2,r,c) in the
-    state's moment dtype) — split layout, see pack_state."""
+    """ForwardState -> packed (3, r, c) fp32 buffers [param, mu, nu] —
+    the hardware-validated layout, see pack_state."""
     adam = state.opt[1][0]
     fP, mu, nu = state.f.params, adam.mu, adam.nu
-    params, mv = [], []
+    bufs = []
     for path, (r, c) in _fwd_tensor_specs(S):
         if path[0] == "Dense_0":
             which = path[2]
@@ -2178,9 +2173,12 @@ def pack_forward_state(state, S: int):
                 vals = tuple(v.T for v in vals)   # transposed storage
         else:
             vals = (_get(fP, path), _get(mu, path), _get(nu, path))
-        params.append(_pad2(vals[0], r, c).reshape(1, r, c))
-        mv.append(jnp.stack([_pad2(vals[1], r, c), _pad2(vals[2], r, c)]))
-    return params, mv
+        bufs.append(jnp.stack([
+            _pad2(vals[0].astype(jnp.float32), r, c),
+            _pad2(vals[1].astype(jnp.float32), r, c),
+            _pad2(vals[2].astype(jnp.float32), r, c),
+        ]))
+    return bufs
 
 
 def unpack_forward_state(state, bufs, n_steps: int, S: int):
@@ -2191,11 +2189,9 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
         [jnp.zeros_like(t["Dense_0"]["bias"]) for t in new],
     ]
     specs = _fwd_tensor_specs(S)
-    n_half = len(specs)
     for i, (path, _) in enumerate(specs):
-        planes = (bufs[i][0], bufs[n_half + i][0], bufs[n_half + i][1])
         for slot in range(3):
-            plane = planes[slot]
+            plane = bufs[i][slot]
             if path[0] == "Dense_0":
                 idx = 0 if path[1] == "kernel" else 1
                 tgt = head[idx][slot]
@@ -2243,7 +2239,7 @@ def unpack_forward_state(state, bufs, n_steps: int, S: int):
 def _make_forward_kernel(
     S: int, B: int, steps_per_epoch: int, fsettings, clip: float,
     dropout_rate: float, bf16: bool = False, row_steps: int | None = None,
-    padded: bool = False, mv_dtype=jnp.float32, pack: int = 1,
+    padded: bool = False, pack: int = 1,
 ):
     rs = row_steps or steps_per_epoch
     if pack < 1 or rs % pack:
@@ -2263,7 +2259,7 @@ def _make_forward_kernel(
     thresh = _np.uint32(min(2**32 - 1, int(round(keep * 2**32))))
     mm_in = jnp.bfloat16 if bf16 else jnp.float32
     # f_tx uses Adam defaults (b1=.9)
-    adam_apply = _make_adam(0.9, _B2, clip, mv_dtype)
+    adam_apply = _make_adam(0.9, _B2, clip)
 
     def mm(a, b):
         return jnp.dot(
@@ -2287,10 +2283,9 @@ def _make_forward_kernel(
 
     def kernel(*refs):
         (par_ref, spec_ref, met_ref, sched_ref, seed_ref) = refs[:5]
-        out0 = 5 + 48               # aliased inputs are refs[5:53]
-        train = list(refs[out0: out0 + 24])    # param planes (1, r, c)
-        mv = list(refs[out0 + 24: out0 + 48])  # adam moments (2, r, c)
-        metrics_ref = refs[out0 + 48]
+        out0 = 5 + 24               # aliased inputs are refs[5:29]
+        train = list(refs[out0: out0 + 24])    # packed (3, r, c) buffers
+        metrics_ref = refs[out0 + 24]
 
         i = pl.program_id(0)
 
@@ -2436,7 +2431,7 @@ def _make_forward_kernel(
                     grads[4 * li + 1] = csum(dt)               # db
                     da = dotT1(dt, wb[0])
             adam_apply(
-                list(zip(train, mv)), grads + [dW6s, db6s, dW6m, db6m],
+                train, grads + [dW6s, db6s, dW6m, db6m],
                 lr, inv1, inv2, gate=live,
             )
 
@@ -2536,8 +2531,7 @@ def make_pallas_forward_epoch_fn(
 
     def _kernel_body(state, E: int, spe: int, par_g, spec_g, met_g, sched, seeds):
         T = E * spe
-        params_b, mv_b = pack_forward_state(state, S)
-        train = params_b + mv_b
+        train = pack_forward_state(state, S)
         const = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
@@ -2553,7 +2547,7 @@ def make_pallas_forward_epoch_fn(
             S, B, spe, fsettings, clip,
             dropout_rate=cfg.forward_model.dropout_rate,
             bf16=cfg.train.compute_dtype == "bfloat16",
-            row_steps=_prs, mv_dtype=mv_b[0].dtype, pack=pack,
+            row_steps=_prs, pack=pack,
         )
 
         def launch(bufs, streams, n_steps, rsl):
@@ -2712,8 +2706,7 @@ def make_pallas_forward_subepoch_fn(
         def _kernel_body(state, spe, par_g, spec_g, met_g, sched, seeds):
             padded = _fwd_sub_plan(spe)[1] != spe
             L = par_g.shape[0]
-            params_b, mv_b = pack_forward_state(state, S)
-            train = params_b + mv_b
+            train = pack_forward_state(state, S)
             const = lambda shape: pl.BlockSpec(  # noqa: E731
                 shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
             )
@@ -2726,8 +2719,7 @@ def make_pallas_forward_subepoch_fn(
                 S, B, spe, fsettings, clip,
                 dropout_rate=cfg.forward_model.dropout_rate,
                 bf16=cfg.train.compute_dtype == "bfloat16",
-                row_steps=L, padded=padded, mv_dtype=mv_b[0].dtype,
-                pack=pack,
+                row_steps=L, padded=padded, pack=pack,
             )
             in_specs = (
                 [
