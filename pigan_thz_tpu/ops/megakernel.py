@@ -516,28 +516,32 @@ _MIN_SUB_LAUNCH = 8
 # is NOT a throughput win: at the bench shape pack=5 times 19.4 us/step
 # vs pack=1's 17.2 (same session) — Mosaic already overlaps the
 # orchestration with compute at pack=1, and the K-fold body unroll
-# schedules worse.  Packing's real value is CORRECTNESS: small pack=1
-# single-launch grids MISCOMPILE on v5e (below), and the packed program
-# shape for the same steps is hardware-clean.  _resolve_pack picks
-# pack=1 on every proven-clean large grid (full speed) and packs only
-# the small programs.
+# schedules worse.  Packing shipped in round 3b as a CORRECTNESS device
+# against small pack=1 grids that NaN'd on v5e — but round 3d bisected
+# that whole miscompile class to the split param/moment buffer layout
+# (pack_state docstring): with the packed (3, r, c) layout restored,
+# pack=1 small grids are hardware-clean again (15/45/75 probed finite
+# and bit-deterministic, forward 15-375 at XLA loss parity), so
+# _MIN_CLEAN_GRID is 1 and packing never engages in production.  The
+# machinery stays as a forensic/ablation device (tests drive it by
+# shrinking _MIN_CLEAN_GRID).
 _PACK_MAX = 8
-# Smallest pack=1 single-launch grid proven clean on v5e (split
-# prologue).  Round-3b hardware forensics (examples/pack1_nan_repro.py,
-# fresh state, default config, spe=15): single launches of 15/30/60
-# grid steps compile to programs that deterministically produce NaN
-# params+metrics from finite inputs, while 120+ is clean (single
-# launches proven from 120 up to 15,000, and every production program
-# >= 120 has soaked clean for thousands of epochs).  This is the root
-# cause of the round-2 "scan 3 + tail 1 at spe=15 still corrupts"
-# observation — the tail launch's grid was 15 — and of every fallback
-# trip on resume-shaped tails.  The SAME steps packed (e.g. pack=5:
-# grids of 3/6/12/24 iterations) are hardware-clean at every probed
-# shape, bit-identical in interpret mode, so small programs pack
-# instead of risking the miscompile; shapes that cannot pack (prime
-# row_steps > _PACK_MAX) are refused to the XLA path by the Trainer
-# (small_grid_risk).
-_MIN_CLEAN_GRID = 120
+# Smallest pack=1 single-launch grid treated as clean on v5e.  1 since
+# the round-3d buffer-layout root cause (above): every small-grid NaN
+# recipe (examples/pack1_nan_repro.py, grids 15-75) reproduces ONLY on
+# the split-layout code and runs clean on the packed (3, r, c) layout.
+# Raising this re-arms the round-3b defense: grids below it pack
+# (largest row_steps divisor <= _PACK_MAX) and unpackable shapes are
+# routed to XLA by the Trainer (small_grid_risk).
+_MIN_CLEAN_GRID = 1
+# Efficiency floor for GAN sub-epoch launch sizes (_gan_sub_plan's
+# gated-pad decision): launches below this amortize poorly (one host
+# enqueue + stream slice per call), so divisor-poor spe pads to a count
+# with a divisor in [floor, _MAX_GRID] instead of degrading to tiny
+# chained calls.  Decoupled from _MIN_CLEAN_GRID (a CORRECTNESS
+# threshold, 1 since the round-3d root cause) — this one is about launch
+# overhead only.
+_SUB_LAUNCH_FLOOR = 120
 _DEBUG_LANES = False  # dev aid: extra in-kernel checksums in metric lanes 10+
 _DEBUG_PER_STEP = False  # dev aid: metrics row per STEP instead of per epoch
 _NO_ALIAS = False  # dev aid: disable input/output aliasing (extra copies)
@@ -680,15 +684,15 @@ def _gan_sub_plan(spe: int) -> tuple[int, int]:
     (make_pallas_subepoch_fn, datasets past the one-program envelope):
     each epoch runs as spe_pad/L chained jitted calls, every call ONE
     single launch of L <= _MAX_GRID grid steps (the hardware-proven
-    shape).  The floor is _MIN_CLEAN_GRID — a launch at or above it never
-    needs step packing (the v5e small-grid class is below it), so every
-    sub-epoch call keeps the full-speed pack=1 shape.  Divisor-less spe
-    pads to the nearest count with a divisor in [floor, _MAX_GRID]; the
-    tail call's padded steps are gated no-ops (`live` lane, exactly like
-    _launch_plan's gated plans)."""
+    shape).  The floor is _SUB_LAUNCH_FLOOR — an EFFICIENCY bound (a
+    launch below it pays more host-enqueue overhead than it amortizes),
+    not a correctness one.  Divisor-less spe pads to the nearest count
+    with a divisor in [floor, _MAX_GRID]; the tail call's padded steps
+    are gated no-ops (`live` lane, exactly like _launch_plan's gated
+    plans)."""
     if spe <= _MAX_GRID:
         return spe, spe
-    floor = min(_MIN_CLEAN_GRID, _MAX_GRID)  # caps may be test-shrunk
+    floor = min(_SUB_LAUNCH_FLOOR, _MAX_GRID)  # caps may be test-shrunk
     L = _largest_divisor(spe, _MAX_GRID)
     if L >= floor:
         return L, spe

@@ -772,7 +772,7 @@ def _setup_sub(cfg, num_samples, settings=None, monkeypatch=None):
     from pigan_thz_tpu.ops import megakernel as MK
 
     monkeypatch.setattr(MK, "_MAX_GRID", 4)
-    monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 2)
+    monkeypatch.setattr(MK, "_SUB_LAUNCH_FLOOR", 2)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=num_samples))
     ds = synthetic_dataset(cfg.data)
     g, d, f = build_trio(cfg)
@@ -1657,6 +1657,8 @@ def test_pack_parity_gan(cfg, monkeypatch):
     key, ones = jax.random.PRNGKey(7), jnp.ones((3,), jnp.float32)
 
     def run(pack_max):
+        # re-arm packing (default _MIN_CLEAN_GRID=1 never packs)
+        monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 120)
         monkeypatch.setattr(MK, "_PACK_MAX", pack_max)
         fn = make_pallas_multi_epoch_fn(c, settings, interpret=True)
         return fn(jax.tree.map(jnp.copy, st0), ds, key, ones)
@@ -1703,6 +1705,8 @@ def test_pack_parity_forward(cfg, monkeypatch):
     key, ones = jax.random.PRNGKey(5), jnp.ones((2,), jnp.float32)
 
     def run(pack_max):
+        # re-arm packing (default _MIN_CLEAN_GRID=1 never packs)
+        monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 120)
         monkeypatch.setattr(MK, "_PACK_MAX", pack_max)
         fn = make_pallas_forward_epoch_fn(c, fset, interpret=True)
         return fn(jax.tree.map(jnp.copy, st0), ds, key, ones)
@@ -1727,12 +1731,27 @@ def test_pack_parity_forward(cfg, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
-def test_resolve_pack_rule():
-    """pack=1 at or above the proven-clean grid scale (full speed); below
-    it the largest row_steps divisor <= _PACK_MAX; 1 + small grid = the
-    shape the Trainer must route off the kernel."""
+def test_resolve_pack_default_never_packs():
+    """Post-root-cause default (_MIN_CLEAN_GRID=1): every grid runs
+    pack=1 and no shape is routed off the kernel — the packed (3, r, c)
+    buffer layout made the round-3b small-grid NaN class vanish."""
     import pigan_thz_tpu.ops.megakernel as MK
 
+    for ls, rs in ((15, 15), (26, 13), (60, 15), (120, 15), (1500, 15)):
+        assert MK._resolve_pack(ls, rs) == 1
+    assert MK.small_grid_risk(1, 15) is None
+    assert MK.small_grid_risk(2, 13) is None
+    assert MK.small_grid_risk_forward(2, 13) is None
+
+
+def test_resolve_pack_rule(monkeypatch):
+    """The re-armable defense (raised _MIN_CLEAN_GRID): pack=1 at or
+    above the threshold (full speed); below it the largest row_steps
+    divisor <= _PACK_MAX; 1 + small grid = the shape the Trainer must
+    route off the kernel."""
+    import pigan_thz_tpu.ops.megakernel as MK
+
+    monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 120)
     assert MK._resolve_pack(120, 15) == 1          # at the boundary: fast path
     assert MK._resolve_pack(1500, 15) == 1         # bench shape
     assert MK._resolve_pack(15, 15) == 5           # E=1 tail at spe=15
@@ -1741,9 +1760,10 @@ def test_resolve_pack_rule():
     assert MK._resolve_pack(8, 8) == 8
 
 
-def test_small_grid_risk():
+def test_small_grid_risk(monkeypatch):
     import pigan_thz_tpu.ops.megakernel as MK
 
+    monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 120)
     assert MK.small_grid_risk(2, 15) is None       # packs (pack=5)
     assert MK.small_grid_risk(25, 15) is None      # grid 375 >= 120
     assert MK.small_grid_risk(9, 13) is not None   # 117 < 120, prime rs
@@ -1756,13 +1776,17 @@ def test_small_grid_risk():
     assert MK.small_grid_risk_forward(1, MK._FWD_MAX_TOTAL + 1) is None  # sub
 
 
-def test_trainer_small_grid_routes(cfg, capsys):
-    """spe=13 (prime, no pack divisor): a 2-epoch run's only chunk is in
-    the miscompile class -> force raises UP-FRONT; the planner marks the
+def test_trainer_small_grid_routes(cfg, capsys, monkeypatch):
+    """Route planning under a re-armed threshold (monkeypatched
+    _MIN_CLEAN_GRID=120; the post-root-cause default routes nothing):
+    spe=13 (prime, no pack divisor) makes a 2-epoch chunk fall in the
+    miscompile class -> force raises UP-FRONT; the planner marks the
     same chunk for the XLA route when the kernel is engaged."""
+    import pigan_thz_tpu.ops.megakernel as MK
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.train import Trainer
 
+    monkeypatch.setattr(MK, "_MIN_CLEAN_GRID", 120)
     c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=13 * 64))
     ds = synth(c.data)
     t = Trainer(c, ds=ds, epochs_per_call=2, megakernel="force")
