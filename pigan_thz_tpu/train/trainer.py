@@ -45,6 +45,18 @@ from .steps import (
 
 History = Dict[str, List[float]]
 
+# Shadow-parity tolerances (first-epoch metric rows, megakernel vs the XLA
+# replay of the SAME chunk from the SAME state and rng).  On clean hardware
+# the two backends differ only by fp reassociation over one epoch's steps
+# (measured ~1e-3 relative); the round-3d finite-but-wrong miscompile was
+# ~10x off.  The forward kernel's in-kernel dropout uses the TPU hardware
+# PRNG (same distribution, different bitstream than the XLA path), so its
+# first-epoch loss additionally carries mask noise — hence the looser rtol
+# when dropout is active.
+_SHADOW_RTOL = 0.25
+_SHADOW_RTOL_DROPOUT = 0.5
+_SHADOW_ATOL = 1e-2
+
 
 class Trainer:
     def __init__(
@@ -57,6 +69,7 @@ class Trainer:
         mesh=None,
         nan_guard: bool = True,
         megakernel: str = "auto",
+        shadow_parity: str = "first",
     ):
         # epochs_per_call > 1 scans whole epochs inside one jit call
         # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
@@ -94,6 +107,18 @@ class Trainer:
         # the reference only checks NaN inside one constraint loss)
         assert megakernel in ("auto", "off", "force"), megakernel
         self.megakernel = megakernel
+        # shadow_parity guards the megakernel against FINITE-but-wrong
+        # corruption (the round-3d class, invisible to the non-finite net):
+        # "first" replays the first megakernel chunk of each kind on the
+        # XLA path from the same state/rng and compares the first epoch's
+        # metric row (_SHADOW_RTOL); "all" replays every chunk (probes);
+        # "off" disables.  A mismatch counts as a fallback trip: the run
+        # continues from the XLA replay's state with the kernel disabled.
+        assert shadow_parity in ("off", "first", "all"), shadow_parity
+        self.shadow_parity = shadow_parity
+        self._shadow_done: set = set()
+        self._shadow_result = None  # (state, rows) of the last XLA replay
+        self.shadow_checks: List[dict] = []  # one record per replay
         self.fallback_trips = 0  # megakernel->XLA reliability-net trips
         self.fallback_events: List[str] = []  # one "<what>@epoch<N>" per trip
         self.mesh = mesh
@@ -357,7 +382,69 @@ class Trainer:
             mega_active = False
             new_state, ms = multi_epoch(backup, self.ds, sub, scales)
             rows = {k: [float(x) for x in v] for k, v in ms.items()}
+        elif mega_active and self._shadow_due(what):
+            ok, report = self._shadow_replay(
+                xla_factory, backup, sub, scales, rows, what, at
+            )
+            if not ok:
+                self._log_always(
+                    f"{what} megakernel chunk at epoch {at} FAILED shadow "
+                    f"parity vs the XLA replay ({report}); continuing from "
+                    "the XLA result (megakernel disabled for the rest of "
+                    "this run)"
+                )
+                self.fallback_trips += 1
+                self.fallback_events.append(f"{what}-shadow@epoch{at}")
+                multi_epoch = xla_factory()
+                mega_active = False
+                new_state, rows = self._shadow_result
+            self._shadow_result = None
         return new_state, rows, multi_epoch, mega_active
+
+    def _shadow_due(self, what: str) -> bool:
+        if self.shadow_parity == "off":
+            return False
+        return self.shadow_parity == "all" or what not in self._shadow_done
+
+    def _shadow_replay(self, xla_factory, backup, sub, scales, rows, what, at):
+        """Replay the just-completed megakernel chunk on the XLA path from
+        the pre-chunk state (same rng key, bitwise-equal noise streams) and
+        compare the FIRST epoch's metric row — one epoch from an identical
+        state isolates per-step corruption from chaotic trajectory
+        divergence.  Catches the finite-but-wrong miscompile class the
+        non-finite net cannot see (RESULTS.md Round-3d: the forward kernel's
+        first-epoch loss was ~10x the XLA value; clean hardware matches to
+        ~1e-3).  Returns (ok, report) and stashes the replay's
+        (state, rows) in self._shadow_result for the trip path."""
+        self._shadow_done.add(what)
+        xla_fn = xla_factory()
+        shadow_state, sms = xla_fn(backup, self.ds, sub, scales)
+        srows = {k: [float(x) for x in v] for k, v in sms.items()}
+        self._shadow_result = (shadow_state, srows)
+        rtol = _SHADOW_RTOL
+        if what == "forward" and self.cfg.forward_model.dropout_rate > 0:
+            rtol = _SHADOW_RTOL_DROPOUT  # hardware-PRNG dropout mask noise
+        bad, worst_key, worst_rel = [], None, 0.0
+        for k in rows:
+            a, b = rows[k][0], srows.get(k, [float("nan")])[0]
+            denom = max(abs(a), abs(b))
+            rel = abs(a - b) / denom if denom > 0 else 0.0
+            if abs(a - b) > _SHADOW_ATOL + rtol * denom:
+                bad.append(f"{k}: {a:.6g} vs {b:.6g}")
+            if rel > worst_rel:
+                worst_key, worst_rel = k, rel
+        record = dict(
+            what=what, at=at, ok=not bad, rtol=rtol,
+            worst_key=worst_key, worst_rel=worst_rel,
+        )
+        self.shadow_checks.append(record)
+        if bad:
+            return False, "; ".join(bad)
+        self._log_always(
+            f"{what} megakernel shadow parity ok at epoch {at} "
+            f"(worst {worst_key} rel diff {worst_rel:.2e})"
+        )
+        return True, ""
 
     def _maybe_shard(self, state):
         if self.mesh is not None:

@@ -539,7 +539,12 @@ def test_forward_megakernel_program_grid_bound(cfg, monkeypatch):
     # epochs_per_call=25, every forward chunk must be <= 105//15 = 7 epochs
     from pigan_thz_tpu.train import Trainer
 
-    t = Trainer(big, ds=ds, epochs_per_call=25, megakernel="off")
+    # shadow_parity off: fake_mega below returns zeroed (finite-but-wrong)
+    # metrics, which the shadow net would rightly trip on
+    # (test_shadow_parity.py covers that); this test only checks chunking
+    t = Trainer(
+        big, ds=ds, epochs_per_call=25, megakernel="off", shadow_parity="off"
+    )
     chunks = []
 
     def fake_mega(state, ds_, key, scales):
