@@ -1,0 +1,157 @@
+"""Multi-device megakernel seed ensembles.
+
+The whole-epoch Pallas megakernel (ops/megakernel.py) trains one member
+~2.4x faster than the XLA scan, but it is a single-device program: the
+G/D/F params, Adam moments and BN stats stay VMEM-resident on one chip
+for the whole epoch, so it cannot be vmapped or sharded the way the XLA
+ensemble step is (parallel/ensemble.py).  Seed ensembles don't need any
+of that — N members with identical (cfg, settings) but different init
+seeds are embarrassingly parallel and share ONE compiled kernel program.
+
+This driver places member i's state on device[i % D] and round-robins
+the megakernel's chained (prologue, kernel) jitted calls across the
+mesh: dispatch is asynchronous, so every chip trains its member(s)
+concurrently with ZERO inter-chip traffic — near-linear scaling of the
+flagship fast path (vs the vmapped XLA ensemble, which shards the member
+axis but pays the XLA step's 2.4x).  On a single chip it degrades to the
+sequential fast path, still beating the vmapped XLA sweep per member.
+
+Reference parity anchor: the reference runs seed sweeps only as
+sequential shell processes (each a full core/train/train_pigan.py run);
+this module and parallel/ensemble.py are capabilities beyond it.
+Ensemble-mean inference (evaluate_ensemble_mean) consumes the stacked
+states this driver returns — RESULTS.md "Seed-search quality" measured
+the 4-member mean beating the best individual member.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PiGanConfig
+from ..data.dataset import ThzDataset
+from ..models.registry import build_trio
+from ..ops import megakernel as MK
+from ..train.state import PiGanState, init_pigan_state, make_optimizers
+from .state_utils import tree_stack
+
+
+def _chunk_sizes(epochs: int, epochs_per_call: int) -> list[int]:
+    """Uniform chunks of epochs_per_call plus one remainder chunk."""
+    full, rem = divmod(epochs, epochs_per_call)
+    return [epochs_per_call] * full + ([rem] if rem else [])
+
+
+def clamp_epochs_per_call(epochs_per_call: int, spe: int) -> int:
+    """Largest per-call epoch count keeping one jitted program inside the
+    hardware-validated grid envelope (Trainer applies the same clamp so a
+    program is always ONE launch — ops/megakernel.py _MAX_PROGRAM_GRID)."""
+    _, _, _, spe_pad = MK._launch_plan(1, spe)
+    return max(1, min(epochs_per_call, MK._MAX_PROGRAM_GRID // spe_pad))
+
+
+def train_seed_ensemble(
+    cfg: PiGanConfig,
+    ds: ThzDataset,
+    num_members: int,
+    *,
+    settings=None,
+    epochs: int | None = None,
+    key: jax.Array | None = None,
+    devices=None,
+    epochs_per_call: int = 25,
+    scales: jax.Array | None = None,
+    forward_variables=None,
+    interpret: bool = False,
+):
+    """Train N independent GAN members through the Pallas megakernel,
+    one member per device (round-robin when N > #devices).
+
+    Returns ``(states, metrics)`` where ``states`` is a member-stacked
+    PiGanState (leading axis N, host-gathered — feed it straight to
+    parallel.ensemble.evaluate_ensemble / evaluate_ensemble_mean) and
+    ``metrics`` maps each kernel metric to an (N, epochs) numpy array.
+
+    Member i's init and per-epoch shuffle keys derive from
+    ``fold_in(key, i)``, so results are bit-identical to running the same
+    member alone on one device (tested in tests/test_parallel.py).
+    ``forward_variables`` is the frozen pretrained F shared by every
+    member (init_pigan_state deep-copies it per member).  ``scales`` is
+    the optional (epochs,) constraint-annealing multiplier stream;
+    default all-ones.  Raises ValueError with the envelope reason when
+    (cfg, settings) is outside `supports_megakernel`.
+    """
+    from ..train.steps import StepSettings
+
+    if settings is None:
+        settings = StepSettings.from_config(cfg)
+    if epochs is None:
+        epochs = cfg.train.num_epochs
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if scales is None:
+        scales = jnp.ones((epochs,), jnp.float32)
+    if int(scales.shape[0]) != epochs:
+        raise ValueError(f"scales must have shape ({epochs},)")
+    devices = list(devices if devices is not None else jax.local_devices())
+    if num_members < 1:
+        raise ValueError("num_members must be >= 1")
+
+    B = cfg.train.batch_size
+    spe = max(1, ds.num_samples // B)
+    epochs_per_call = clamp_epochs_per_call(epochs_per_call, spe)
+    chunks = _chunk_sizes(epochs, epochs_per_call)
+
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    fn = MK.make_pallas_multi_epoch_fn(cfg, settings, interpret=interpret)
+
+    k_init, k_train = jax.random.split(key)
+    used = [devices[i % len(devices)] for i in range(num_members)]
+    ds_by_dev = {dev: jax.device_put(ds, dev) for dev in set(used)}
+
+    states: list[PiGanState] = []
+    chunk_keys: list[jax.Array] = []
+    for i, dev in enumerate(used):
+        st = init_pigan_state(
+            g, d, f, g_tx, d_tx, jax.random.fold_in(k_init, i),
+            spectrum_dim=cfg.data.spectrum_dim, param_dim=cfg.data.param_dim,
+            forward_variables=forward_variables,
+            ema=float(settings.ema_decay) > 0.0,
+        )
+        states.append(jax.device_put(st, dev))
+        chunk_keys.append(
+            jax.random.split(jax.random.fold_in(k_train, i), len(chunks))
+        )
+
+    # Dispatch loop: chunk-major so every member's call for chunk c is in
+    # flight before any member's chunk c+1 — all devices stay busy; no
+    # host sync until the final gather.
+    member_metrics: list[list[dict]] = [[] for _ in range(num_members)]
+    off = 0
+    for c, E in enumerate(chunks):
+        sc = scales[off:off + E]
+        off += E
+        for i, dev in enumerate(used):
+            states[i], m = fn(
+                states[i],
+                ds_by_dev[dev],
+                jax.device_put(chunk_keys[i][c], dev),
+                jax.device_put(sc, dev),
+            )
+            member_metrics[i].append(m)
+
+    metrics = {}
+    for k in member_metrics[0][0]:
+        rows = [
+            np.concatenate([np.asarray(jax.device_get(m[k])) for m in mm])
+            for mm in member_metrics
+        ]
+        metrics[k] = np.stack(rows)                    # (N, epochs)
+    # gather to host once, then stack the member axis (members live on
+    # different devices; stacking device-resident leaves would silently
+    # funnel everything through the default device)
+    host_states = [jax.device_get(st) for st in states]
+    return tree_stack(host_states), metrics
