@@ -112,6 +112,11 @@ def train_seed_ensemble(
     used = [devices[i % len(devices)] for i in range(num_members)]
     ds_by_dev = {dev: jax.device_put(ds, dev) for dev in set(used)}
 
+    # All host->device transfers happen HERE, before the loop: each
+    # per-call device_put is a blocking RPC on a remote-tunnel TPU (~0.5 s
+    # measured), so the dispatch loop below touches only device-resident
+    # arrays (slicing a committed array is an async device op).
+    scales_by_dev = {dev: jax.device_put(scales, dev) for dev in set(used)}
     states: list[PiGanState] = []
     chunk_keys: list[jax.Array] = []
     for i, dev in enumerate(used):
@@ -122,9 +127,9 @@ def train_seed_ensemble(
             ema=float(settings.ema_decay) > 0.0,
         )
         states.append(jax.device_put(st, dev))
-        chunk_keys.append(
-            jax.random.split(jax.random.fold_in(k_train, i), len(chunks))
-        )
+        chunk_keys.append(jax.device_put(
+            jax.random.split(jax.random.fold_in(k_train, i), len(chunks)), dev
+        ))
 
     # Dispatch loop: chunk-major so every member's call for chunk c is in
     # flight before any member's chunk c+1 — all devices stay busy; no
@@ -132,26 +137,134 @@ def train_seed_ensemble(
     member_metrics: list[list[dict]] = [[] for _ in range(num_members)]
     off = 0
     for c, E in enumerate(chunks):
-        sc = scales[off:off + E]
-        off += E
         for i, dev in enumerate(used):
             states[i], m = fn(
                 states[i],
                 ds_by_dev[dev],
-                jax.device_put(chunk_keys[i][c], dev),
-                jax.device_put(sc, dev),
+                chunk_keys[i][c],
+                scales_by_dev[dev][off:off + E],
             )
             member_metrics[i].append(m)
+        off += E
 
-    metrics = {}
-    for k in member_metrics[0][0]:
-        rows = [
-            np.concatenate([np.asarray(jax.device_get(m[k])) for m in mm])
-            for mm in member_metrics
-        ]
-        metrics[k] = np.stack(rows)                    # (N, epochs)
-    # gather to host once, then stack the member axis (members live on
-    # different devices; stacking device-resident leaves would silently
-    # funnel everything through the default device)
-    host_states = [jax.device_get(st) for st in states]
+    # ONE batched host gather at the end: per-leaf device_get through the
+    # remote tunnel pays a blocking RPC each (hundreds at 20 chunks x 4
+    # members x 11 metrics), so concatenate per member on-device and fetch
+    # states + metrics in a single device_get (async per-leaf prefetch).
+    dev_metrics = [
+        {k: jnp.concatenate([m[k] for m in mm]) for k in mm[0]}
+        for mm in member_metrics
+    ]
+    host_states, host_metrics = jax.device_get((states, dev_metrics))
+    metrics = {
+        k: np.stack([np.asarray(hm[k]) for hm in host_metrics])   # (N, E)
+        for k in host_metrics[0]
+    }
+    # stack the member axis host-side (members live on different devices;
+    # stacking device-resident leaves would silently funnel everything
+    # through the default device)
     return tree_stack(host_states), metrics
+
+
+def train_settings_sweep(
+    cfg: PiGanConfig,
+    ds: ThzDataset,
+    settings_list,
+    *,
+    epochs: int | None = None,
+    key: jax.Array | None = None,
+    devices=None,
+    epochs_per_call: int = 25,
+    scales: jax.Array | None = None,
+    forward_variables=None,
+    interpret: bool = False,
+):
+    """Controlled A/B sweep over StepSettings through the megakernel, one
+    arm per device: every arm shares the SAME init and the SAME per-epoch
+    shuffle keys (derived from ``key``), so outcome differences are caused
+    by the settings alone — the megakernel counterpart of the vmapped XLA
+    λ-ablation (parallel/ensemble.py), at full kernel speed per arm.
+
+    Each distinct settings compiles its own kernel program (loss weights
+    are compile-time constants in the kernel — the speed contract), so
+    this suits few-arm sweeps; for wide runtime-weight grids use the
+    vmapped ensemble.  Arms must agree on ``ema_decay > 0`` (state
+    structures must stack).  Returns ``(states, metrics_list)``: states
+    is arm-stacked; metrics_list holds one {metric: (epochs,) ndarray}
+    dict per arm (arms may expose different metric keys, e.g.
+    constraint_loss only when constraint_w > 0).
+    """
+    settings_list = list(settings_list)
+    if not settings_list:
+        raise ValueError("settings_list must be non-empty")
+    if epochs is None:
+        epochs = cfg.train.num_epochs
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if scales is None:
+        scales = jnp.ones((epochs,), jnp.float32)
+    if int(scales.shape[0]) != epochs:
+        raise ValueError(f"scales must have shape ({epochs},)")
+    emas = {float(s.ema_decay) > 0.0 for s in settings_list}
+    if len(emas) > 1:
+        raise ValueError(
+            "all sweep arms must agree on ema_decay > 0 (the EMA track "
+            "changes the state structure; stacked arms must match)"
+        )
+    devices = list(devices if devices is not None else jax.local_devices())
+
+    B = cfg.train.batch_size
+    spe = max(1, ds.num_samples // B)
+    epochs_per_call = clamp_epochs_per_call(epochs_per_call, spe)
+    chunks = _chunk_sizes(epochs, epochs_per_call)
+
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, spe)
+    fns = [
+        MK.make_pallas_multi_epoch_fn(cfg, s, interpret=interpret)
+        for s in settings_list
+    ]
+
+    k_init, k_train = jax.random.split(key)
+    n = len(settings_list)
+    used = [devices[i % len(devices)] for i in range(n)]
+    ds_by_dev = {dev: jax.device_put(ds, dev) for dev in set(used)}
+    scales_by_dev = {dev: jax.device_put(scales, dev) for dev in set(used)}
+    base_state = init_pigan_state(
+        g, d, f, g_tx, d_tx, k_init,
+        spectrum_dim=cfg.data.spectrum_dim, param_dim=cfg.data.param_dim,
+        forward_variables=forward_variables, ema=emas.pop(),
+    )
+    # deep-copy per arm: device_put of the SAME host buffers to the same
+    # device aliases them, and the kernel call donates its state — two
+    # arms round-robined onto one device must never share buffers
+    states = [
+        jax.device_put(jax.tree.map(jnp.copy, base_state), dev)
+        for dev in used
+    ]
+    shared_keys = [
+        jax.device_put(jax.random.split(k_train, len(chunks)), dev)
+        for dev in used
+    ]
+
+    member_metrics: list[list[dict]] = [[] for _ in range(n)]
+    off = 0
+    for c, E in enumerate(chunks):
+        for i, dev in enumerate(used):
+            states[i], m = fns[i](
+                states[i], ds_by_dev[dev], shared_keys[i][c],
+                scales_by_dev[dev][off:off + E],
+            )
+            member_metrics[i].append(m)
+        off += E
+
+    # same batched single-gather as train_seed_ensemble (tunnel RPC cost)
+    dev_metrics = [
+        {k: jnp.concatenate([m[k] for m in mm]) for k in mm[0]}
+        for mm in member_metrics
+    ]
+    host_states, host_metrics = jax.device_get((states, dev_metrics))
+    metrics_list = [
+        {k: np.asarray(v) for k, v in hm.items()} for hm in host_metrics
+    ]
+    return tree_stack(host_states), metrics_list

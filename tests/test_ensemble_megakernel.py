@@ -84,6 +84,43 @@ def test_clamp_epochs_per_call():
     assert clamp_epochs_per_call(25, big_spe) == 1
 
 
+def test_settings_sweep_controlled_arms(cfg, small_ds):
+    """Arms share init + shuffle keys: identical settings -> bitwise
+    identical outcomes, even when both arms round-robin onto ONE device
+    (the donated-state aliasing guard); a changed loss surface -> a
+    different outcome plus its extra metric key."""
+    import dataclasses
+
+    from pigan_thz_tpu.parallel.ensemble_megakernel import train_settings_sweep
+
+    s = StepSettings.from_config(cfg)
+    s_con = dataclasses.replace(s, constraint_w=1.0)
+    states, ms = train_settings_sweep(
+        cfg, small_ds, [s, s, s_con], epochs=1, key=jax.random.PRNGKey(2),
+        devices=jax.devices()[:1], interpret=True,
+    )
+    assert ms[0]["g_loss"].shape == (1,)
+    np.testing.assert_array_equal(ms[0]["g_loss"], ms[1]["g_loss"])
+    arm0 = jax.tree.map(lambda x: np.asarray(x[0]), states.g.variables)
+    arm1 = jax.tree.map(lambda x: np.asarray(x[1]), states.g.variables)
+    jax.tree.map(np.testing.assert_array_equal, arm0, arm1)
+    assert "constraint_loss" not in ms[0] and "constraint_loss" in ms[2]
+    assert not np.array_equal(ms[0]["g_loss"], ms[2]["g_loss"])
+
+
+def test_settings_sweep_ema_structure_guard(cfg, small_ds):
+    import dataclasses
+
+    from pigan_thz_tpu.parallel.ensemble_megakernel import train_settings_sweep
+
+    s = StepSettings.from_config(cfg)
+    with pytest.raises(ValueError, match="ema"):
+        train_settings_sweep(
+            cfg, small_ds, [s, dataclasses.replace(s, ema_decay=0.99)],
+            epochs=1, interpret=True,
+        )
+
+
 def test_seed_ensemble_envelope_guard(cfg, small_ds):
     import dataclasses
 
