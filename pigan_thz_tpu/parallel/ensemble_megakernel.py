@@ -47,8 +47,21 @@ def _chunk_sizes(epochs: int, epochs_per_call: int) -> list[int]:
 def clamp_epochs_per_call(epochs_per_call: int, spe: int) -> int:
     """Largest per-call epoch count keeping one jitted program inside the
     hardware-validated grid envelope (Trainer applies the same clamp so a
-    program is always ONE launch — ops/megakernel.py _MAX_PROGRAM_GRID)."""
+    program is always ONE launch — ops/megakernel.py _MAX_PROGRAM_GRID).
+
+    Raises ValueError when even a single epoch exceeds the one-program
+    envelope (spe_pad > _MAX_PROGRAM_GRID, ~240k samples at batch 64):
+    dispatching it anyway would decompose into scanned multi-launch
+    shapes, the class that corrupts on v5e (the Trainer routes those to
+    the chained sub-epoch driver or XLA — trainer.py plan routing)."""
     _, _, _, spe_pad = MK._launch_plan(1, spe)
+    if spe_pad > MK._MAX_PROGRAM_GRID:
+        raise ValueError(
+            f"dataset past the one-program megakernel envelope "
+            f"(padded steps/epoch {spe_pad} > {MK._MAX_PROGRAM_GRID}); "
+            "use Trainer (auto-routes to the chained sub-epoch driver "
+            "or XLA) instead of the ensemble megakernel driver"
+        )
     return max(1, min(epochs_per_call, MK._MAX_PROGRAM_GRID // spe_pad))
 
 
@@ -76,7 +89,8 @@ def train_seed_ensemble(
 
     Member i's init and per-epoch shuffle keys derive from
     ``fold_in(key, i)``, so results are bit-identical to running the same
-    member alone on one device (tested in tests/test_parallel.py).
+    member alone on one device (tested in
+    tests/test_ensemble_megakernel.py).
     ``forward_variables`` is the frozen pretrained F shared by every
     member (init_pigan_state deep-copies it per member).  ``scales`` is
     the optional (epochs,) constraint-annealing multiplier stream;
@@ -98,6 +112,8 @@ def train_seed_ensemble(
     devices = list(devices if devices is not None else jax.local_devices())
     if num_members < 1:
         raise ValueError("num_members must be >= 1")
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
 
     B = cfg.train.batch_size
     spe = max(1, ds.num_samples // B)
@@ -199,6 +215,8 @@ def train_settings_sweep(
         raise ValueError("settings_list must be non-empty")
     if epochs is None:
         epochs = cfg.train.num_epochs
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
     if key is None:
         key = jax.random.PRNGKey(0)
     if scales is None:

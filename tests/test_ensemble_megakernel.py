@@ -129,3 +129,26 @@ def test_seed_ensemble_envelope_guard(cfg, small_ds):
     )
     with pytest.raises(ValueError, match="generator"):
         train_seed_ensemble(bad, small_ds, 2, epochs=1, interpret=True)
+
+
+def test_clamp_raises_past_one_program_envelope():
+    """ADVICE r3: datasets whose padded spe exceeds _MAX_PROGRAM_GRID must
+    refuse (scanned multi-launch shapes corrupt on v5e) instead of
+    silently dispatching E=1 programs that decompose into scans."""
+    from pigan_thz_tpu.ops import megakernel as MK
+
+    with pytest.raises(ValueError, match="one-program megakernel envelope"):
+        clamp_epochs_per_call(25, MK._MAX_PROGRAM_GRID + 1)
+
+
+def test_ensemble_drivers_reject_zero_epochs(cfg, small_ds):
+    from pigan_thz_tpu.parallel.ensemble_megakernel import train_settings_sweep
+    from pigan_thz_tpu.train.steps import StepSettings
+
+    with pytest.raises(ValueError, match="epochs must be >= 1"):
+        train_seed_ensemble(cfg, small_ds, 2, epochs=0, interpret=True)
+    with pytest.raises(ValueError, match="epochs must be >= 1"):
+        train_settings_sweep(
+            cfg, small_ds, [StepSettings.from_config(cfg)],
+            epochs=0, interpret=True,
+        )
