@@ -159,6 +159,36 @@ def main() -> None:
     rates.sort()
     best = rates[-1]
     median = rates[n_meas // 2]
+
+    # Utilization accounting (round-4): analytic FLOPs/bytes for this
+    # exact (cfg, settings) workload -> TFLOP/s, MFU vs the device's MXU
+    # peak, and streamed HBM bandwidth.  Names the absolute-speed story
+    # alongside the steps/s ratio (ops/costs.py; RESULTS.md roofline).
+    from pigan_thz_tpu.ops.costs import (
+        device_peak_flops,
+        device_peak_hbm,
+        pigan_step_costs,
+    )
+
+    costs = pigan_step_costs(cfg, settings)
+    kind = jax.devices()[0].device_kind
+    peak = device_peak_flops(kind)
+    peak_hbm = device_peak_hbm(kind)
+    tflops = costs.model_flops * best / 1e12
+    hbm_bytes = (
+        costs.stream_bytes if backend == "megakernel" else costs.xla_hbm_bytes
+    )
+    util = {
+        "flops_per_step": costs.model_flops,
+        "tflops_per_sec": round(tflops, 2),
+        "hbm_gbps": round(hbm_bytes * best / 1e9, 1),
+        "state_resident_mb": round(costs.state_bytes / 1e6, 1),
+        "device_kind": kind,
+    }
+    if peak is not None:
+        util["mfu_pct"] = round(100.0 * tflops * 1e12 / peak, 1)
+    if peak_hbm is not None:
+        util["hbm_util_pct"] = round(100.0 * hbm_bytes * best / peak_hbm, 1)
     print(
         json.dumps(
             {
@@ -175,6 +205,7 @@ def main() -> None:
                 "compute_dtype": cfg.train.compute_dtype,
                 "adam_state_dtype": cfg.train.adam_state_dtype,
                 "tunnel_rtt_ms": round(rtt_ms, 1),
+                **util,
             }
         )
     )
