@@ -748,10 +748,32 @@ def _chunked_launch(launch, bufs, streams, E: int, spe: int,
     return list(bufs), mets
 
 
+class _MemberView:
+    """Member-m view of a ref carrying a leading member axis: presents the
+    exact indexing surface the single-member kernel body uses (``ref[k]``
+    reads, ``ref[k] = v`` writes) over buffers shaped ``(M, ...)`` — the
+    members>1 kernel wraps every per-member ref in one of these so the
+    step body is literally the same code for solo and packed members."""
+
+    __slots__ = ("_ref", "_m")
+
+    def __init__(self, ref, m: int):
+        self._ref, self._m = ref, m
+
+    def _key(self, k):
+        return (self._m,) + (k if isinstance(k, tuple) else (k,))
+
+    def __getitem__(self, k):
+        return self._ref[self._key(k)]
+
+    def __setitem__(self, k, v):
+        self._ref[self._key(k)] = v
+
+
 def _make_kernel(
     S: int, B: int, steps_per_epoch: int, settings, clip: float,
     bf16: bool = False, row_steps: int | None = None, padded: bool = False,
-    pack: int = 1,
+    pack: int = 1, members: int = 1,
 ):
     """`settings.ema_decay > 0` adds 10 aliased G-EMA buffers (one per G
     tensor) lerped after each G update, VMEM-resident like the params.
@@ -773,6 +795,10 @@ def _make_kernel(
         raise ValueError(f"pack {pack} must divide row_steps {rs}")
     if _DEBUG_PER_STEP and pack != 1:
         raise ValueError("_DEBUG_PER_STEP needs pack=1 (row per grid step)")
+    if members > 1 and (_DEBUG_PER_STEP or _DEBUG_LANES):
+        raise ValueError("debug lanes/per-step rows need members=1")
+    if members > 1 and float(settings.ema_decay) > 0.0:
+        raise ValueError("member-packed kernel: ema_decay > 0 unsupported")
     w_adv = float(settings.adv_w)
     w_recon = float(settings.recon_w + settings.physics_spec_w)  # double-count
     w_pmet = float(settings.physics_metrics_w)
@@ -848,7 +874,13 @@ def _make_kernel(
 
         i = pl.program_id(0)
 
-        def _one_step(step_k):
+        # The step body takes its per-member refs as PARAMETERS: with
+        # members == 1 the enclosing-scope refs are passed straight
+        # through (identical program to the pre-member-packing kernel);
+        # with members > 1 each member passes _MemberView-wrapped refs
+        # over the (M, ...) buffers.  sched/lo/hi/frozen stay shared.
+        def _one_step(step_k, train, stats, ema_bufs, spec_ref, par_ref,
+                      met_ref, inoise_ref, stab_ref, eps_ref):
             sched_row = sched_ref[step_k]       # (1, LANE)
             lr_g = sched_row[0, 0]
             lr_d = sched_row[0, 1]
@@ -1502,24 +1534,206 @@ def _make_kernel(
                 mrow = mrow * live
             return mrow
 
-        mrow = _one_step(0)
-        for _k in range(1, pack):
-            mrow = mrow + _one_step(_k)
-        if _DEBUG_PER_STEP:
-            metrics_ref[0] = mrow
+        if members == 1:
+            solo = (train, stats, ema_bufs, spec_ref, par_ref, met_ref,
+                    inoise_ref, stab_ref, eps_ref)
+            mrow = _one_step(0, *solo)
+            for _k in range(1, pack):
+                mrow = mrow + _one_step(_k, *solo)
+            if _DEBUG_PER_STEP:
+                metrics_ref[0] = mrow
+                return
+            mrow = mrow / steps_per_epoch
+            rs_g = rs // pack
+
+            @pl.when(i % rs_g == 0)
+            def _():
+                metrics_ref[0] = mrow
+
+            @pl.when(i % rs_g != 0)
+            def _():
+                metrics_ref[0] = metrics_ref[0] + mrow
             return
-        mrow = mrow / steps_per_epoch
+
+        # members > 1: every buffer and per-member stream carries a
+        # leading M axis; run the SAME step body once per member through
+        # _MemberView-wrapped refs.  The members' op chains within a grid
+        # step are fully independent — the latency-headroom bet is that
+        # Mosaic's scheduler overlaps them (the solo step is latency-
+        # bound at 16.5% MFU; bench.py utilization fields).
+        def _wrap(r, m):
+            return None if r is None else _MemberView(r, m)
+
+        views = [
+            ([_MemberView(r, m) for r in train],
+             [_MemberView(r, m) for r in stats],
+             [_MemberView(r, m) for r in ema_bufs],
+             _MemberView(spec_ref, m), _MemberView(par_ref, m),
+             _MemberView(met_ref, m), _wrap(inoise_ref, m),
+             _wrap(stab_ref, m), _wrap(eps_ref, m))
+            for m in range(members)
+        ]
+        mrows = [_one_step(0, *views[m]) for m in range(members)]
+        for _k in range(1, pack):
+            for m in range(members):
+                mrows[m] = mrows[m] + _one_step(_k, *views[m])
+        mrows = [r / steps_per_epoch for r in mrows]
         rs_g = rs // pack
 
         @pl.when(i % rs_g == 0)
         def _():
-            metrics_ref[0] = mrow
+            for m in range(members):
+                metrics_ref[0, m:m + 1] = mrows[m]
 
         @pl.when(i % rs_g != 0)
         def _():
-            metrics_ref[0] = metrics_ref[0] + mrow
+            for m in range(members):
+                metrics_ref[0, m:m + 1] = metrics_ref[0, m:m + 1] + mrows[m]
 
     return kernel
+
+
+def _build_streams(cfg, settings, k_d, g_sched_of, d_sched_of,
+                   rng, step, g_count, d_count, ds, key, scales):
+    """Gather/schedule/noise stream construction (the XLA prologue) —
+    compiled as its OWN jitted program: fusing it with the aliased
+    pallas_call corrupts the kernel's VMEM operands on v5e (the
+    round-3 forward root cause; the GAN kernel's grid caps were
+    measured under the same fused shape — _FUSED_PROLOGUE note).
+
+    Module-level so every GAN-kernel driver (the Trainer's
+    make_pallas_multi_epoch_fn, the sub-epoch driver, and the
+    member-packed ensemble factory) shares ONE stream recipe;
+    g_sched_of/d_sched_of map spe -> the optax schedule callables
+    (the factories own the override policy).  Returns
+    (spec, par, met, sched, *extra_noise_streams, lo, hi)."""
+    B = cfg.train.batch_size
+    S = cfg.data.spectrum_dim
+    W = _up(S + 4)
+    use_aug = (
+        float(settings.augment_noise) > 0.0
+        or float(settings.augment_shift) > 0.0
+        or float(settings.augment_scale) > 0.0
+    )
+    use_inoise = float(settings.instance_noise) > 0.0
+    use_stab = float(settings.stability_w) > 0.0
+    wgan = settings.gan_loss == "wgan_gp"
+
+    E = scales.shape[0]
+    N = ds.spectra.shape[0]
+    spe = max(1, N // B)
+    T = E * spe
+    # divisor-less spe (e.g. prime) pads each epoch to spe_pad gated
+    # steps (see _launch_plan) — streams gain zero-filled tail slots
+    # per epoch and the sched stream carries a `live` lane the kernel
+    # gates every state update and metric contribution on
+    _, _, plan_rs, spe_pad = _launch_plan(E, spe)
+    pad = spe_pad - spe
+
+    def _pad_steps(x):
+        if pad == 0:
+            return x
+        x = x.reshape((E, spe) + x.shape[1:])
+        widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, widths).reshape((E * spe_pad,) + x.shape[2:])
+    g_sched = g_sched_of(spe)
+    d_sched = d_sched_of(spe)
+
+    keys = jax.random.split(key, E)
+    idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
+    par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
+    met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
+
+    extra_streams = ()
+    if use_aug or use_inoise or use_stab or wgan:
+        # per-step keys from the EXACT rng chain the XLA step splits
+        # (steps.py:257-259; unpack_state advances the same chain), so
+        # every stochastic stream is bitwise-identical to the XLA run
+        def _collect(r, _):
+            ks = jax.random.split(r, 9)
+            # k_noise, k_aug, k_in, k_gp
+            return ks[0], (ks[5], ks[6], ks[7], ks[8])
+
+        _, (k_noise_t, k_aug_t, k_in_t, k_gp_t) = jax.lax.scan(
+            _collect, rng, None, length=T
+        )
+    if use_aug:
+        from .augment import augment_spectra
+
+        raw = ds.spectra[idx]                               # (T, B, S)
+        raw = jax.vmap(
+            lambda k, sp: augment_spectra(
+                k, sp,
+                noise_level=settings.augment_noise,
+                freq_shift=settings.augment_shift,
+                amp_scale=settings.augment_scale,
+            )
+        )(k_aug_t, raw)
+        spec_g = jnp.pad(raw, ((0, 0), (0, 0), (0, W - S)))
+    else:
+        spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]    # (T,B,W)
+    if use_inoise:
+        sig = float(settings.instance_noise)
+        inoise = jax.vmap(
+            lambda k: sig * jax.random.normal(k, (2 * B, S))
+        )(k_in_t)
+        extra_streams += (jnp.pad(inoise, ((0, 0), (0, 0), (0, W - S))),)
+    if use_stab:
+        sig = float(settings.stability_noise)
+        stab_noise = jax.vmap(
+            lambda k: sig * jax.random.normal(k, (B, S))
+        )(k_noise_t)
+        # noise on top of the (possibly augmented) spectrum stream —
+        # steps.py noises the post-augment spectra; pads stay zero
+        extra_streams += (spec_g.at[:, :, :S].add(stab_noise),)
+    if wgan:
+        # GP interpolation coefficients (steps.py:316) in lane 0
+        eps_t = jax.vmap(
+            lambda k: jax.random.uniform(k, (B, 1))
+        )(k_gp_t)
+        extra_streams += (jnp.pad(eps_t, ((0, 0), (0, 0), (0, LANE - 1))),)
+
+    # per-OPTIMIZER counts: G and D can disagree after mixed-phase
+    # histories (e.g. a d_update_every>1 phase) — and with skips, D's
+    # count advances only on its actual update steps (XLA skip-branch
+    # parity: the whole d_opt is untouched on skipped steps)
+    if k_d > 1:
+        d_mask = ((step + jnp.arange(T)) % k_d == 0).astype(jnp.float32)
+        upd_before = (jnp.cumsum(d_mask) - d_mask).astype(d_count.dtype)
+    else:
+        d_mask = jnp.ones((T,), jnp.float32)
+        upd_before = jnp.arange(T, dtype=d_count.dtype)
+    tg = g_count + jnp.arange(T)
+    td = d_count + upd_before
+    tgf = (tg + 1).astype(jnp.float32)
+    tdf = (td + 1).astype(jnp.float32)
+    lanes = [
+        g_sched(tg), d_sched(td),
+        1.0 / (1.0 - jnp.power(_B1, tgf)),
+        1.0 / (1.0 - jnp.power(_B2, tgf)),
+        1.0 / (1.0 - jnp.power(_B1, tdf)),
+        1.0 / (1.0 - jnp.power(_B2, tdf)),
+        d_mask,
+        jnp.repeat(scales.astype(jnp.float32), spe),
+        jnp.ones((T,), jnp.float32),   # `live` gate (0 on padded tail)
+    ]
+    # zero-pad every lane per epoch: padded steps get lr/inv/d_mask/
+    # live all 0 — the kernel's gated updates never consume them
+    lanes = [_pad_steps(v) for v in lanes]
+    Tp = E * spe_pad
+    sched = jnp.stack(
+        lanes + [jnp.zeros((Tp,), jnp.float32)] * (LANE - len(lanes)),
+        axis=1,
+    )
+    sched = sched.reshape(Tp, 1, LANE)  # unit middle axis: TPU block
+    # shapes need the last two dims (8,128)-divisible or array-equal
+
+    lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
+    hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
+    data_streams = tuple(
+        _pad_steps(s) for s in (spec_g, par_g, met_g) + extra_streams
+    )
+    return data_streams[:3] + (sched,) + data_streams[3:] + (lo, hi)
 
 
 # ---------------------------------------------------------------------------
@@ -1574,140 +1788,29 @@ def make_pallas_multi_epoch_fn(
 
         return make_schedule(kind, lr, total_epochs, spe)
 
-    def _streams(rng, step, g_count, d_count, ds, key: jax.Array,
-                 scales: jax.Array):
-        """Gather/schedule/noise stream construction (the XLA prologue) —
-        compiled as its OWN jitted program: fusing it with the aliased
-        pallas_call corrupts the kernel's VMEM operands on v5e (the
-        round-3 forward root cause; the GAN kernel's grid caps were
-        measured under the same fused shape — _FUSED_PROLOGUE note)."""
-        E = scales.shape[0]
-        N = ds.spectra.shape[0]
-        spe = max(1, N // B)
-        T = E * spe
-        # divisor-less spe (e.g. prime) pads each epoch to spe_pad gated
-        # steps (see _launch_plan) — streams gain zero-filled tail slots
-        # per epoch and the sched stream carries a `live` lane the kernel
-        # gates every state update and metric contribution on
-        _, _, plan_rs, spe_pad = _launch_plan(E, spe)
-        pad = spe_pad - spe
-
-        def _pad_steps(x):
-            if pad == 0:
-                return x
-            x = x.reshape((E, spe) + x.shape[1:])
-            widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
-            return jnp.pad(x, widths).reshape((E * spe_pad,) + x.shape[2:])
+    def _g_sched_of(spe: int):
         if g_overridden:
-            g_sched = _mk_sched(
+            return _mk_sched(
                 schedule_g or "cosine",
                 cfg.train.lr_g if lr_g is None else lr_g, horizon_epochs, spe,
             )
-        else:
-            g_sched = cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
+        return cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
+
+    def _d_sched_of(spe: int):
         if d_overridden:
-            d_sched = _mk_sched(
+            return _mk_sched(
                 schedule_d or "step",
                 cfg.train.lr_d if lr_d is None else lr_d, horizon_epochs, spe,
             )
-        else:
-            d_sched = step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
+        return step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
 
-        keys = jax.random.split(key, E)
-        idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
-        par_g = jnp.pad(ds.params, ((0, 0), (0, LANE - 4)))[idx]
-        met_g = jnp.pad(ds.metrics_norm, ((0, 0), (0, LANE - 8)))[idx]
-
-        extra_streams = ()
-        if use_aug or use_inoise or use_stab or wgan:
-            # per-step keys from the EXACT rng chain the XLA step splits
-            # (steps.py:257-259; unpack_state advances the same chain), so
-            # every stochastic stream is bitwise-identical to the XLA run
-            def _collect(r, _):
-                ks = jax.random.split(r, 9)
-                # k_noise, k_aug, k_in, k_gp
-                return ks[0], (ks[5], ks[6], ks[7], ks[8])
-
-            _, (k_noise_t, k_aug_t, k_in_t, k_gp_t) = jax.lax.scan(
-                _collect, rng, None, length=T
-            )
-        if use_aug:
-            from .augment import augment_spectra
-
-            raw = ds.spectra[idx]                               # (T, B, S)
-            raw = jax.vmap(
-                lambda k, sp: augment_spectra(
-                    k, sp,
-                    noise_level=settings.augment_noise,
-                    freq_shift=settings.augment_shift,
-                    amp_scale=settings.augment_scale,
-                )
-            )(k_aug_t, raw)
-            spec_g = jnp.pad(raw, ((0, 0), (0, 0), (0, W - S)))
-        else:
-            spec_g = jnp.pad(ds.spectra, ((0, 0), (0, W - S)))[idx]    # (T,B,W)
-        if use_inoise:
-            sig = float(settings.instance_noise)
-            inoise = jax.vmap(
-                lambda k: sig * jax.random.normal(k, (2 * B, S))
-            )(k_in_t)
-            extra_streams += (jnp.pad(inoise, ((0, 0), (0, 0), (0, W - S))),)
-        if use_stab:
-            sig = float(settings.stability_noise)
-            stab_noise = jax.vmap(
-                lambda k: sig * jax.random.normal(k, (B, S))
-            )(k_noise_t)
-            # noise on top of the (possibly augmented) spectrum stream —
-            # steps.py noises the post-augment spectra; pads stay zero
-            extra_streams += (spec_g.at[:, :, :S].add(stab_noise),)
-        if wgan:
-            # GP interpolation coefficients (steps.py:316) in lane 0
-            eps_t = jax.vmap(
-                lambda k: jax.random.uniform(k, (B, 1))
-            )(k_gp_t)
-            extra_streams += (jnp.pad(eps_t, ((0, 0), (0, 0), (0, LANE - 1))),)
-
-        # per-OPTIMIZER counts: G and D can disagree after mixed-phase
-        # histories (e.g. a d_update_every>1 phase) — and with skips, D's
-        # count advances only on its actual update steps (XLA skip-branch
-        # parity: the whole d_opt is untouched on skipped steps)
-        if k_d > 1:
-            d_mask = ((step + jnp.arange(T)) % k_d == 0).astype(jnp.float32)
-            upd_before = (jnp.cumsum(d_mask) - d_mask).astype(d_count.dtype)
-        else:
-            d_mask = jnp.ones((T,), jnp.float32)
-            upd_before = jnp.arange(T, dtype=d_count.dtype)
-        tg = g_count + jnp.arange(T)
-        td = d_count + upd_before
-        tgf = (tg + 1).astype(jnp.float32)
-        tdf = (td + 1).astype(jnp.float32)
-        lanes = [
-            g_sched(tg), d_sched(td),
-            1.0 / (1.0 - jnp.power(_B1, tgf)),
-            1.0 / (1.0 - jnp.power(_B2, tgf)),
-            1.0 / (1.0 - jnp.power(_B1, tdf)),
-            1.0 / (1.0 - jnp.power(_B2, tdf)),
-            d_mask,
-            jnp.repeat(scales.astype(jnp.float32), spe),
-            jnp.ones((T,), jnp.float32),   # `live` gate (0 on padded tail)
-        ]
-        # zero-pad every lane per epoch: padded steps get lr/inv/d_mask/
-        # live all 0 — the kernel's gated updates never consume them
-        lanes = [_pad_steps(v) for v in lanes]
-        Tp = E * spe_pad
-        sched = jnp.stack(
-            lanes + [jnp.zeros((Tp,), jnp.float32)] * (LANE - len(lanes)),
-            axis=1,
+    def _streams(rng, step, g_count, d_count, ds, key: jax.Array,
+                 scales: jax.Array):
+        """See _build_streams (shared stream recipe; split-prologue note)."""
+        return _build_streams(
+            cfg, settings, k_d, _g_sched_of, _d_sched_of,
+            rng, step, g_count, d_count, ds, key, scales,
         )
-        sched = sched.reshape(Tp, 1, LANE)  # unit middle axis: TPU block
-        # shapes need the last two dims (8,128)-divisible or array-equal
-
-        lo = jnp.pad(ds.param_lo, (0, LANE - 4)).reshape(1, LANE)
-        hi = jnp.pad(ds.param_hi, (0, LANE - 4)).reshape(1, LANE)
-        data_streams = tuple(
-            _pad_steps(s) for s in (spec_g, par_g, met_g) + extra_streams
-        )
-        return data_streams[:3] + (sched,) + data_streams[3:] + (lo, hi)
 
     def _kernel_body(state, E: int, spe: int, *streams):
         T = E * spe
@@ -1842,6 +1945,204 @@ def make_pallas_multi_epoch_fn(
         return kernel_jit(state, E, spe, *streams)
 
     return multi_epoch
+
+
+def make_pallas_ensemble_fn(
+    cfg: PiGanConfig, settings, num_members: int, *, interpret: bool = False,
+):
+    """M independent seed-ensemble members trained in ONE Pallas launch:
+    every state buffer carries a leading member axis (M, 3, r, c) resident
+    in VMEM together, and each grid step runs the SAME per-step body once
+    per member over _MemberView-wrapped refs.
+
+    Round-4 utilization experiment (VERDICT r3 #1): the solo kernel is
+    LATENCY-bound — 16.5% MFU, 1% HBM utilization at 59.6k steps/s
+    (bench.py utilization fields), with bf16 operands buying nothing and
+    a ~5.9 us/grid-step orchestration floor already hidden under compute
+    (RESULTS.md "Where the 17 us actually goes").  Co-locating M members
+    gives the scheduler M independent per-step op chains to overlap, so
+    aggregate steps/s/chip can exceed the solo rate if (and only if) the
+    latency diagnosis is right.  VMEM: ~6.6 MB state per member + 5.6 MB
+    shared frozen F — M <= 8 fits the 100 MB budget easily.
+
+    Contract: ``ensemble_epoch(states, ds, key, scales) -> (states,
+    metrics_list)`` where ``states`` is a LIST of M PiGanStates (every
+    member must share the same step/opt counts — fresh seed-ensemble
+    members, like parallel/ensemble_megakernel.py builds) and
+    ``metrics_list`` has one {metric: (E,)} dict per member.  Member m's
+    shuffle/noise streams derive from ``fold_in(key, m)`` and member m's
+    own state.rng, making each member bit-identical to training it alone
+    through make_pallas_multi_epoch_fn with key = fold_in(key, m)
+    (tested in tests/test_member_packed.py).  Frozen F is taken from
+    member 0 (seed ensembles share the pretrained surrogate).
+
+    Scope: the no-override schedule defaults, ema_decay == 0, and
+    E * spe_pad <= _MAX_PROGRAM_GRID (one launch per call — the
+    hardware-proven program shape; callers chunk epochs like the
+    Trainer does).
+    """
+    reason = supports_megakernel(cfg, settings)
+    if reason is not None:
+        raise ValueError(f"megakernel unsupported here: {reason}")
+    if num_members < 1:
+        raise ValueError("num_members must be >= 1")
+    if float(settings.ema_decay) > 0.0:
+        raise ValueError("member-packed kernel: ema_decay > 0 unsupported")
+    S = cfg.data.spectrum_dim
+    B = cfg.train.batch_size
+    W = _up(S + 4)
+    clip = float(cfg.train.grad_clip)
+    k_d = int(settings.d_update_every)
+    M = int(num_members)
+    use_inoise = float(settings.instance_noise) > 0.0
+    use_stab = float(settings.stability_w) > 0.0
+    wgan = settings.gan_loss == "wgan_gp"
+
+    def _g_sched_of(spe: int):
+        return cosine_schedule(cfg.train.lr_g, cfg.train.num_epochs, spe, 0.01)
+
+    def _d_sched_of(spe: int):
+        return step_schedule(cfg.train.lr_d, cfg.train.num_epochs, spe, 0.5, 0.25)
+
+    def _streams_all(rngs, step, g_count, d_count, ds, key, scales):
+        """Per-member prologue: M stream sets stacked on a leading member
+        axis (spec/par/met and the noise extras); sched/lo/hi shared
+        (identical across members — same counts, same scales)."""
+        per = [
+            _build_streams(
+                cfg, settings, k_d, _g_sched_of, _d_sched_of,
+                rngs[m], step, g_count, d_count, ds,
+                jax.random.fold_in(key, m), scales,
+            )
+            for m in range(M)
+        ]
+        n_extra = int(use_inoise) + int(use_stab) + int(wgan)
+        stacked = [
+            jnp.stack([p[j] for p in per])
+            for j in [0, 1, 2] + list(range(4, 4 + n_extra))
+        ]
+        sched, lo, hi = per[0][3], per[0][-2], per[0][-1]
+        return tuple(stacked[:3]) + (sched,) + tuple(stacked[3:]) + (lo, hi)
+
+    def _kernel_body(states, E: int, spe: int, *streams):
+        T = E * spe
+        ls, n_launch, plan_rs, spe_pad = _launch_plan(E, spe)
+        if n_launch != 1:
+            raise ValueError(
+                f"member-packed kernel: E*spe_pad {E * spe_pad} exceeds one "
+                f"launch (_MAX_GRID={_MAX_GRID}); chunk epochs per call"
+            )
+        pad = spe_pad - spe
+        *step_streams, lo, hi = streams
+        sched = step_streams[3]
+        if k_d > 1:
+            d_inc = jnp.sum(sched[:, 0, 6]).astype(
+                states[0].d_opt[1][0].count.dtype)
+        else:
+            d_inc = None
+        packed = [
+            pack_state(st, S, frozen_bf16=cfg.train.compute_dtype == "bfloat16")
+            for st in states
+        ]
+        train = [
+            jnp.stack([pk[0][j] for pk in packed]) for j in range(16)
+        ]
+        stats = [jnp.stack([pk[1][j] for pk in packed]) for j in range(2)]
+        frozen = packed[0][2]          # shared pretrained F (member 0)
+        bufs = train + stats
+
+        const = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array block
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        n_state = len(bufs)
+        n_extra = len(step_streams) - 4
+        aliases = {} if _NO_ALIAS else {
+            30 + n_extra + k: k for k in range(n_state)
+        }
+        pack = _resolve_pack(ls, plan_rs)
+        kernel = _make_kernel(
+            S, B, spe, settings, clip,
+            bf16=cfg.train.compute_dtype == "bfloat16",
+            row_steps=plan_rs, padded=pad > 0, pack=pack, members=M,
+        )
+
+        spec_c, par_c, met_c, sched_c, *extra_c = step_streams
+        mrow = lambda *shape: pl.BlockSpec(  # noqa: E731 — member stream block
+            (M, pack) + shape, lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = (
+            [mrow(B, W), mrow(B, LANE), mrow(B, LANE),
+             pl.BlockSpec((pack, 1, LANE), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + ([mrow(2 * B, W)] if use_inoise else [])
+            + ([mrow(B, W)] if use_stab else [])
+            + ([mrow(B, LANE)] if wgan else [])
+            + [const((1, LANE)), const((1, LANE))]
+            + [const(f.shape) for f in frozen]
+            + [const(b.shape) for b in bufs]
+        )
+        n_rows = ls // plan_rs
+        midx = lambda i: (i // (plan_rs // pack), 0, 0)  # noqa: E731
+        out_specs = (
+            [const(b.shape) for b in bufs]
+            + [pl.BlockSpec((1, M, LANE), midx, memory_space=pltpu.VMEM)]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs]
+            + [jax.ShapeDtypeStruct((n_rows, M, LANE), jnp.float32)]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(ls // pack,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20,
+                ))),
+        )(spec_c, par_c, met_c, sched_c, *extra_c, lo, hi, *frozen, *bufs)
+        bufs_out, mrows = list(outs[:n_state]), outs[n_state]
+        if plan_rs != spe_pad:   # sub-epoch metric rows -> per-epoch sums
+            mrows = mrows.reshape(
+                (E, spe_pad // plan_rs) + mrows.shape[1:]).sum(axis=1)
+        mkeys = METRIC_KEYS + (
+            ("constraint_loss",) if settings.constraint_w else ()
+        )
+        new_states, metrics_list = [], []
+        for m in range(M):
+            new_states.append(unpack_state(
+                states[m],
+                [b[m] for b in bufs_out[:16]],
+                [b[m] for b in bufs_out[16:18]],
+                T, S, d_steps=d_inc,
+            ))
+            metrics_list.append(
+                {k: mrows[:, m, j] for j, k in enumerate(mkeys)}
+            )
+        return tuple(new_states), metrics_list
+
+    stream_jit = jax.jit(_streams_all)
+    kernel_jit = partial(jax.jit, static_argnums=(1, 2),
+                         donate_argnums=(0,))(_kernel_body)
+
+    def ensemble_epoch(states, ds, key: jax.Array, scales: jax.Array):
+        states = tuple(states)
+        if len(states) != M:
+            raise ValueError(f"expected {M} states, got {len(states)}")
+        E = int(scales.shape[0])
+        spe = max(1, ds.spectra.shape[0] // B)
+        rngs = jnp.stack([st.rng for st in states])
+        streams = stream_jit(
+            rngs, states[0].step, states[0].g_opt[1][0].count,
+            states[0].d_opt[1][0].count, ds, key, scales,
+        )
+        new_states, metrics = kernel_jit(states, E, spe, *streams)
+        return list(new_states), metrics
+
+    return ensemble_epoch
 
 
 def make_pallas_subepoch_fn(

@@ -69,7 +69,7 @@ class Trainer:
         mesh=None,
         nan_guard: bool = True,
         megakernel: str = "auto",
-        shadow_parity: str = "first",
+        shadow_parity: str = "every:20",
     ):
         # epochs_per_call > 1 scans whole epochs inside one jit call
         # (make_multi_epoch_fn): fewer dispatches, chunk-granular snapshots.
@@ -112,10 +112,25 @@ class Trainer:
         # "first" replays the first megakernel chunk of each kind on the
         # XLA path from the same state/rng and compares the first epoch's
         # metric row (_SHADOW_RTOL); "all" replays every chunk (probes);
+        # "every:N" (the default, N=20) replays chunk 0 of each kind and
+        # every Nth after — the periodic cadence covers corruption classes
+        # that appear only in later program shapes (scanned launches,
+        # resume tails — round-3 history), and its replays cover ONE epoch
+        # only (split(key, 1)[0] == split(key, E)[0], so the first-epoch
+        # comparison row is bitwise the full replay's; measured overhead
+        # ~2.4 XLA-epochs per N*E kernel-epochs, <0.5% at the defaults);
         # "off" disables.  A mismatch counts as a fallback trip: the run
-        # continues from the XLA replay's state with the kernel disabled.
-        assert shadow_parity in ("off", "first", "all"), shadow_parity
+        # continues from the XLA result with the kernel disabled.
+        self._shadow_every: Optional[int] = None
+        if shadow_parity.startswith("every:"):
+            n = int(shadow_parity.split(":", 1)[1])
+            if n < 1:
+                raise ValueError(f"shadow_parity {shadow_parity!r}: N >= 1")
+            self._shadow_every = n
+        else:
+            assert shadow_parity in ("off", "first", "all"), shadow_parity
         self.shadow_parity = shadow_parity
+        self._shadow_counts: dict = {}  # per-kind chunk counter (every:N)
         self._shadow_done: set = set()
         self._shadow_result = None  # (state, rows) of the last XLA replay
         self.shadow_checks: List[dict] = []  # one record per replay
@@ -397,13 +412,23 @@ class Trainer:
                 self.fallback_events.append(f"{what}-shadow@epoch{at}")
                 multi_epoch = xla_factory()
                 mega_active = False
-                new_state, rows = self._shadow_result
+                if self._shadow_result is not None:
+                    new_state, rows = self._shadow_result
+                else:
+                    # every:N replays cover one epoch only — recompute the
+                    # full chunk on the XLA path from the pre-chunk state
+                    new_state, ms = multi_epoch(backup, self.ds, sub, scales)
+                    rows = {k: [float(x) for x in v] for k, v in ms.items()}
             self._shadow_result = None
         return new_state, rows, multi_epoch, mega_active
 
     def _shadow_due(self, what: str) -> bool:
         if self.shadow_parity == "off":
             return False
+        if self._shadow_every is not None:
+            c = self._shadow_counts.get(what, 0)
+            self._shadow_counts[what] = c + 1
+            return c % self._shadow_every == 0
         return self.shadow_parity == "all" or what not in self._shadow_done
 
     def _shadow_replay(self, xla_factory, backup, sub, scales, rows, what, at):
@@ -418,9 +443,20 @@ class Trainer:
         (state, rows) in self._shadow_result for the trip path."""
         self._shadow_done.add(what)
         xla_fn = xla_factory()
-        shadow_state, sms = xla_fn(backup, self.ds, sub, scales)
+        # every:N cadence replays ONE epoch only: the comparison uses the
+        # first epoch's metric row, and split(key, 1)[0] == split(key, E)[0]
+        # makes that row bitwise the full replay's — the periodic check
+        # costs ~1 XLA epoch per N*E kernel epochs.  The trip path then
+        # recomputes the full chunk (_shadow_result stays None).
+        partial = self._shadow_every is not None and int(scales.shape[0]) > 1
+        # the XLA fn donates its state arg — a partial replay must not
+        # consume `backup` (the trip path recomputes the full chunk from it)
+        shadow_state, sms = xla_fn(
+            jax.tree.map(jnp.copy, backup) if partial else backup,
+            self.ds, sub, scales[:1] if partial else scales,
+        )
         srows = {k: [float(x) for x in v] for k, v in sms.items()}
-        self._shadow_result = (shadow_state, srows)
+        self._shadow_result = None if partial else (shadow_state, srows)
         rtol = _SHADOW_RTOL
         if what == "forward" and self.cfg.forward_model.dropout_rate > 0:
             rtol = _SHADOW_RTOL_DROPOUT  # hardware-PRNG dropout mask noise

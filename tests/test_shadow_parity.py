@@ -136,3 +136,65 @@ def test_shadow_tolerance_constants():
     # corruption signature (~10x)
     assert 0.01 <= trainer_mod._SHADOW_RTOL <= 0.9
     assert trainer_mod._SHADOW_RTOL_DROPOUT >= trainer_mod._SHADOW_RTOL
+
+
+def test_shadow_every_n_cadence(cfg):
+    """every:N replays chunk 0 and every Nth after, per kind."""
+    cfg = _small(cfg)
+    ds = synthetic_dataset(cfg.data)
+    t = Trainer(
+        cfg, ds=ds, epochs_per_call=1, megakernel="force",
+        shadow_parity="every:2",
+    )
+    t.init_pigan()
+    t.train_pigan(epochs=5, log_every=10**9)  # chunks 0..4 -> replays 0,2,4
+    assert [c["at"] for c in t.shadow_checks] == [0, 2, 4]
+    assert all(c["ok"] for c in t.shadow_checks)
+    assert t.fallback_trips == 0
+
+
+def test_shadow_every_n_trips_midrun(cfg, monkeypatch):
+    """VERDICT r3 #2: corruption appearing AFTER the first chunk (the
+    blind spot of shadow_parity='first') must trip the periodic net at a
+    later replay, and the run must continue finite on XLA."""
+    cfg = _small(cfg)
+    ds = synthetic_dataset(cfg.data)
+    t = Trainer(
+        cfg, ds=ds, epochs_per_call=1, megakernel="force",
+        shadow_parity="every:2",
+    )
+    real_factory = Trainer._maybe_megakernel
+    calls = {"n": 0}
+
+    def late_corrupting(self, settings, override_key):
+        real = real_factory(self, settings, override_key)
+        if real is None:
+            return None
+
+        def fn(state, ds_, key, scales):
+            calls["n"] += 1
+            new_state, ms = real(state, ds_, key, scales)
+            if calls["n"] >= 3:   # clean chunks 0-1, corrupt from chunk 2
+                return new_state, {k: v * 10.0 for k, v in ms.items()}
+            return new_state, ms
+
+        return fn
+
+    monkeypatch.setattr(Trainer, "_maybe_megakernel", late_corrupting)
+    t.init_pigan()
+    t.train_pigan(epochs=6, log_every=10**9)
+    # replay at chunk 0 passes; replay at chunk 2 sees the corruption
+    assert t.fallback_trips == 1
+    assert t.fallback_events == ["pigan-shadow@epoch2"]
+    assert [c["ok"] for c in t.shadow_checks] == [True, False]
+    assert len(t.train_history["pigan/g_loss"]) == 6
+    assert np.isfinite(t.train_history["pigan/g_loss"]).all()
+
+
+def test_shadow_every_n_validation(cfg):
+    import pytest
+
+    cfg = _small(cfg)
+    ds = synthetic_dataset(cfg.data)
+    with pytest.raises(ValueError, match="N >= 1"):
+        Trainer(cfg, ds=ds, shadow_parity="every:0")
