@@ -234,6 +234,62 @@ def save_csv(ds: ThzDataset, path: str) -> None:
     pd.DataFrame(data).to_csv(path, index=False)
 
 
+class ThzMetadata(NamedTuple):
+    """Dataset metadata without the data — the counterpart of the
+    reference's ``MetamaterialDataset(load_data=False)`` fixture mode
+    (data_loader.py:116-122, which loads only frequencies and column
+    names).  From a CSV only the HEADER line is read."""
+
+    frequencies: np.ndarray      # (S,)
+    param_names: tuple
+    metric_names: tuple
+    spectrum_dim: int
+    num_samples: int | None      # None when no CSV was given
+
+
+def load_metadata(cfg: DataConfig, csv_path: str | None = None) -> ThzMetadata:
+    """Metadata-only load (reference ``load_data=False`` parity).
+
+    With a CSV path: read the header line, discover/sort the Freq_*
+    columns, validate the required param/metric columns, and count data
+    rows — without parsing a single float.  Without: derive everything
+    from the config (the synthetic path's grid)."""
+    if csv_path:
+        if not os.path.exists(csv_path):
+            raise FileNotFoundError(f"dataset not found: {csv_path}")
+        with open(csv_path, "r", newline="") as fh:
+            header = fh.readline().strip().split(",")
+            n_rows = sum(1 for line in fh if line.strip())
+        spec_cols = [
+            c for c in header
+            if c.startswith("Freq_")
+            and c.split("_", 1)[1].replace(".", "", 1).isdigit()
+        ]
+        if not spec_cols:
+            raise ValueError("no 'Freq_*' spectrum columns found in CSV")
+        spec_cols = sorted(spec_cols, key=lambda c: float(c.split("_", 1)[1]))
+        missing = [c for c in (*PARAM_NAMES, *METRIC_NAMES) if c not in header]
+        if missing:
+            raise ValueError(f"CSV missing required columns: {missing}")
+        freqs = np.array(
+            [float(c.split("_", 1)[1]) for c in spec_cols], np.float32
+        )
+        return ThzMetadata(
+            frequencies=freqs,
+            param_names=tuple(PARAM_NAMES),
+            metric_names=tuple(METRIC_NAMES),
+            spectrum_dim=len(spec_cols),
+            num_samples=n_rows,
+        )
+    return ThzMetadata(
+        frequencies=np.asarray(cfg.frequencies, np.float32),
+        param_names=tuple(PARAM_NAMES),
+        metric_names=tuple(METRIC_NAMES),
+        spectrum_dim=cfg.spectrum_dim,
+        num_samples=None,
+    )
+
+
 def load_or_synthesize(cfg: DataConfig, csv_path: str | None = None) -> ThzDataset:
     """Prefer the CSV if it exists (reference workflow); otherwise synthesize
     (the CSV is a missing large blob in the reference repo).  Uses the native

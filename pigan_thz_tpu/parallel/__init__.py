@@ -1,3 +1,4 @@
+from .hlo_check import assert_mesh_collectives, check_mesh_collectives
 from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicated
 from .sharding import (
     make_parallel_epoch_fn,
@@ -10,6 +11,8 @@ from .sharding import (
 
 __all__ = [
     "DATA_AXIS",
+    "assert_mesh_collectives",
+    "check_mesh_collectives",
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",

@@ -502,6 +502,22 @@ class Trainer:
         else:
             print(f"[trainer] {msg}", file=sys.stderr)
 
+    def _progress(self, what: str, t_start: float, done_epochs: int,
+                  total_epochs: int) -> None:
+        """Per-chunk steps/s + ETA line — the chunked-jit counterpart of the
+        reference's in-epoch progress bar with ETA (train_pigan.py:205-233;
+        an in-epoch bar is meaningless when 25 epochs run per jit call)."""
+        dt = time.time() - t_start
+        if dt <= 0 or done_epochs <= 0:
+            return
+        rate = done_epochs * self.steps_per_epoch / dt
+        left = (total_epochs - done_epochs) * self.steps_per_epoch / rate
+        eta = f"{int(left // 60)}:{int(left % 60):02d}"
+        self._log(
+            f"[{what}] epoch {done_epochs}/{total_epochs} "
+            f"{rate:,.0f} steps/s, ETA {eta}"
+        )
+
     def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
         for k, v in metrics.items():
             val = float(v)
@@ -574,6 +590,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
         epoch = 0
         stop = False
+        t_start = time.time()
         xla_routes = (
             self._plan_small_grid_routes(epochs, forward=True)
             if mega_active and not getattr(multi_epoch, "sub_epoch", False)
@@ -633,6 +650,7 @@ class Trainer:
                     history=self.train_history, config=self.cfg,
                 )
             epoch += chunk
+            self._progress("forward", t_start, epoch, epochs)
         if keep_best and best_state is not None:
             self.forward_state = best_state
         return self.train_history
@@ -833,6 +851,7 @@ class Trainer:
                     history=self.train_history, config=self.cfg,
                 )
             epoch += chunk
+            self._progress("pigan", t0, epoch, epochs)
         if snapshot_metric is not None and best_state is not None:
             self.pigan_state = best_state
             self._log(f"[pigan] restored best snapshot ({snapshot_metric}={best_val:.4f})")

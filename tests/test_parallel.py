@@ -123,3 +123,51 @@ def test_mesh_trainer_end_to_end(cfg, small_ds):
     assert np.isfinite(t.train_history["pigan/g_loss"][-1])
     wide = t.pigan_state.f.params["MLPBlock_2"]["Dense_0"]["kernel"]
     assert MODEL_AXIS in str(wide.sharding.spec)
+
+
+def test_replica_group_parser():
+    from pigan_thz_tpu.parallel.hlo_check import parse_replica_groups
+
+    assert parse_replica_groups("{{0,1},{2,3}}") == [(0, 1), (2, 3)]
+    assert parse_replica_groups("[4,2]<=[8]") == [
+        (0, 1), (2, 3), (4, 5), (6, 7)
+    ]
+    assert parse_replica_groups("[2,4]<=[4,2]T(1,0)") == [
+        (0, 2, 4, 6), (1, 3, 5, 7)
+    ]
+    assert parse_replica_groups("bogus") is None
+
+
+@pytest.mark.slow
+def test_compiled_step_contains_mesh_collectives(cfg, small_ds):
+    """VERDICT r3 #3a: the compiled SPMD step must contain the gradient
+    all-reduce over the data axis AND the TP matmul all-reduces over the
+    model axis — catching a silent fall-back to replicated compute."""
+    from pigan_thz_tpu.parallel import assert_mesh_collectives
+    from pigan_thz_tpu.parallel.hlo_check import check_mesh_collectives
+
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, 4)
+    mesh = make_mesh(data=4, model=2)
+    state = shard_state(
+        init_pigan_state(g, d, f, g_tx, d_tx, jax.random.PRNGKey(0)), mesh
+    )
+    ds = replicate_dataset(small_ds, mesh)
+    step = make_pigan_step(
+        g, d, f, g_tx, d_tx,
+        StepSettings.from_config(cfg, detach_forward=False),
+        small_ds.param_lo, small_ds.param_hi,
+    )
+    epoch = make_parallel_epoch_fn(
+        step, cfg.train.batch_size, mesh, with_scale=True
+    )
+    txt = epoch.lower(state, ds, jax.random.PRNGKey(1), 1.0).compile().as_text()
+    assert_mesh_collectives(txt, mesh)   # raises on silent replication
+    report = check_mesh_collectives(txt, mesh)
+    assert report["data"] and report["model"]
+    # a doctored text with no collectives must FAIL the check
+    stripped = "\n".join(
+        line for line in txt.splitlines() if "replica_groups" not in line
+    )
+    with pytest.raises(AssertionError, match="replicated compute"):
+        assert_mesh_collectives(stripped, mesh)

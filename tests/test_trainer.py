@@ -214,3 +214,31 @@ def test_backup_tag_artifacts(cfg, small_ds, tmp_path):
     for n in ("generator_final", "generator_emergency",
               "discriminator_emergency", "forward_model_emergency"):
         assert _os.path.isdir(_os.path.join(str(tmp_path), n)), n
+
+
+def test_per_chunk_progress_eta(cfg, small_ds):
+    """VERDICT r3 #7: each chunked jit call logs a steps/s + ETA line (the
+    chunk-granular counterpart of the reference's in-epoch progress bar)."""
+    from pigan_thz_tpu.train import Trainer
+
+    class _Log:
+        def __init__(self):
+            self.lines = []
+
+        def info(self, msg):
+            self.lines.append(msg)
+
+        def add_scalars(self, *a, **k):
+            pass
+
+    log = _Log()
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, logger=log)
+    t.pretrain_forward(epochs=4, log_every=10**9)
+    prog = [l for l in log.lines if "steps/s, ETA" in l and "[forward]" in l]
+    assert len(prog) == 2                       # one line per chunk
+    assert "epoch 2/4" in prog[0] and "epoch 4/4" in prog[1]
+    t.init_pigan()
+    t.train_pigan(epochs=2, log_every=10**9)
+    assert any(
+        "steps/s, ETA" in l and "[pigan]" in l for l in log.lines
+    )
