@@ -409,7 +409,14 @@ def cmd_evaluate(args) -> int:
             "validation": results["model_validation"],
         }
         for suite, (fname, builder) in eval_viz.SUITE_FIGURES.items():
-            builder(suite_results[suite], arrays, os.path.join(args.models, fname))
+            kw = (
+                {"history": trainer.train_history}
+                if suite == "pigan" and trainer.train_history else {}
+            )
+            builder(
+                suite_results[suite], arrays,
+                os.path.join(args.models, fname), **kw,
+            )
         eval_viz.plot_comprehensive_summary(
             results, os.path.join(args.models, "evaluation_summary.png"),
             ceilings=ceilings,

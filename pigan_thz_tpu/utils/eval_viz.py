@@ -76,6 +76,21 @@ def _rating_panel(ax, title, lines):
 # ---------------------------------------------------------------------------
 
 
+def _radar(fig, pos, names, values, title, color="#4878cf"):
+    """Polar radar panel (reference: visualization.py:94-114 — the forward
+    figure's detailed-metrics radar; values expected in [0, 1])."""
+    ax = fig.add_subplot(*pos, projection="polar")
+    angles = np.linspace(0, 2 * np.pi, len(names), endpoint=False).tolist()
+    vals = [float(np.clip(v, 0.0, 1.0)) for v in values]
+    ax.plot(angles + angles[:1], vals + vals[:1], lw=1.5, color=color)
+    ax.fill(angles + angles[:1], vals + vals[:1], alpha=0.25, color=color)
+    ax.set_xticks(angles)
+    ax.set_xticklabels(names, fontsize=7)
+    ax.set_ylim(0, 1)
+    ax.set_title(title, fontsize=10)
+    return ax
+
+
 def plot_forward_network_evaluation(
     results: Dict[str, Any], arrays: Mapping[str, np.ndarray], path: str
 ) -> str:
@@ -87,9 +102,17 @@ def plot_forward_network_evaluation(
     _bars(axes[0, 0], ["spectrum R2", "metrics R2"],
           [spec["r2"], met["r2"]], "Performance overview",
           targets=[0.9, 0.9])
-    _bars(axes[0, 1], ["mse", "mae", "rmse", "pearson"],
-          [spec["mse"], spec["mae"], spec["rmse"], spec["pearson_r"]],
-          "Spectrum prediction detailed metrics", fmt="{:.4f}")
+    # detailed-metrics RADAR (visualization.py:94-114): error metrics are
+    # inverted into [0, 1] scores (1/(1+err)) so "bigger is better" reads
+    # uniformly around the polar axes, R2/pearson clip to [0, 1]
+    axes[0, 1].remove()
+    _radar(
+        fig, (2, 3, 2),
+        ["1/(1+MSE)", "1/(1+MAE)", "1/(1+RMSE)", "R2", "pearson"],
+        [1.0 / (1.0 + spec["mse"]), 1.0 / (1.0 + spec["mae"]),
+         1.0 / (1.0 + spec["rmse"]), spec["r2"], spec["pearson_r"]],
+        "Spectrum prediction detailed metrics",
+    )
     _bars(axes[0, 2], ["mse", "mae", "rmse", "pearson"],
           [met["mse"], met["mae"], met["rmse"], met["pearson_r"]],
           "Metrics prediction detailed metrics", fmt="{:.4f}")
@@ -132,11 +155,15 @@ def plot_forward_network_evaluation(
 
 
 def plot_pigan_evaluation(
-    results: Dict[str, Any], arrays: Mapping[str, np.ndarray], path: str
+    results: Dict[str, Any], arrays: Mapping[str, np.ndarray], path: str,
+    history: Optional[Mapping[str, Any]] = None,
 ) -> str:
+    """`history` (optional): train-history mapping with 'pigan/d_loss' /
+    'pigan/g_loss' lists — fills the training-loss-curve panel the
+    reference embeds in its PI-GAN figure (visualization.py:331-341)."""
     plt = _plt()
     par, dis = results["parameter_prediction"], results["discriminator_performance"]
-    fig, axes = plt.subplots(2, 4, figsize=(22, 9))
+    fig, axes = plt.subplots(2, 5, figsize=(26, 9))
     fig.suptitle("PI-GAN Evaluation", fontsize=14)
 
     real, pred = arrays["real_params"], arrays["pred_phys"]
@@ -148,6 +175,18 @@ def plot_pigan_evaluation(
         r = np.corrcoef(real[:, i], pred[:, i])[0, 1]
         ax.set_title(f"{PARAM_NAMES[i]}: pred vs true  (R={r:.3f})", fontsize=9)
         ax.grid(alpha=0.3)
+
+    # per-parameter error histograms (reference panel family: per-metric
+    # distribution depth, visualization.py:399-538 style)
+    ax = axes[0, 4]
+    for i in range(4):
+        ax.hist(pred[:, i] - real[:, i], bins=25, alpha=0.5,
+                label=PARAM_NAMES[i])
+    ax.axvline(0.0, color="k", ls="--", lw=1)
+    ax.set_title("Per-parameter error distributions", fontsize=10)
+    ax.set_xlabel("pred - true", fontsize=8)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
 
     _bars(axes[1, 0], ["R2", "MAE", "RMSE", "pearson"],
           [par["r2"], par["mae"], par["rmse"], par["pearson_r"]],
@@ -166,6 +205,27 @@ def plot_pigan_evaluation(
     ax.legend(fontsize=7)
     ax.grid(alpha=0.3)
 
+    # training loss curves (visualization.py:331-341)
+    ax = axes[1, 3]
+    dl = list(history.get("pigan/d_loss", [])) if history else []
+    gl = list(history.get("pigan/g_loss", [])) if history else []
+    if dl or gl:
+        if dl:
+            ax.plot(dl, lw=1.0, label="D loss", color="#d65f5f")
+        if gl:
+            ax2 = ax.twinx()
+            ax2.plot(gl, lw=1.0, label="G loss", color="#4878cf")
+            ax2.set_ylabel("G loss", fontsize=8)
+        ax.set_xlabel("epoch", fontsize=8)
+        ax.set_ylabel("D loss", fontsize=8)
+        ax.legend(fontsize=7, loc="upper left")
+        ax.grid(alpha=0.3)
+    else:
+        ax.axis("off")
+        ax.text(0.5, 0.5, "no training history", ha="center", va="center",
+                transform=ax.transAxes, fontsize=9)
+    ax.set_title("Training loss curves", fontsize=10)
+
     r2, acc = par["r2"], dis["overall_accuracy"]
     rating = grading.grade_pigan(r2, acc)
     lines = [f"param R2 : {r2:.4f}", f"D accuracy: {acc:.4f}", "",
@@ -173,7 +233,7 @@ def plot_pigan_evaluation(
     if grading.d_equilibrium(r2, acc):
         lines += ["", "note: D ~= 0.5 with high R2", "is a healthy equilibrium",
                   "(reference best: balance 51%)"]
-    _rating_panel(axes[1, 3], "PI-GAN comprehensive assessment", lines)
+    _rating_panel(axes[1, 4], "PI-GAN comprehensive assessment", lines)
     return _save(fig, path)
 
 
@@ -186,7 +246,7 @@ def plot_structural_prediction_evaluation(
     results: Dict[str, Any], arrays: Mapping[str, np.ndarray], path: str
 ) -> str:
     plt = _plt()
-    fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+    fig, axes = plt.subplots(2, 3, figsize=(18, 9))
     fig.suptitle("Structural Prediction Evaluation", fontsize=14)
     v = results["param_range_violation_rate"]
 
@@ -213,9 +273,35 @@ def plot_structural_prediction_evaluation(
     ax.legend(fontsize=7)
     ax.grid(alpha=0.3)
 
+    # radar: suite-quality overview (VERDICT r3 #5 — per-suite radar depth)
+    axes[0, 2].remove()
     c, e = results["consistency_score_mean"], results["reconstruction_error_mean"]
+    _radar(
+        fig, (2, 3, 3),
+        ["1-violation", "consistency", "1/(1+recon)", "low spread"],
+        [1.0 - v, c, 1.0 / (1.0 + e),
+         1.0 / (1.0 + float(np.std(arrays["consistency"])))],
+        "Structural quality radar",
+    )
+
+    # performance comparison vs targets (visualization.py:476-497)
+    ax = axes[1, 1]
+    names = ["violation", "1-consistency", "recon err"]
+    vals = [max(v, 1e-8), max(1.0 - c, 1e-8), max(e, 1e-8)]
+    targets = [0.05, 0.1, 0.01]
+    x = np.arange(3)
+    ax.bar(x - 0.2, vals, width=0.4, label="measured", color="#4878cf")
+    ax.bar(x + 0.2, targets, width=0.4, label="target", color="#d65f5f",
+           alpha=0.7)
+    ax.set_yscale("log")
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, fontsize=8)
+    ax.set_title("Structural prediction performance comparison", fontsize=10)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3, axis="y")
+
     rating = grading.grade_structural(v, c, e)
-    _rating_panel(axes[1, 1], "Structural prediction rating", [
+    _rating_panel(axes[1, 2], "Structural prediction rating", [
         f"violation rate : {v:.4f}   (target < 0.05)",
         f"consistency    : {c:.4f}   (target > 0.9)",
         f"recon error    : {e:.4f}   (target < 0.01)",
@@ -252,7 +338,7 @@ def plot_model_validation_evaluation(
     results: Dict[str, Any], arrays: Mapping[str, np.ndarray], path: str
 ) -> str:
     plt = _plt()
-    fig, axes = plt.subplots(2, 3, figsize=(18, 8))
+    fig, axes = plt.subplots(2, 4, figsize=(22, 8))
     fig.suptitle("Model Validation Evaluation", fontsize=14)
     cy = results["cycle_consistency_error_mean"]
     st = results["prediction_stability_mean"]
@@ -266,6 +352,15 @@ def plot_model_validation_evaluation(
                ["EXC", "GOOD", "MOD", "POOR"], "Physical plausibility grade",
                reverse=True)
 
+    # per-suite radar (VERDICT r3 #5)
+    axes[0, 3].remove()
+    _radar(
+        fig, (2, 4, 4),
+        ["1/(1+cycle)", "1/(1+stability)", "plausibility"],
+        [1.0 / (1.0 + cy), 1.0 / (1.0 + st), pl],
+        "Validation quality radar",
+    )
+
     ax = axes[1, 0]
     ax.hist(arrays["cycle_err"], bins=30, color="#4878cf")
     ax.axvline(cy, color="k", ls="--", lw=1, label=f"mean={cy:.4f}")
@@ -274,6 +369,14 @@ def plot_model_validation_evaluation(
     ax.grid(alpha=0.3)
 
     ax = axes[1, 1]
+    ax.hist(arrays["stability"], bins=30, color="#4878cf")
+    ax.axvline(st, color="k", ls="--", lw=1, label=f"mean={st:.6f}")
+    ax.set_title("Stability error distribution", fontsize=10)
+    ax.set_xlabel("per-sample noisy-repredict MSE", fontsize=8)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+
+    ax = axes[1, 2]
     names = ["cycle err", "stability", "1-plausibility"]
     vals = [max(cy, 1e-8), max(st, 1e-8), max(1 - pl, 1e-8)]
     targets = [0.005, 0.001, 0.1]
@@ -294,7 +397,7 @@ def plot_model_validation_evaluation(
         ("cycle std finite", np.isfinite(results["cycle_consistency_error_std"])),
     ]
     passed = sum(ok for _, ok in checks)
-    _rating_panel(axes[1, 2], f"Validation checks ({passed}/{len(checks)} passed)",
+    _rating_panel(axes[1, 3], f"Validation checks ({passed}/{len(checks)} passed)",
                   [("[OK] " if ok else "[X]  ") + name for name, ok in checks])
     return _save(fig, path)
 
@@ -313,12 +416,11 @@ def plot_comprehensive_summary(
     pig = results["pigan_evaluation"]
     st = results["structural_prediction_evaluation"]
     mv = results["model_validation"]
-    fig, axes = plt.subplots(2, 3, figsize=(19, 10))
+    fig, axes = plt.subplots(2, 4, figsize=(25, 10))
     fig.suptitle("Comprehensive Evaluation Summary", fontsize=14)
 
     # radar
     axes[0, 0].remove()
-    ax = fig.add_subplot(2, 3, 1, projection="polar")
     scores = {
         "Forward R2": max(0.0, fwd["spectrum_prediction"]["r2"]),
         "Param R2": max(0.0, pig["parameter_prediction"]["r2"]),
@@ -327,14 +429,8 @@ def plot_comprehensive_summary(
         "1-Violation": 1.0 - st["param_range_violation_rate"],
         "Plausibility": mv["physical_plausibility_mean"],
     }
-    angles = np.linspace(0, 2 * np.pi, len(scores), endpoint=False).tolist()
-    vals = list(scores.values())
-    ax.plot(angles + angles[:1], vals + vals[:1], lw=1.5, color="#4878cf")
-    ax.fill(angles + angles[:1], vals + vals[:1], alpha=0.25, color="#4878cf")
-    ax.set_xticks(angles)
-    ax.set_xticklabels(list(scores), fontsize=7)
-    ax.set_ylim(0, 1)
-    ax.set_title("Model quality radar", fontsize=10)
+    _radar(fig, (2, 4, 1), list(scores), list(scores.values()),
+           "Model quality radar")
 
     # per-module score bars
     module_scores = {
@@ -368,6 +464,25 @@ def plot_comprehensive_summary(
     ax.grid(alpha=0.3, axis="y")
     ax.set_title("Measured vs target" + (" vs ceiling" if ceilings else ""),
                  fontsize=10)
+
+    # performance improvement prediction (visualization.py:867-897): where
+    # each module could plausibly land — halfway from its current score to
+    # its target (or the ceiling where one binds)
+    ax = axes[0, 3]
+    mod_names = list(module_scores)
+    cur = np.clip(list(module_scores.values()), 0.0, 1.0)
+    goal = np.array([0.9, 0.85, 0.9, 0.8])
+    predicted = np.minimum(1.0, np.maximum(cur, cur + 0.5 * (goal - cur)))
+    x = np.arange(len(mod_names))
+    ax.bar(x - 0.2, cur, width=0.4, label="current", color="#4878cf")
+    ax.bar(x + 0.2, predicted, width=0.4, label="predicted after tuning",
+           color="#6acc65", alpha=0.8)
+    ax.set_xticks(x)
+    ax.set_xticklabels(mod_names, fontsize=8)
+    ax.set_ylim(0, 1.05)
+    ax.set_title("Performance improvement prediction", fontsize=10)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3, axis="y")
 
     # key issues
     issues = []
@@ -435,6 +550,24 @@ def plot_comprehensive_summary(
     counts = {r: ratings.count(r) for r in ("EXCELLENT", "GOOD", "NEEDS WORK")}
     _bars(axes[1, 2], list(counts), list(counts.values()),
           "Suite rating distribution", fmt="{:.0f}")
+
+    # bottom summary table (visualization.py:928-976 overview panel)
+    rows = [
+        ("forward", f"spec R2 {fwd['spectrum_prediction']['r2']:.4f}  "
+                    f"metr R2 {fwd['metrics_prediction']['r2']:.4f}", ratings[0]),
+        ("pigan", f"param R2 {pig['parameter_prediction']['r2']:.4f}  "
+                  f"D acc {pig['discriminator_performance']['overall_accuracy']:.3f}",
+         ratings[1]),
+        ("structural", f"viol {st['param_range_violation_rate']:.3f}  "
+                       f"consist {st['consistency_score_mean']:.3f}", ratings[2]),
+        ("validation", f"cycle {mv['cycle_consistency_error_mean']:.4f}  "
+                       f"plaus {mv['physical_plausibility_mean']:.3f}", ratings[3]),
+    ]
+    _rating_panel(
+        axes[1, 3], "Evaluation summary table",
+        [f"{name:<11} {vals}" for name, vals, _ in rows]
+        + ["", *(f"{name:<11} -> {r}" for name, _, r in rows)],
+    )
     return _save(fig, path)
 
 

@@ -159,3 +159,95 @@ def test_cli_full_evaluate_with_ceilings_and_plots(trained, tmp_path, capsys):
                   "forward_predictions.png", "gan_comparison.png",
                   "unified_evaluation_report.txt"):
         assert os.path.exists(models / fname), fname
+
+
+def test_figure_panel_inventory(trained, small_ds, full_results, tmp_path,
+                                monkeypatch):
+    """VERDICT r3 #5 golden test: panel count + titles per suite figure
+    match the reference inventory (visualization.py figure families),
+    including the per-suite radar and per-metric histogram panels."""
+    pytest.importorskip("matplotlib")
+    from pigan_thz_tpu.utils import eval_viz
+
+    captured = {}
+    real_save = eval_viz._save
+
+    def spy_save(fig, path):
+        captured[os.path.basename(path)] = [
+            ax.get_title() for ax in fig.axes if ax.get_title()
+        ] + [t.get_text() for t in fig.texts]
+        return real_save(fig, path)
+
+    monkeypatch.setattr(eval_viz, "_save", spy_save)
+    ev = trained.evaluator()
+    arrays = ev.sample_arrays(small_ds)
+    suite_results = {
+        "forward": full_results["forward_network_evaluation"],
+        "pigan": full_results["pigan_evaluation"],
+        "structural": full_results["structural_prediction_evaluation"],
+        "validation": full_results["model_validation"],
+    }
+    for suite, (fname, builder) in eval_viz.SUITE_FIGURES.items():
+        kw = (
+            {"history": {"pigan/d_loss": [1.0, 0.9], "pigan/g_loss": [3.0, 2.0]}}
+            if suite == "pigan" else {}
+        )
+        builder(suite_results[suite], arrays, str(tmp_path / fname), **kw)
+    eval_viz.plot_comprehensive_summary(
+        full_results, str(tmp_path / "summary.png"),
+        ceilings=noise_ceilings(trained.cfg.data),
+    )
+
+    inventory = {
+        "forward_network_evaluation.png": [
+            "Performance overview",
+            "Spectrum prediction detailed metrics",   # RADAR
+            "Metrics prediction detailed metrics",
+            "Spectrum reconstruction examples",
+            "Spectrum prediction error distribution",
+            "Forward network rating",
+        ],
+        "pigan_evaluation.png": [
+            "pred vs true",                            # 4 scatters
+            "Per-parameter error distributions",
+            "Generator parameter prediction",
+            "Discriminator performance",
+            "Discriminator score distributions",
+            "Training loss curves",
+            "PI-GAN comprehensive assessment",
+        ],
+        "structural_prediction_evaluation.png": [
+            "Constraint violation analysis",
+            "Prediction consistency distribution",
+            "Structural quality radar",                # RADAR
+            "Reconstruction error analysis",
+            "Structural prediction performance comparison",
+            "Structural prediction rating",
+        ],
+        "model_validation_evaluation.png": [
+            "Cycle consistency grade",
+            "Prediction stability grade",
+            "Physical plausibility grade",
+            "Validation quality radar",                # RADAR
+            "Cycle error distribution",
+            "Stability error distribution",
+            "Validation metrics vs targets",
+            "Validation checks",
+        ],
+        "summary.png": [
+            "Model quality radar",                     # RADAR
+            "Per-module performance",
+            "Measured vs target",
+            "Performance improvement prediction",
+            "Key issue identification",
+            "Improvement recommendations",
+            "Suite rating distribution",
+            "Evaluation summary table",
+        ],
+    }
+    for fname, wanted in inventory.items():
+        titles = "\n".join(captured[fname])
+        for w in wanted:
+            assert w in titles, f"{fname}: missing panel {w!r}\nhave: {titles}"
+    # the pigan figure carries FOUR per-parameter scatters
+    assert sum("pred vs true" in t for t in captured["pigan_evaluation.png"]) == 4
