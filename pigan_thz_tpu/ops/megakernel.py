@@ -2007,18 +2007,27 @@ def make_pallas_ensemble_fn(
     def _streams_all(rngs, step, g_count, d_count, ds, key, scales):
         """Per-member prologue: M stream sets stacked on a leading member
         axis (spec/par/met and the noise extras); sched/lo/hi shared
-        (identical across members — same counts, same scales)."""
+        (identical across members — same counts, same scales).  ``key``
+        is one key (member m uses fold_in(key, m)) or a stacked (M, 2)
+        array of explicit per-member keys (the packed seed-ensemble
+        driver passes the exact chunk keys the unpacked round-robin
+        driver would use, for bit-identity across drivers)."""
+        def mkey(m):
+            return key[m] if key.ndim == 2 else jax.random.fold_in(key, m)
+
         per = [
             _build_streams(
                 cfg, settings, k_d, _g_sched_of, _d_sched_of,
-                rngs[m], step, g_count, d_count, ds,
-                jax.random.fold_in(key, m), scales,
+                rngs[m], step, g_count, d_count, ds, mkey(m), scales,
             )
             for m in range(M)
         ]
         n_extra = int(use_inoise) + int(use_stab) + int(wgan)
+        # M == 1 keeps the solo layout exactly (no member axis anywhere:
+        # the kernel's members==1 branch IS the solo kernel)
+        stack = (lambda xs: xs[0]) if M == 1 else jnp.stack
         stacked = [
-            jnp.stack([p[j] for p in per])
+            stack([p[j] for p in per])
             for j in [0, 1, 2] + list(range(4, 4 + n_extra))
         ]
         sched, lo, hi = per[0][3], per[0][-2], per[0][-1]
@@ -2044,10 +2053,11 @@ def make_pallas_ensemble_fn(
             pack_state(st, S, frozen_bf16=cfg.train.compute_dtype == "bfloat16")
             for st in states
         ]
+        stack = (lambda xs: xs[0]) if M == 1 else jnp.stack
         train = [
-            jnp.stack([pk[0][j] for pk in packed]) for j in range(16)
+            stack([pk[0][j] for pk in packed]) for j in range(16)
         ]
-        stats = [jnp.stack([pk[1][j] for pk in packed]) for j in range(2)]
+        stats = [stack([pk[1][j] for pk in packed]) for j in range(2)]
         frozen = packed[0][2]          # shared pretrained F (member 0)
         bufs = train + stats
 
@@ -2067,9 +2077,16 @@ def make_pallas_ensemble_fn(
         )
 
         spec_c, par_c, met_c, sched_c, *extra_c = step_streams
-        mrow = lambda *shape: pl.BlockSpec(  # noqa: E731 — member stream block
-            (M, pack) + shape, lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        )
+        if M == 1:
+            mrow = lambda *shape: pl.BlockSpec(  # noqa: E731 — solo stream
+                (pack,) + shape, lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            mrow = lambda *shape: pl.BlockSpec(  # noqa: E731 — member block
+                (M, pack) + shape, lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         in_specs = (
             [mrow(B, W), mrow(B, LANE), mrow(B, LANE),
              pl.BlockSpec((pack, 1, LANE), lambda i: (i, 0, 0),
@@ -2115,8 +2132,8 @@ def make_pallas_ensemble_fn(
         for m in range(M):
             new_states.append(unpack_state(
                 states[m],
-                [b[m] for b in bufs_out[:16]],
-                [b[m] for b in bufs_out[16:18]],
+                [b if M == 1 else b[m] for b in bufs_out[:16]],
+                [b if M == 1 else b[m] for b in bufs_out[16:18]],
                 T, S, d_steps=d_inc,
             ))
             metrics_list.append(

@@ -152,3 +152,45 @@ def test_ensemble_drivers_reject_zero_epochs(cfg, small_ds):
             cfg, small_ds, [StepSettings.from_config(cfg)],
             epochs=0, interpret=True,
         )
+
+
+@pytest.mark.slow
+def test_packed_seed_ensemble_bitwise_matches_unpacked(cfg, small_ds):
+    """packed=True must be BIT-IDENTICAL to the round-robin driver: the
+    packed kernel consumes the exact per-member chunk keys."""
+    from pigan_thz_tpu.train import init_forward_state
+
+    g, d, f = build_trio(cfg)
+    spe = small_ds.num_samples // cfg.train.batch_size
+    _, _, f_tx = make_optimizers(cfg, spe)
+    fvars = init_forward_state(f, f_tx, jax.random.PRNGKey(9)).f.variables
+
+    key = jax.random.PRNGKey(21)
+    a_states, a_metrics = train_seed_ensemble(
+        cfg, small_ds, 3, epochs=2, key=key, epochs_per_call=1,
+        forward_variables=fvars, interpret=True,
+    )
+    # 8 virtual devices -> three solo groups (exercises the M==1 layout);
+    # a single device -> ONE packed group of 3 (exercises M>1)
+    for devs in (None, jax.devices()[:1]):
+        b_states, b_metrics = train_seed_ensemble(
+            cfg, small_ds, 3, epochs=2, key=key, epochs_per_call=1,
+            forward_variables=fvars, interpret=True, packed=True,
+            devices=devs,
+        )
+        for k in a_metrics:
+            np.testing.assert_array_equal(
+                a_metrics[k], b_metrics[k], err_msg=f"{devs}: {k}"
+            )
+        for pa, pb in zip(
+            jax.tree.leaves(a_states.g.variables),
+            jax.tree.leaves(b_states.g.variables),
+        ):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_packed_requires_shared_forward(cfg, small_ds):
+    with pytest.raises(ValueError, match="forward_variables"):
+        train_seed_ensemble(
+            cfg, small_ds, 2, epochs=1, interpret=True, packed=True,
+        )
