@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if "--cpu" in sys.argv:  # off-device modes (JAX_PLATFORMS env is ignored)
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
@@ -119,6 +122,53 @@ def run_speed(ds, labels, chunk, chain, n_meas, epochs):
     return rows
 
 
+def run_flops(ds, labels):
+    """Per-trio FLOPs of ONE fused D->G step from XLA's cost analysis
+    (ops/costs.py:compiled_fn_analysis) — the generic numerator for
+    quoting the hardware steps/s as TFLOP/s and MFU.  Runs fine on CPU
+    (--cpu): matmul FLOP counts are backend-independent."""
+    from pigan_thz_tpu.data.dataset import gather_batch
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.ops.costs import compiled_fn_analysis
+    from pigan_thz_tpu.train import (
+        StepSettings,
+        init_pigan_state,
+        make_optimizers,
+        make_pigan_step,
+    )
+
+    spe = ds.num_samples // 64
+    batch = gather_batch(ds, jnp.arange(64))
+    rows = []
+    for label, g_n, d_n, f_n in labels:
+        cfg = _cfg_for(g_n, d_n, f_n, 100)
+        g, d, f = build_trio(cfg)
+        g_tx, d_tx, _ = make_optimizers(cfg, spe)
+        state = init_pigan_state(
+            g, d, f, g_tx, d_tx, jax.random.PRNGKey(0),
+            spectrum_dim=cfg.data.spectrum_dim,
+            param_dim=cfg.data.param_dim,
+        )
+        step = make_pigan_step(
+            g, d, f, g_tx, d_tx, StepSettings.from_config(cfg),
+            ds.param_lo, ds.param_hi,
+        )
+        ca = compiled_fn_analysis(step, state, batch, jnp.float32(1.0))
+        n_params = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree.leaves((state.g.params, state.d.params,
+                                      state.f.params))
+        )
+        rows.append({
+            "trio": label,
+            "step_mflops": round(ca["flops"] / 1e6, 1),
+            "step_mbytes": round(ca["bytes_accessed"] / 1e6, 1),
+            "params": n_params,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
 def run_quality(ds, labels, epochs):
     from pigan_thz_tpu.ops.metrics import r2_score
     from pigan_thz_tpu.train import Trainer
@@ -155,6 +205,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--speed", action="store_true")
     ap.add_argument("--quality", action="store_true")
+    ap.add_argument("--flops", action="store_true",
+                    help="XLA cost-analysis FLOPs per step (CPU-safe)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on host CPU (handled at import)")
     ap.add_argument("--trios", type=str, default="")
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--chunk", type=int, default=10)
@@ -171,6 +225,8 @@ def main() -> int:
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     out = {}
+    if args.flops:
+        out["flops"] = run_flops(ds, labels)
     if args.speed:
         out["speed"] = run_speed(ds, labels, args.chunk, args.chain,
                                  args.n_meas, args.epochs)

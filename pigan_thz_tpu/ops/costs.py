@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
+
 from ..config import PiGanConfig
 
 LANE = 128
@@ -70,6 +72,29 @@ def device_peak_hbm(device_kind: str) -> float | None:
         if device_kind.startswith(prefix):
             return peak
     return None
+
+
+def compiled_fn_analysis(fn, *args, **kwargs) -> dict:
+    """XLA's own cost analysis of ``jit(fn)(*args, **kwargs)``.
+
+    The analytic model below covers the baseline MLP trio only; for the
+    enhanced variants (conv/attention/residual/branched — arbitrary
+    compute graphs) the compiled program's cost analysis is the single
+    generic FLOP source, so per-variant throughput can be quoted as
+    TFLOP/s / MFU too (RESULTS.md "Enhanced variants").  Returns
+    ``{"flops": float, "bytes_accessed": float}`` (0.0 when the backend
+    omits a key).  Counts reflect the *optimized* HLO on the current
+    default backend — CPU and TPU agree on matmul FLOPs, which dominate
+    every trio here.
+    """
+    ca = jax.jit(fn).lower(*args, **kwargs).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jaxlibs: one dict per device
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+    }
 
 
 def _chain_macs(dims: tuple[int, ...]) -> int:

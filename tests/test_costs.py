@@ -53,3 +53,41 @@ def test_peak_tables():
     assert device_peak_hbm("TPU v5 lite") == 819e9
     assert device_peak_flops("Tesla V100") is None
     assert device_peak_hbm("cpu") is None
+
+
+def test_compiled_analysis_agrees_with_analytic_baseline(small_ds):
+    """XLA's cost analysis of the compiled fused step should land near the
+    analytic model for the baseline trio (same matmul inventory).  XLA
+    counts every HLO op (elementwise, reductions, the optimizer update)
+    and may simplify others, so agree-within-2x is the contract; the
+    point is catching order-of-magnitude modeling drift on either side."""
+    import jax
+    import jax.numpy as jnp
+
+    from pigan_thz_tpu.data.dataset import gather_batch
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.ops.costs import compiled_fn_analysis
+    from pigan_thz_tpu.train import (
+        init_pigan_state,
+        make_optimizers,
+        make_pigan_step,
+    )
+
+    cfg = default_config()
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, 15)
+    state = init_pigan_state(
+        g, d, f, g_tx, d_tx, jax.random.PRNGKey(0),
+        spectrum_dim=cfg.data.spectrum_dim, param_dim=cfg.data.param_dim,
+    )
+    settings = StepSettings.from_config(cfg)
+    step = make_pigan_step(g, d, f, g_tx, d_tx, settings,
+                           small_ds.param_lo, small_ds.param_hi)
+    n = small_ds.spectra.shape[0]
+    idx = jnp.arange(cfg.train.batch_size) % n
+    batch = gather_batch(small_ds, idx)
+    ca = compiled_fn_analysis(step, state, batch, jnp.float32(1.0))
+    assert ca["flops"] > 0
+    analytic = pigan_step_costs(cfg, settings).model_flops
+    ratio = ca["flops"] / analytic
+    assert 0.5 < ratio < 2.0, (ca["flops"], analytic)
