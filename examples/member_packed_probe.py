@@ -87,7 +87,9 @@ def run_parity(cfg, ds, settings, spe) -> dict:
                 res["exact"] = False
             denom = np.maximum(np.abs(a), 1e-8)
             rel = float(np.max(np.abs(a - b) / denom))
-            res["max_rel"] = max(res["max_rel"], rel)
+            # NaN-propagating accumulate (CLAUDE.md: max(0.0, nan) == 0.0
+            # silently masks corruption in probe reductions)
+            res["max_rel"] = float(np.maximum(res["max_rel"], rel))
             if not (np.isfinite(b).all() and rel < 1e-4):
                 res["ok"] = False
                 res.setdefault("bad", []).append((m, k, rel))

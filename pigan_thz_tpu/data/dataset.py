@@ -257,8 +257,12 @@ def load_metadata(cfg: DataConfig, csv_path: str | None = None) -> ThzMetadata:
     if csv_path:
         if not os.path.exists(csv_path):
             raise FileNotFoundError(f"dataset not found: {csv_path}")
-        with open(csv_path, "r", newline="") as fh:
-            header = fh.readline().strip().split(",")
+        # utf-8-sig + csv.reader so BOM'd / quoted-header files parse the
+        # same columns pandas sees in load_csv (Excel exports both)
+        import csv as _csv
+
+        with open(csv_path, "r", newline="", encoding="utf-8-sig") as fh:
+            header = [c.strip() for c in next(_csv.reader(fh), [])]
             n_rows = sum(1 for line in fh if line.strip())
         spec_cols = [
             c for c in header

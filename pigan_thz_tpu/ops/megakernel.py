@@ -2145,10 +2145,36 @@ def make_pallas_ensemble_fn(
     kernel_jit = partial(jax.jit, static_argnums=(1, 2),
                          donate_argnums=(0,))(_kernel_body)
 
+    validated = [False]  # first call only: later states come from this
+    # kernel, which advances every member's counters identically
+
     def ensemble_epoch(states, ds, key: jax.Array, scales: jax.Array):
         states = tuple(states)
         if len(states) != M:
             raise ValueError(f"expected {M} states, got {len(states)}")
+        if not validated[0]:
+            # the shared sched/bias-correction streams are built from
+            # member 0's counters — a member at a different training
+            # position would silently train with the wrong LR position
+            # and Adam bias corrections.  int() syncs tiny scalars; doing
+            # it on the first call only keeps chunk dispatch async.
+            for i, st in enumerate(states[1:], start=1):
+                same = (
+                    int(st.step) == int(states[0].step)
+                    and int(st.g_opt[1][0].count)
+                    == int(states[0].g_opt[1][0].count)
+                    and int(st.d_opt[1][0].count)
+                    == int(states[0].d_opt[1][0].count)
+                )
+                if not same:
+                    raise ValueError(
+                        f"member {i} step/opt counts differ from member 0 "
+                        f"({int(st.step)} vs {int(states[0].step)}): "
+                        "packed members share one schedule stream and "
+                        "must sit at the same training position (fresh "
+                        "or equally-resumed seed-ensemble members)"
+                    )
+            validated[0] = True
         E = int(scales.shape[0])
         spe = max(1, ds.spectra.shape[0] // B)
         rngs = jnp.stack([st.rng for st in states])

@@ -12,11 +12,13 @@ collectives, VERIFY they landed):
 - tensor-parallel matmul reduction: an ``all-reduce``/``reduce-scatter``
   whose groups span the MODEL axis (e.g. {0,1},{2,3},...).
 
-XLA prints replica groups in two syntaxes; both are decoded:
+XLA prints replica groups in three syntaxes; all are decoded:
 
 - explicit: ``replica_groups={{0,1},{2,3}}``
 - iota:     ``replica_groups=[4,2]<=[8]`` (reshape) and
             ``replica_groups=[2,4]<=[4,2]T(1,0)`` (transpose first)
+- empty:    ``replica_groups={}`` — ONE group of all devices (the
+  shorthand XLA uses for whole-world cross-replica collectives)
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ _COLLECTIVES = ("all-reduce", "reduce-scatter", "all-gather", "all-to-all",
 def parse_replica_groups(attr: str) -> list[tuple[int, ...]] | None:
     """Decode one replica_groups attribute value into a list of groups."""
     attr = attr.strip().rstrip(",")
+    if attr == "{}":
+        return [()]  # all-devices shorthand; expanded where mesh is known
     if attr.startswith("{"):
         groups = re.findall(r"\{([\d,]+)\}", attr)
         out = [tuple(int(x) for x in g.split(",")) for g in groups]
@@ -59,7 +63,7 @@ def collective_groups(compiled_text: str) -> dict[str, list[tuple[int, ...]]]:
         kind = next((c for c in _COLLECTIVES if c in line), None)
         if kind is None:
             continue
-        m = re.search(r"replica_groups=(\{\{[\d,{}]*\}\}|\[[^ ]*)", line)
+        m = re.search(r"replica_groups=(\{\{[\d,{}]*\}\}|\{\}|\[[^ ]*)", line)
         if not m:
             continue
         groups = parse_replica_groups(m.group(1))
@@ -82,8 +86,10 @@ def check_mesh_collectives(compiled_text: str, mesh: Mesh) -> dict:
     compiled program.  Returns {'data': bool, 'model': bool, 'groups': ...};
     an axis of size 1 is reported True (nothing to communicate)."""
     found = collective_groups(compiled_text)
+    world = tuple(range(mesh.devices.size))
     reductions = [
-        g for kind in ("all-reduce", "reduce-scatter")
+        world if g == () else g  # () = the replica_groups={} shorthand
+        for kind in ("all-reduce", "reduce-scatter")
         for g in found.get(kind, [])
     ]
     report = {"groups": found}

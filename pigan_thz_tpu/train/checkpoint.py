@@ -63,6 +63,36 @@ def load_model_config(directory: str):
         return json.load(fh)
 
 
+# Loss curves persisted next to the finals so `evaluate --plot` can render
+# the reference's training-history panel (visualization.py:331-341) from a
+# saved-models directory — load_final restores weights only, and the
+# composite CheckpointManager payload is a different artifact.
+TRAIN_HISTORY = "training_history.json"
+
+
+def save_train_history(directory: str, history) -> None:
+    """Write the Trainer's flat {metric: [per-epoch floats]} history as
+    JSON next to the finals (skipped when empty)."""
+    import json
+
+    if not history:
+        return
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    with open(_path(directory, TRAIN_HISTORY), "w") as fh:
+        json.dump(history, fh)
+
+
+def load_train_history(directory: str):
+    """The saved history dict, or None if absent."""
+    import json
+
+    p = _path(directory, TRAIN_HISTORY)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def _path(directory: str, name: str) -> str:
     return os.path.join(os.path.abspath(directory), name)
 

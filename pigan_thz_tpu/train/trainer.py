@@ -136,6 +136,7 @@ class Trainer:
         self.shadow_checks: List[dict] = []  # one record per replay
         self.fallback_trips = 0  # megakernel->XLA reliability-net trips
         self.fallback_events: List[str] = []  # one "<what>@epoch<N>" per trip
+        self._progress_anchors: dict = {}  # per-kind post-compile window
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -506,16 +507,29 @@ class Trainer:
                   total_epochs: int) -> None:
         """Per-chunk steps/s + ETA line — the chunked-jit counterpart of the
         reference's in-epoch progress bar with ETA (train_pigan.py:205-233;
-        an in-epoch bar is meaningless when 25 epochs run per jit call)."""
+        an in-epoch bar is meaningless when 25 epochs run per jit call).
+
+        The first chunk's window includes jit compilation (minutes through
+        a remote tunnel), which would deflate a cumulative rate for the
+        whole run — so the first line is labeled and later lines rebase
+        their window to post-compile time."""
         dt = time.time() - t_start
         if dt <= 0 or done_epochs <= 0:
             return
-        rate = done_epochs * self.steps_per_epoch / dt
+        anchor = self._progress_anchors.get(what)
+        if anchor is not None and anchor[0] >= t_start and done_epochs > anchor[1]:
+            rate = (done_epochs - anchor[1]) * self.steps_per_epoch / (
+                time.time() - anchor[0])
+            note = ""
+        else:  # first chunk of this run
+            self._progress_anchors[what] = (time.time(), done_epochs)
+            rate = done_epochs * self.steps_per_epoch / dt
+            note = " (incl. compile)"
         left = (total_epochs - done_epochs) * self.steps_per_epoch / rate
         eta = f"{int(left // 60)}:{int(left % 60):02d}"
         self._log(
             f"[{what}] epoch {done_epochs}/{total_epochs} "
-            f"{rate:,.0f} steps/s, ETA {eta}"
+            f"{rate:,.0f} steps/s{note}, ETA {eta}"
         )
 
     def _record(self, metrics: Dict[str, jax.Array], prefix: str, epoch: int) -> None:
@@ -990,6 +1004,7 @@ class Trainer:
         assert self.pigan_state is not None
         ckpt.save_final_trio(directory, self.pigan_state, backup_tag=backup_tag)
         ckpt.save_model_config(directory, self.cfg)
+        ckpt.save_train_history(directory, self.train_history)
         if self.forward_state is not None:
             ckpt.save_pytree(
                 directory, ckpt.FORWARD_MODEL_PRETRAINED, self.forward_state.f.variables
@@ -1042,3 +1057,9 @@ class Trainer:
             f=ModelState.from_variables(f),
             g_ema=g_ema,
         )
+        # restore loss curves for the evaluate --plot history panel
+        # (save_final wrote them; absent for torch/legacy dirs)
+        if not self.train_history:
+            history = ckpt.load_train_history(directory)
+            if history:
+                self.train_history = history

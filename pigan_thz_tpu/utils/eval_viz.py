@@ -210,15 +210,18 @@ def plot_pigan_evaluation(
     dl = list(history.get("pigan/d_loss", [])) if history else []
     gl = list(history.get("pigan/g_loss", [])) if history else []
     if dl or gl:
+        handles = []
         if dl:
-            ax.plot(dl, lw=1.0, label="D loss", color="#d65f5f")
+            handles += ax.plot(dl, lw=1.0, label="D loss", color="#d65f5f")
         if gl:
             ax2 = ax.twinx()
-            ax2.plot(gl, lw=1.0, label="G loss", color="#4878cf")
+            handles += ax2.plot(gl, lw=1.0, label="G loss", color="#4878cf")
             ax2.set_ylabel("G loss", fontsize=8)
         ax.set_xlabel("epoch", fontsize=8)
         ax.set_ylabel("D loss", fontsize=8)
-        ax.legend(fontsize=7, loc="upper left")
+        # one legend for both twinned axes (ax.legend() alone would drop
+        # the G curve's handle, which lives on ax2)
+        ax.legend(handles=handles, fontsize=7, loc="upper left")
         ax.grid(alpha=0.3)
     else:
         ax.axis("off")

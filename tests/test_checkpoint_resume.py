@@ -109,3 +109,23 @@ def test_legacy_plain_checkpoint_restores(cfg, small_ds, tmp_path):
     assert meta == {"epoch": 3, "history": {}, "config": None}
     _trees_equal(state.f.params, t.forward_state.f.params)
     _trees_equal(state.opt, t.forward_state.opt)
+
+
+def test_save_final_round_trips_train_history(cfg, small_ds, tmp_path):
+    """save_final persists the loss curves next to the finals and
+    load_final restores them — the evaluate --plot history panel's only
+    data source when evaluating a saved-models directory (review r4:
+    load_final restores weights only, so the panel was always empty)."""
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=1)
+    t.init_pigan()
+    t.train_history = {"pigan/d_loss": [1.0, 0.5], "pigan/g_loss": [3.0, 2.0]}
+    t.save_final(str(tmp_path))
+
+    t2 = Trainer(cfg, ds=small_ds, epochs_per_call=1)
+    t2.load_final(str(tmp_path))
+    assert t2.train_history == t.train_history
+    # an in-progress history is never clobbered by load_final
+    t3 = Trainer(cfg, ds=small_ds, epochs_per_call=1)
+    t3.train_history = {"pigan/d_loss": [9.9]}
+    t3.load_final(str(tmp_path))
+    assert t3.train_history == {"pigan/d_loss": [9.9]}

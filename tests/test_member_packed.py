@@ -107,3 +107,18 @@ def test_ensemble_fn_validation(cfg, small_ds):
     states = _fresh_states(cfg, small_ds, 1, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="expected 2 states"):
         ens(states, small_ds, jax.random.PRNGKey(1), jnp.ones((1,), jnp.float32))
+
+
+def test_ensemble_fn_rejects_mismatched_member_positions(cfg, small_ds):
+    """Packed members share ONE schedule/bias-correction stream built from
+    member 0's counters — a member at a different training position must be
+    refused, not silently mis-trained (review r4)."""
+    settings = StepSettings.from_config(cfg)
+    ens = make_pallas_ensemble_fn(cfg, settings, 2, interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    s0, s1 = _fresh_states(cfg, small_ds, 2, jax.random.PRNGKey(0))
+    # advance member 1 by one epoch through the solo kernel
+    solo = make_pallas_multi_epoch_fn(cfg, settings, interpret=True)
+    s1, _ = solo(s1, small_ds, jax.random.PRNGKey(9), ones)
+    with pytest.raises(ValueError, match="training position"):
+        ens([s0, s1], small_ds, jax.random.PRNGKey(1), ones)

@@ -136,6 +136,20 @@ def test_replica_group_parser():
         (0, 2, 4, 6), (1, 3, 5, 7)
     ]
     assert parse_replica_groups("bogus") is None
+    # the all-devices shorthand XLA prints for whole-world collectives
+    assert parse_replica_groups("{}") == [()]
+
+
+def test_empty_replica_groups_count_as_world_group():
+    """replica_groups={} (one group of all devices) must satisfy the
+    data-axis contract on a data-only mesh — the parser skipping it would
+    make check_mesh_collectives cry replication on a correct program."""
+    from pigan_thz_tpu.parallel.hlo_check import check_mesh_collectives
+
+    mesh = make_mesh(data=8, model=1)
+    text = 'x = f32[4] all-reduce(y), replica_groups={}, to_apply=add\n'
+    report = check_mesh_collectives(text, mesh)
+    assert report["data"] is True
 
 
 @pytest.mark.slow

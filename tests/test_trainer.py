@@ -234,11 +234,17 @@ def test_per_chunk_progress_eta(cfg, small_ds):
     log = _Log()
     t = Trainer(cfg, ds=small_ds, epochs_per_call=2, logger=log)
     t.pretrain_forward(epochs=4, log_every=10**9)
-    prog = [l for l in log.lines if "steps/s, ETA" in l and "[forward]" in l]
+    prog = [l for l in log.lines if "ETA" in l and "[forward]" in l]
     assert len(prog) == 2                       # one line per chunk
     assert "epoch 2/4" in prog[0] and "epoch 4/4" in prog[1]
+    # first chunk's window includes jit compile and says so; later chunks
+    # rebase to post-compile time (review r4: a cumulative window deflated
+    # every line by the first compile's minutes)
+    assert "(incl. compile)" in prog[0]
+    assert "(incl. compile)" not in prog[1]
     t.init_pigan()
     t.train_pigan(epochs=2, log_every=10**9)
     assert any(
-        "steps/s, ETA" in l and "[pigan]" in l for l in log.lines
+        "steps/s (incl. compile), ETA" in l and "[pigan]" in l
+        for l in log.lines
     )
