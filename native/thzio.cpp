@@ -167,7 +167,9 @@ inline float scan_float(const char* p, const char* end, const char** next) {
     int ev = 0;
     int edigits = 0;
     while (p < end && *p >= '0' && *p <= '9') {
-      ev = ev * 10 + (*p - '0');
+      // saturate: a huge exponent must give inf/0 via pow, not signed
+      // overflow UB and an arbitrary finite value
+      if (ev < 100000000) ev = ev * 10 + (*p - '0');
       ++p;
       ++edigits;
     }
@@ -218,6 +220,17 @@ size_t parse_row(const char* p, const char* end, float* row, size_t ncols) {
       ++p;  // exactly one delimiter
     } else if (p >= end || *p == '\n' || *p == '\r') {
       break;
+    } else {
+      // trailing junk after a parsed number ('0x1A', '1.5abc', '1 2'):
+      // the whole token is ONE non-numeric field -> NaN, and we skip to
+      // the next delimiter so later columns never shift
+      row[c - 1] = NAN;
+      while (p < end && *p != ',' && *p != '\n' && *p != '\r') ++p;
+      if (p < end && *p == ',') {
+        ++p;
+      } else {
+        break;
+      }
     }
   }
   return c;
@@ -241,8 +254,13 @@ void index_csv(const MappedFile& mf, CsvIndex* idx) {
   idx->rows.reserve(mf.size / 64);  // crude lower-ish bound on row count
   while (p < end) {
     if (*p != '\n' && *p != '\r') {
-      idx->rows.push_back(p);
       nl = static_cast<const char*>(memchr(p, '\n', end - p));
+      const char* le = nl ? nl : end;
+      // skip whitespace-only lines like pandas skip_blank_lines (a
+      // trailing '   \n' must not become an unparseable row)
+      const char* q = p;
+      while (q < le && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+      if (q < le) idx->rows.push_back(p);
       p = nl ? nl + 1 : end;
     } else {
       ++p;
@@ -389,7 +407,10 @@ static PyObject* thzio_read_cache(PyObject*, PyObject* args) {
   uint64_t rows, cols;
   memcpy(&rows, mf.data + 8, 8);
   memcpy(&cols, mf.data + 16, 8);
-  if (mf.size < 24 + rows * cols * sizeof(float)) {
+  // division form: rows*cols*4 can wrap uint64 for corrupt headers and
+  // sail past the check into a giant allocation
+  const uint64_t avail = (mf.size - 24) / sizeof(float);
+  if (rows != 0 && cols != 0 && avail / rows < cols) {
     PyErr_SetString(PyExc_ValueError, "truncated cache file");
     return nullptr;
   }

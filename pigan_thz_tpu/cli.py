@@ -478,6 +478,8 @@ def cmd_screen(args) -> int:
     )
     rows = []
     for i in range(args.top_k):
+        if not bool(res.valid[i]):
+            break  # filler row: fewer than top_k candidates scored
         rows.append({
             "rank": i + 1,
             "score": float(res.scores[i]),

@@ -40,6 +40,9 @@ class ScreeningResult(NamedTuple):
     scores: jax.Array        # (top_k,)
     metrics: jax.Array       # (top_k, 8) spectrum-derived metrics
     spectra: jax.Array       # (top_k, S) predicted spectra of the winners
+    valid: jax.Array         # (top_k,) bool: score > -inf (False rows are
+    # zero-init filler when fewer than top_k candidates scored — e.g. a
+    # strict min_prominence leaving every peak masked)
 
 
 @dataclass(frozen=True)
@@ -102,7 +105,8 @@ def screen_designs(
 
     @partial(jax.jit, static_argnums=())
     def run(key):
-        def chunk(carry, k):
+        def chunk(carry, xs):
+            k, n_valid = xs
             top_scores, top_params, top_metrics, top_spectra = carry
             params_norm = jax.random.uniform(
                 k, (cfg.chunk_size, param_lo.shape[0]), minval=-1.0, maxval=1.0
@@ -124,6 +128,12 @@ def screen_designs(
                 frequencies, pred_spec, min_prominence=cfg.min_prominence
             )
             scores = _score(metrics, cfg.objective)
+            # ceil-divide chunking: rows past num_candidates in the final
+            # chunk are padding, not extra free screening — mask them out
+            # so exactly num_candidates candidates compete
+            scores = jnp.where(
+                jnp.arange(cfg.chunk_size) < n_valid, scores, -jnp.inf
+            )
 
             all_scores = jnp.concatenate([top_scores, scores])
             best, idx = jax.lax.top_k(all_scores, cfg.top_k)
@@ -141,10 +151,17 @@ def screen_designs(
             jnp.zeros((cfg.top_k, spectrum_dim)),
         )
         keys = jax.random.split(key, n_chunks)
-        (scores, params_norm, metrics, spectra), _ = jax.lax.scan(chunk, init, keys)
+        counts = jnp.clip(
+            cfg.num_candidates - jnp.arange(n_chunks) * cfg.chunk_size,
+            0, cfg.chunk_size,
+        )
+        (scores, params_norm, metrics, spectra), _ = jax.lax.scan(
+            chunk, init, (keys, counts)
+        )
         params_phys = denormalize_params(params_norm, param_lo, param_hi)
         return ScreeningResult(
-            params=params_phys, scores=scores, metrics=metrics, spectra=spectra
+            params=params_phys, scores=scores, metrics=metrics,
+            spectra=spectra, valid=scores > -jnp.inf,
         )
 
     return run(key)

@@ -29,23 +29,8 @@ from ..evaluate import grading
 
 PARAM_NAMES = ("r1", "r2", "w", "g")
 
-
-def _plt():
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    return plt
-
-
-def _save(fig, path: str) -> str:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fig.savefig(path, dpi=300, bbox_inches="tight")
-    import matplotlib.pyplot as plt
-
-    plt.close(fig)
-    return path
+# one lazy-matplotlib bootstrap + save helper for all figure modules
+from .viz import _plt, _save  # noqa: E402
 
 
 def _bars(ax, names, values, title, targets=None, fmt="{:.3f}"):
@@ -489,17 +474,19 @@ def plot_comprehensive_summary(
 
     # key issues
     issues = []
+    # .get like the measured-vs-target panel above: a partial ceilings
+    # dict (e.g. cycle floor only) must not KeyError the whole figure
+    sc = ceilings.get("spectrum_r2_ceiling") if ceilings else None
+    mc = ceilings.get("metrics_r2_ceiling") if ceilings else None
     if fwd["spectrum_prediction"]["r2"] < 0.9:
         line = f"spectrum R2 {fwd['spectrum_prediction']['r2']:.3f} < 0.9 target"
-        if ceilings and fwd["spectrum_prediction"]["r2"] >= \
-                ceilings["spectrum_r2_ceiling"] - 0.05:
-            line += f" (AT noise ceiling {ceilings['spectrum_r2_ceiling']:.3f})"
+        if sc is not None and fwd["spectrum_prediction"]["r2"] >= sc - 0.05:
+            line += f" (AT noise ceiling {sc:.3f})"
         issues.append(line)
     if fwd["metrics_prediction"]["r2"] < 0.9:
         line = f"metrics R2 {fwd['metrics_prediction']['r2']:.3f} < 0.9 target"
-        if ceilings and fwd["metrics_prediction"]["r2"] >= \
-                ceilings["metrics_r2_ceiling"] - 0.05:
-            line += f" (AT noise ceiling {ceilings['metrics_r2_ceiling']:.3f})"
+        if mc is not None and fwd["metrics_prediction"]["r2"] >= mc - 0.05:
+            line += f" (AT noise ceiling {mc:.3f})"
         issues.append(line)
     if pig["parameter_prediction"]["r2"] < 0.85:
         issues.append(f"param R2 {pig['parameter_prediction']['r2']:.3f} < 0.85")

@@ -50,9 +50,13 @@ class StepTimer:
             jax.block_until_ready(result)
         self._count += 1
         now = time.perf_counter()
-        if self._count == self.warmup:
-            self._t0 = now
-        elif self._count > self.warmup and self._t0 is not None:
+        if self._t0 is None:
+            # warmup<=1 anchors on the FIRST tick (no pre-step start time
+            # exists), so warmup=0 measures from step 2 like warmup=1
+            # instead of never starting and returning NaN forever
+            if self._count >= max(1, self.warmup):
+                self._t0 = now
+        else:
             self._laps.append(now)
 
     def steps_per_sec(self) -> float:

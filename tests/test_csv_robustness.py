@@ -155,3 +155,52 @@ def test_metadata_validation(tmp_path):
     p.write_text("a,b,c\n1,2,3\n")
     with pytest.raises(ValueError, match="Freq_"):
         load_metadata(CFG, str(p))
+
+
+def test_whitespace_only_line_skipped_like_pandas(tmp_path):
+    """A whitespace-only data line (e.g. a trailing '   \\n') is skipped by
+    pandas skip_blank_lines; the native parser must skip it too instead of
+    raising 'unparseable rows' (review r4)."""
+    header, body = _rows(6)
+    body.insert(3, "   ")
+    body.append("  ")
+    path = _write(tmp_path, header, body)
+    a, b = _both(path)
+    assert np.asarray(a.spectra).shape[0] == 6
+    _assert_identical(a, b)
+
+
+def test_partial_numeric_token_does_not_shift_columns(tmp_path):
+    """'0x1A' / '1.5abc' are ONE non-numeric field (pandas would make the
+    column object dtype); the native parser must yield NaN for the field
+    and keep later columns aligned, not split the token in two (review
+    r4).  Pandas' to_numpy(float32) raises on such files, so this is a
+    native-only contract check."""
+    if not native_available():
+        pytest.skip("native csv extension unavailable")
+    header, body = _rows(3)
+    parts = body[1].split(",")
+    last = parts[-1]
+    parts[0] = "0x1A"        # partial-numeric first field
+    parts[2] = "1.5abc"
+    body[1] = ",".join(parts)
+    path = _write(tmp_path, header, body)
+    ds = load_csv_native(path, CFG)
+    # the final column's value survived in place (no shift)
+    from pigan_thz_tpu.config import METRIC_NAMES as _MN  # noqa: F401
+    assert np.isclose(float(np.asarray(ds.metrics)[1, -1]), float(last))
+
+
+def test_huge_exponent_is_inf_not_garbage(tmp_path):
+    """'1e2147483650' must saturate to inf (strtof semantics), not wrap the
+    exponent accumulator into an arbitrary finite value (review r4)."""
+    if not native_available():
+        pytest.skip("native csv extension unavailable")
+    header, body = _rows(2)
+    parts = body[0].split(",")
+    # a spectrum column (params are range-normalized; keep those sane)
+    parts[len(PARAM_NAMES)] = "1e2147483650"
+    body[0] = ",".join(parts)
+    path = _write(tmp_path, header, body)
+    ds = load_csv_native(path, CFG)
+    assert np.isposinf(np.asarray(ds.spectra)[0].max())

@@ -175,3 +175,37 @@ def test_evaluate_ensemble_mean(trio, small_ds, cfg):
     assert float(res["member_spread"]) > 0.0
     for k, v in res.items():
         assert np.isfinite(float(v)), k
+
+
+def test_screening_masks_ceil_divide_padding(trio, small_ds):
+    """num_candidates not divisible by chunk_size: the final chunk's extra
+    rows are padding, not free screening (review r4).  With top_k >
+    num_candidates the padding surfaces as valid=False filler rows and
+    exactly num_candidates rows are valid."""
+    g, d, f, g_tx, d_tx, _ = trio
+    fv = f.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 4)), train=False,
+    )
+    sc = ScreeningConfig(num_candidates=10, chunk_size=16, top_k=12,
+                         objective="FoM1", min_prominence=0.0)
+    res = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(3), sc,
+    )
+    valid = np.asarray(res.valid)
+    scores = np.asarray(res.scores)
+    assert valid.sum() <= 10                      # never more than asked
+    assert (scores[~valid] == -np.inf).all()      # filler is marked
+    # identical candidates with a matching 10/10 config: the masked run's
+    # valid winners must be a prefix-equal subset (same key, same chunks)
+    sc2 = ScreeningConfig(num_candidates=10, chunk_size=16, top_k=10,
+                          objective="FoM1", min_prominence=0.0)
+    res2 = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(3), sc2,
+    )
+    n = int(valid.sum())
+    np.testing.assert_array_equal(
+        np.asarray(res.scores)[:n], np.asarray(res2.scores)[:n]
+    )

@@ -53,3 +53,18 @@ def test_step_timer():
     sps = t.steps_per_sec()
     assert 20 < sps < 200          # ~100/s nominal, generous bounds
     assert t.mean_step_ms() > 0
+
+
+def test_step_timer_warmup_zero_and_one():
+    """warmup=0 must anchor on the first tick (review r4: it previously
+    never anchored and returned NaN forever)."""
+    import math
+
+    from pigan_thz_tpu.utils.profiling import StepTimer
+
+    for w in (0, 1):
+        t = StepTimer(warmup=w)
+        for _ in range(5):
+            t.tick()
+        assert not math.isnan(t.steps_per_sec()), w
+        assert t.steps_per_sec() > 0
