@@ -168,6 +168,31 @@ def synthetic_dataset(cfg: DataConfig, key: jax.Array | None = None) -> ThzDatas
 # ---------------------------------------------------------------------------
 
 
+def discover_spectrum_schema(header) -> tuple:
+    """Freq_* column discovery + required-column validation — the ONE
+    source of truth shared by the pandas loader, the native C++ loader,
+    and the metadata-only loader, so the three can never desynchronize
+    (the bit-identical-loader property the CSV robustness tests protect).
+    Returns (sorted spec_cols, frequencies float32 array)."""
+    cols = list(header)
+    spec_cols = [
+        c for c in cols
+        if c.startswith("Freq_")
+        and c.split("_", 1)[1].replace(".", "", 1).isdigit()
+    ]
+    if not spec_cols:
+        raise ValueError("no 'Freq_*' spectrum columns found in CSV")
+    spec_cols = sorted(spec_cols, key=lambda c: float(c.split("_", 1)[1]))
+    present = set(cols)
+    missing = [c for c in (*PARAM_NAMES, *METRIC_NAMES) if c not in present]
+    if missing:
+        raise ValueError(f"CSV missing required columns: {missing}")
+    freqs = np.array(
+        [float(c.split("_", 1)[1]) for c in spec_cols], np.float32
+    )
+    return spec_cols, freqs
+
+
 def _spectrum_columns(freqs: np.ndarray) -> list[str]:
     """Reference format is 2 decimals (data_loader.py:135); raise precision
     automatically when a finer grid would produce duplicate labels."""
@@ -190,19 +215,7 @@ def load_csv(path: str, cfg: DataConfig) -> ThzDataset:
         raise FileNotFoundError(f"dataset not found: {path}")
     df = pd.read_csv(path)
 
-    spec_cols = [
-        c
-        for c in df.columns
-        if c.startswith("Freq_") and c.split("_", 1)[1].replace(".", "", 1).isdigit()
-    ]
-    if not spec_cols:
-        raise ValueError("no 'Freq_*' spectrum columns found in CSV")
-    spec_cols = sorted(spec_cols, key=lambda c: float(c.split("_", 1)[1]))
-
-    missing = [c for c in (*PARAM_NAMES, *METRIC_NAMES) if c not in df.columns]
-    if missing:
-        raise ValueError(f"CSV missing required columns: {missing}")
-
+    spec_cols, freqs = discover_spectrum_schema(df.columns)
     if len(spec_cols) != cfg.spectrum_dim:
         cfg = DataConfig(
             **{**cfg.__dict__, "spectrum_dim": len(spec_cols)}
@@ -211,7 +224,6 @@ def load_csv(path: str, cfg: DataConfig) -> ThzDataset:
     spectra = df[spec_cols].to_numpy(dtype=np.float32)
     params = df[list(PARAM_NAMES)].to_numpy(dtype=np.float32)
     metrics = df[list(METRIC_NAMES)].to_numpy(dtype=np.float32)
-    freqs = np.array([float(c.split("_", 1)[1]) for c in spec_cols], np.float32)
     return build_dataset(spectra, params, metrics, cfg, frequencies=freqs)
 
 
@@ -264,20 +276,7 @@ def load_metadata(cfg: DataConfig, csv_path: str | None = None) -> ThzMetadata:
         with open(csv_path, "r", newline="", encoding="utf-8-sig") as fh:
             header = [c.strip() for c in next(_csv.reader(fh), [])]
             n_rows = sum(1 for line in fh if line.strip())
-        spec_cols = [
-            c for c in header
-            if c.startswith("Freq_")
-            and c.split("_", 1)[1].replace(".", "", 1).isdigit()
-        ]
-        if not spec_cols:
-            raise ValueError("no 'Freq_*' spectrum columns found in CSV")
-        spec_cols = sorted(spec_cols, key=lambda c: float(c.split("_", 1)[1]))
-        missing = [c for c in (*PARAM_NAMES, *METRIC_NAMES) if c not in header]
-        if missing:
-            raise ValueError(f"CSV missing required columns: {missing}")
-        freqs = np.array(
-            [float(c.split("_", 1)[1]) for c in spec_cols], np.float32
-        )
+        spec_cols, freqs = discover_spectrum_schema(header)
         return ThzMetadata(
             frequencies=freqs,
             param_names=tuple(PARAM_NAMES),
@@ -348,7 +347,10 @@ def epoch_indices(key: jax.Array, num_samples: int, batch_size: int) -> jax.Arra
     perm = jax.random.permutation(key, num_samples)
     needed = steps * batch_size
     if needed > num_samples:
-        perm = jnp.concatenate([perm, perm[: needed - num_samples]])
+        # tile, not a single concat: num_samples < batch_size/2 needs the
+        # permutation repeated several times to fill one static batch
+        reps = -(-needed // num_samples)
+        perm = jnp.tile(perm, reps)
     return perm[:needed].reshape(steps, batch_size)
 
 

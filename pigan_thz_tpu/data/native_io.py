@@ -96,21 +96,14 @@ def load_csv_native(path: str, cfg):
     """Drop-in replacement for dataset.load_csv using the native parser;
     reproduces the same column discovery/validation semantics."""
     from ..config import METRIC_NAMES, PARAM_NAMES
-    from .dataset import build_dataset
+    from .dataset import build_dataset, discover_spectrum_schema
 
     header, data = parse_csv(path)
     col = {name: i for i, name in enumerate(header)}
 
-    spec_cols = [
-        c for c in header
-        if c.startswith("Freq_") and c.split("_", 1)[1].replace(".", "", 1).isdigit()
-    ]
-    if not spec_cols:
-        raise ValueError("no 'Freq_*' spectrum columns found in CSV")
-    spec_cols = sorted(spec_cols, key=lambda c: float(c.split("_", 1)[1]))
-    missing = [c for c in (*PARAM_NAMES, *METRIC_NAMES) if c not in col]
-    if missing:
-        raise ValueError(f"CSV missing required columns: {missing}")
+    # shared schema discovery/validation (dataset.py) — the native and
+    # pandas loaders must agree column-for-column
+    spec_cols, freqs = discover_spectrum_schema(header)
 
     spectra = data[:, [col[c] for c in spec_cols]]
     params = data[:, [col[c] for c in PARAM_NAMES]]
@@ -119,7 +112,6 @@ def load_csv_native(path: str, cfg):
         from ..config import DataConfig
 
         cfg = DataConfig(**{**cfg.__dict__, "spectrum_dim": len(spec_cols)})
-    freqs = np.array([float(c.split("_", 1)[1]) for c in spec_cols], np.float32)
     return build_dataset(spectra, params, metrics, cfg, frequencies=freqs)
 
 
@@ -149,6 +141,14 @@ def load_cached(path: str, cfg):
         block = mod.read_cache(path)
     elif os.path.exists(path + ".npy"):
         block = np.load(path + ".npy")
+    elif os.path.exists(path):
+        # the native-format cache is there but the extension isn't — a
+        # FileNotFoundError here would misdiagnose the real cause
+        raise RuntimeError(
+            f"native cache {path} exists but the C++ extension is "
+            "unavailable on this host (g++/build failure?); rebuild the "
+            "extension or re-cache on this machine"
+        )
     else:
         raise FileNotFoundError(path)
     s = cfg.spectrum_dim

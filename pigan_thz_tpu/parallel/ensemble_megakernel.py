@@ -215,8 +215,10 @@ def _train_seed_ensemble_packed(
     ONE kernel launch per chunk (make_pallas_ensemble_fn).  Bit-identity
     with the unpacked driver comes from feeding the packed kernel the
     EXACT per-member chunk keys the round-robin driver derives
-    (split(fold_in(k_train, i), n_chunks)[c]) via its stacked-keys path."""
-    epochs_per_call = clamp_epochs_per_call(epochs_per_call, spe)
+    (split(fold_in(k_train, i), n_chunks)[c]) via its stacked-keys path.
+
+    `epochs_per_call` arrives already clamped by train_seed_ensemble (the
+    single authoritative clamp)."""
     chunks = _chunk_sizes(epochs, epochs_per_call)
     dev_list = list(dict.fromkeys(used))
     groups = {dev: [i for i in range(N) if used[i] == dev] for dev in dev_list}

@@ -58,6 +58,15 @@ _SHADOW_RTOL_DROPOUT = 0.5
 _SHADOW_ATOL = 1e-2
 
 
+def _rows_host(ms) -> dict:
+    """Metric pytree -> {key: [per-epoch floats]} via ONE device_get.
+    Iterating a device array element-by-element pays one blocking RPC per
+    (epoch, metric) through the TPU tunnel (round-3e lesson: pre-fetch
+    everything in one transfer)."""
+    host = jax.device_get(ms)
+    return {k: [float(x) for x in v] for k, v in host.items()}
+
+
 class Trainer:
     def __init__(
         self,
@@ -382,7 +391,7 @@ class Trainer:
         Returns (new_state, rows, multi_epoch, mega_active)."""
         backup = jax.tree.map(jnp.copy, state) if mega_active else None
         new_state, ms = multi_epoch(state, self.ds, sub, scales)
-        rows = {k: [float(x) for x in v] for k, v in ms.items()}
+        rows = _rows_host(ms)
         if mega_active and not (
             all(math.isfinite(x) for v in rows.values() for x in v)
             and self._state_finite(new_state)
@@ -397,7 +406,7 @@ class Trainer:
             multi_epoch = xla_factory()
             mega_active = False
             new_state, ms = multi_epoch(backup, self.ds, sub, scales)
-            rows = {k: [float(x) for x in v] for k, v in ms.items()}
+            rows = _rows_host(ms)
         elif mega_active and self._shadow_due(what):
             ok, report = self._shadow_replay(
                 xla_factory, backup, sub, scales, rows, what, at
@@ -419,7 +428,7 @@ class Trainer:
                     # every:N replays cover one epoch only — recompute the
                     # full chunk on the XLA path from the pre-chunk state
                     new_state, ms = multi_epoch(backup, self.ds, sub, scales)
-                    rows = {k: [float(x) for x in v] for k, v in ms.items()}
+                    rows = _rows_host(ms)
             self._shadow_result = None
         return new_state, rows, multi_epoch, mega_active
 
@@ -456,14 +465,24 @@ class Trainer:
             jax.tree.map(jnp.copy, backup) if partial else backup,
             self.ds, sub, scales[:1] if partial else scales,
         )
-        srows = {k: [float(x) for x in v] for k, v in sms.items()}
+        srows = _rows_host(sms)
         self._shadow_result = None if partial else (shadow_state, srows)
         rtol = _SHADOW_RTOL
         if what == "forward" and self.cfg.forward_model.dropout_rate > 0:
             rtol = _SHADOW_RTOL_DROPOUT  # hardware-PRNG dropout mask noise
         bad, worst_key, worst_rel = [], None, 0.0
         for k in rows:
-            a, b = rows[k][0], srows.get(k, [float("nan")])[0]
+            if k not in srows:
+                bad.append(f"{k}: missing in replay")
+                continue
+            a, b = rows[k][0], srows[k][0]
+            # kernel rows are finite here (the non-finite net ran first);
+            # a NaN/inf REPLAY row is a red-alert divergence that must
+            # fail, not slip through a NaN comparison (NaN > x is False)
+            if not math.isfinite(b):
+                bad.append(f"{k}: {a:.6g} vs {b:.6g} (replay non-finite)")
+                worst_key, worst_rel = k, float("inf")
+                continue
             denom = max(abs(a), abs(b))
             rel = abs(a - b) / denom if denom > 0 else 0.0
             if abs(a - b) > _SHADOW_ATOL + rtol * denom:
@@ -604,6 +623,9 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
         epoch = 0
         stop = False
+        # checkpoint steps must be globally monotonic across repeated
+        # chunk-resumable calls: base them on epochs already in history
+        ckpt_base = len(self.train_history.get("forward/loss", []))
         t_start = time.time()
         xla_routes = (
             self._plan_small_grid_routes(epochs, forward=True)
@@ -660,7 +682,7 @@ class Trainer:
                 best_state = jax.tree.map(jnp.copy, self.forward_state)
             if checkpoint_manager is not None:
                 checkpoint_manager.maybe_save(
-                    epoch + chunk, self.forward_state,
+                    ckpt_base + epoch + chunk, self.forward_state,
                     history=self.train_history, config=self.cfg,
                 )
             epoch += chunk
@@ -794,6 +816,8 @@ class Trainer:
         t0 = time.time()
         epoch = 0
         stop = False
+        # globally monotonic checkpoint steps across chunk-resumable calls
+        ckpt_base = len(self.train_history.get("pigan/d_loss", []))
         xla_routes = (
             self._plan_small_grid_routes(epochs, forward=False)
             if mega_active and not getattr(multi_epoch, "sub_epoch", False)
@@ -861,7 +885,7 @@ class Trainer:
                 best_state = jax.tree.map(jnp.copy, self.pigan_state)
             if checkpoint_manager is not None:
                 checkpoint_manager.maybe_save(
-                    epoch + chunk, self.pigan_state,
+                    ckpt_base + epoch + chunk, self.pigan_state,
                     history=self.train_history, config=self.cfg,
                 )
             epoch += chunk

@@ -129,3 +129,20 @@ def test_save_final_round_trips_train_history(cfg, small_ds, tmp_path):
     t3.train_history = {"pigan/d_loss": [9.9]}
     t3.load_final(str(tmp_path))
     assert t3.train_history == {"pigan/d_loss": [9.9]}
+
+
+def test_checkpoint_steps_monotonic_across_repeated_calls(cfg, small_ds, tmp_path):
+    """Chunk-resumable callers invoke train_pigan repeatedly with one
+    CheckpointManager; epochs are call-relative, so checkpoint steps must
+    be offset by the epochs already trained or every later call silently
+    stops checkpointing (review r4)."""
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    t.init_pigan()
+    mgr = ckpt.CheckpointManager(str(tmp_path / "mono"), save_interval=4)
+    t.train_pigan(epochs=4, log_every=10**9, checkpoint_manager=mgr)
+    first = mgr._last_saved
+    assert first == 4
+    t.train_pigan(epochs=4, log_every=10**9, seed=4,
+                  checkpoint_manager=mgr)
+    assert mgr._last_saved == 8      # second call kept saving, new steps
+    mgr.close()

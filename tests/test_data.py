@@ -155,3 +155,17 @@ def test_split_dataset(small_ds):
     tr = {tuple(np.round(r, 5)) for r in np.asarray(train.spectra[:, :8])}
     va = {tuple(np.round(r, 5)) for r in np.asarray(val.spectra[:, :8])}
     assert not (tr & va)
+
+
+def test_epoch_indices_tiny_dataset_wraps_by_tiling():
+    """Datasets smaller than half the batch still fill one static batch
+    (review r4: a single concat could only extend by num_samples, so
+    n < batch/2 crashed the reshape at trace time)."""
+    import jax
+
+    from pigan_thz_tpu.data.dataset import epoch_indices
+
+    for n in (3, 10, 30, 63):
+        idx = epoch_indices(jax.random.PRNGKey(0), n, 64)
+        assert idx.shape == (1, 64)
+        assert int(idx.max()) < n and int(idx.min()) >= 0

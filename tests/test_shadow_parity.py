@@ -198,3 +198,36 @@ def test_shadow_every_n_validation(cfg):
     ds = synthetic_dataset(cfg.data)
     with pytest.raises(ValueError, match="N >= 1"):
         Trainer(cfg, ds=ds, shadow_parity="every:0")
+
+
+def test_shadow_trip_on_nan_replay(cfg, monkeypatch):
+    """An XLA replay row that diverges to NaN must FAIL shadow parity.
+    Review r4: 'NaN > threshold' is False, so the net previously logged a
+    clean pass on the loudest possible kernel-vs-XLA mismatch."""
+    cfg = _small(cfg)
+    ds = synthetic_dataset(cfg.data)
+    t = Trainer(cfg, ds=ds, epochs_per_call=2, megakernel="force")
+    real_make = Trainer._make_multi_epoch
+    calls = {"n": 0}
+
+    def nan_first_xla(self, *a, **k):
+        real = real_make(self, *a, **k)
+
+        def fn(state, ds_, key, scales):
+            new_state, ms = real(state, ds_, key, scales)
+            calls["n"] += 1
+            if calls["n"] == 1:  # the shadow replay of chunk 0
+                ms = {k2: v * jnp.nan for k2, v in ms.items()}
+            return new_state, ms
+
+        return fn
+
+    monkeypatch.setattr(Trainer, "_make_multi_epoch", nan_first_xla)
+    t.init_pigan()
+    t.train_pigan(epochs=4, log_every=10**9)
+    assert calls["n"] >= 2  # replay + recompute/continuation
+    assert t.fallback_trips == 1
+    assert t.fallback_events == ["pigan-shadow@epoch0"]
+    assert not t.shadow_checks[0]["ok"]
+    # the recorded history is the clean recompute, not NaN
+    assert all(np.isfinite(t.train_history["pigan/g_loss"]))
