@@ -367,8 +367,11 @@ def cmd_evaluate(args) -> int:
             print(f"\nfigure saved: {path}")
         return 0
     t0 = _time.time()
-    results = trainer.evaluate(violation_window=window, use_ema=use_ema)
+    # one evaluator for the suites AND the oracle/plots below —
+    # trainer.evaluate() would build an identical second one and every
+    # jitted eval program would compile twice (minutes on remote TPU)
     ev = trainer.evaluator(violation_window=window, use_ema=use_ema)
+    results = ev.run_comprehensive_evaluation(trainer.ds)
     ceilings = oracle = None
     if synthetic_data:
         ceilings = noise_ceilings(trainer.cfg.data)
@@ -603,13 +606,17 @@ def cmd_export(args) -> int:
             trainer.generator, g_vars, trainer.ds,
             os.path.join(args.out, "generator.stablehlo"),
             batch_size=args.batch_size,
+            # int8 quantization covers the designer/surrogate cycle only;
+            # bf16 bakes into every artifact (review r4: generator and
+            # surrogate silently shipped fp32 under --dtype bfloat16)
+            compute_dtype=None if args.dtype == "int8" else dtype,
         ))
     if args.artifact in ("surrogate", "all"):
         written.append(serve.export_forward_surrogate(
             trainer.forward_model, st.f.variables, trainer.ds,
             os.path.join(args.out, "surrogate.stablehlo"),
             batch_size=args.batch_size, use_pallas=args.pallas,
-            compute_dtype="int8" if args.dtype == "int8" else None,
+            compute_dtype=dtype,
         ))
     for path in written:
         print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
@@ -722,7 +729,9 @@ def cmd_doctor(args) -> int:
         cfg = _make_cfg(args)
         settings = StepSettings.from_config(cfg)
         r_gan = MK.supports_megakernel(cfg, settings)
-        spe = cfg.data.num_samples // cfg.train.batch_size
+        # max(1, ...) mirrors the Trainer's steps_per_epoch, so the
+        # verdicts track actual routing for tiny datasets
+        spe = max(1, cfg.data.num_samples // cfg.train.batch_size)
         gan_sub = False
         if r_gan is None:
             # mirror Trainer._maybe_megakernel's routing: one EPOCH past

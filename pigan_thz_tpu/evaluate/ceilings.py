@@ -78,17 +78,17 @@ def oracle_validation(evaluator, ds: ThzDataset) -> Dict[str, Any]:
     vs clean spectra, and the F∘G cycle error vs clean + vs noisy."""
     clean = synthesize_spectra(ds.frequencies, ds.params, key=None)
 
-    def _f(params_norm):
-        out = evaluator.forward_model.apply(
-            evaluator.f_vars, params_norm, train=False
-        )
+    def _f(fv, params_norm):
+        out = evaluator.forward_model.apply(fv, params_norm, train=False)
         return out[0]
 
     @jax.jit
     def run(gv, fv):
-        surrogate_spec = _f(ds.params_norm)
+        # fv is genuinely traced (it used to be baked in as a constant
+        # while still appearing as a dead parameter — review r4)
+        surrogate_spec = _f(fv, ds.params_norm)
         pred_norm = evaluator.generator.apply(gv, ds.spectra, train=False)
-        recon = _f(pred_norm)
+        recon = _f(fv, pred_norm)
         # POOLED R2 vs truth: clean spectra have near-zero variance in the
         # flat regions, so per-column averaging (the reference evaluator's
         # convention for noisy targets) degenerates to huge negatives on a

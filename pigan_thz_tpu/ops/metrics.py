@@ -48,11 +48,18 @@ def r2_pooled(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
 
 
 def r2_per_column(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
-    """Column-wise R² (sklearn multioutput='raw_values')."""
+    """Column-wise R² (sklearn multioutput='raw_values').
+
+    Constant-y_true columns follow sklearn's convention: 1.0 when the
+    prediction is exact, 0.0 otherwise — previously such columns scored
+    `1 - rss` (arbitrarily negative), wrecking the uniform average on
+    noise-free data whose clamped spectrum columns are exactly 0 dB."""
     mean = jnp.mean(y_true, axis=0, keepdims=True)
     tss = jnp.sum((y_true - mean) ** 2, axis=0)
     rss = jnp.sum((y_true - y_pred) ** 2, axis=0)
-    return 1.0 - rss / jnp.where(tss > 0, tss, 1.0)
+    plain = 1.0 - rss / jnp.where(tss > 0, tss, 1.0)
+    degenerate = jnp.where(rss > 0, 0.0, 1.0)
+    return jnp.where(tss > 0, plain, degenerate)
 
 
 def pearson_r(y_true: jax.Array, y_pred: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -19,6 +19,23 @@ Everything is jittable and `vmap`-friendly; `batched_peak_metrics` maps a
 (B, N) spectrum block to the 8 reference metrics (f1,f2,Q1,FoM1,S1,Q2,FoM2,S2)
 with no host round-trips — this also powers the large-scale inverse-design
 screening pipeline (BASELINE.json config #5).
+
+Known deviations from scipy.find_peaks semantics (documented, golden-
+tested against this module's own sequential oracle; self-consistent
+because dataset GENERATION and evaluation share these functions):
+
+- dip qualification uses an absolute depth threshold (t <= -min_prom)
+  where scipy uses topographic prominence — on spectra whose baseline
+  itself approaches the threshold (noise wiggles below -1 dB), a shallow
+  or absent second resonance can be assigned to a baseline minimum
+  instead of scipy's fall-back-to-centre behaviour;
+- the endpoint samples can qualify as local minima (the mask pads with
+  +inf) where scipy never returns endpoints — a monotone roll-off tail
+  can therefore register as a dip.
+
+Both matter only for off-oracle inputs (real CSVs / degenerate model
+output in screening); revisit with a prominence-style reformulation if
+real-data parity at the metric level becomes a requirement.
 """
 
 from __future__ import annotations

@@ -124,13 +124,21 @@ def _save(exported, path: str) -> str:
 
 
 def export_generator(
-    generator, g_variables, ds: ThzDataset, path: str, batch_size: int = 64
+    generator, g_variables, ds: ThzDataset, path: str, batch_size: int = 64,
+    compute_dtype=None,
 ) -> str:
-    """spectrum (B, S) -> physical params (B, 4)."""
+    """spectrum (B, S) -> physical params (B, 4).
+
+    ``compute_dtype=jnp.bfloat16`` bakes the bf16 activation/matmul path
+    (fp32 params and outputs) into the artifact, like the designer export."""
+    if compute_dtype is not None:
+        generator = generator.clone(dtype=compute_dtype)
 
     def fn(spectra):
         pn = generator.apply(g_variables, spectra, train=False)
-        return denormalize_params(pn, ds.param_lo, ds.param_hi)
+        return denormalize_params(
+            pn.astype(jnp.float32), ds.param_lo, ds.param_hi
+        )
 
     spec = jax.ShapeDtypeStruct((batch_size, ds.spectrum_dim), jnp.float32)
     return _save(jex.export(jax.jit(fn), platforms=_PLATFORMS)(spec), path)
@@ -142,10 +150,14 @@ def export_forward_surrogate(
 ) -> str:
     """normalized params (B, 4) -> (spectrum (B, S), metrics (B, 8)).
 
-    ``use_pallas=True`` bakes the fused VMEM kernel into a TPU-only artifact
-    (2.5x measured over the XLA path at serving batch sizes);
+    ``use_pallas=True`` bakes the fused VMEM kernel into a TPU-only
+    artifact (numerics-verified alternative; measured at PARITY with the
+    XLA path — the earlier 2.5x "isolated win" was a host-driven
+    measurement artifact, see the module docstring);
     ``compute_dtype="int8"`` bakes the post-training-quantized chain
-    (ops/quantized.py) into a ~4x smaller portable artifact."""
+    (ops/quantized.py) into a ~4x smaller portable artifact; any other
+    ``compute_dtype`` (e.g. jnp.bfloat16) cascades into the module's
+    dtype like the designer export."""
     if use_pallas and compute_dtype is not None:
         raise ValueError(
             "use_pallas and compute_dtype are mutually exclusive "
@@ -168,10 +180,15 @@ def export_forward_surrogate(
             )
 
     else:
+        if compute_dtype is not None:
+            # previously every non-int8 dtype was SILENTLY ignored and an
+            # fp32 artifact shipped (review r4) — bake it like the
+            # designer export does
+            forward_model = forward_model.clone(dtype=compute_dtype)
 
         def fn(params_norm):
             out = forward_model.apply(f_variables, params_norm, train=False)
-            return out[0], out[1]
+            return out[0].astype(jnp.float32), out[1].astype(jnp.float32)
 
     spec = jax.ShapeDtypeStruct((batch_size, ds.params_norm.shape[1]), jnp.float32)
     return _save(

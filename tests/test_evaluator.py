@@ -77,3 +77,24 @@ def test_report_generation(evaluator, small_ds, tmp_path):
     assert "FORWARD NETWORK EVALUATION" in content
     with open(path) as fh:
         assert fh.read() == content
+
+
+def test_r2_constant_column_matches_sklearn():
+    """Constant-y_true columns (e.g. clamped 0 dB spectrum regions on
+    noise-free data) follow sklearn's convention — 1.0 when exact, 0.0
+    otherwise — instead of the former 1-rss blowup (review r4)."""
+    import warnings
+
+    from sklearn.metrics import r2_score as sk_r2
+
+    y = np.zeros((8, 2), np.float32)
+    y[:, 1] = np.arange(8)
+    p = y.copy()
+    p[:, 0] = 0.1
+    got = np.asarray(M.r2_per_column(jnp.asarray(y), jnp.asarray(p)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = sk_r2(y, p, multioutput="raw_values")
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    exact = np.asarray(M.r2_per_column(jnp.asarray(y), jnp.asarray(y)))
+    np.testing.assert_allclose(exact, [1.0, 1.0], atol=1e-6)

@@ -153,3 +153,34 @@ def test_cli_export_artifacts(models, small_ds, tmp_path):
     fn = load_exported(str(out / "designer.stablehlo"))
     params, spec, met = fn(small_ds.spectra[:8])
     assert params.shape == (8, 4) and met.shape == (8, 8)
+
+
+def test_bf16_exports_cover_generator_and_surrogate(models, small_ds, tmp_path):
+    """--dtype bfloat16 must bake bf16 into ALL artifacts (review r4: the
+    generator/surrogate exports silently ignored every non-int8 dtype and
+    shipped fp32)."""
+    g, f, gv, fv = models
+    gp = str(tmp_path / "gen_bf16.stablehlo")
+    export_generator(g, gv, small_ds, gp, batch_size=8,
+                     compute_dtype=jnp.bfloat16)
+    out = load_exported(gp)(small_ds.spectra[:8])
+    from pigan_thz_tpu.data.dataset import denormalize_params
+
+    want = denormalize_params(
+        g.apply(gv, small_ds.spectra[:8], train=False),
+        small_ds.param_lo, small_ds.param_hi,
+    )
+    assert np.asarray(out).dtype == np.float32          # fp32 outputs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=0.05)               # bf16 tolerance
+
+    fp = str(tmp_path / "fwd_bf16.stablehlo")
+    export_forward_surrogate(f, fv, small_ds, fp, batch_size=8,
+                             compute_dtype=jnp.bfloat16)
+    spec, met = load_exported(fp)(small_ds.params_norm[:8])
+    ref_spec, ref_met = f.apply(fv, small_ds.params_norm[:8], train=False)
+    assert np.asarray(spec).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(ref_spec),
+                               atol=0.5)                # dB scale, bf16
+    np.testing.assert_allclose(np.asarray(met), np.asarray(ref_met),
+                               atol=0.05)
