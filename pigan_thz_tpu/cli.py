@@ -40,6 +40,15 @@ def _base_parser(sub: argparse.ArgumentParser) -> None:
     sub.add_argument("--csv", default=None, help="dataset CSV path (else synthetic)")
     sub.add_argument("--workdir", default="runs", help="output directory")
     sub.add_argument("--seed", type=int, default=None)
+    sub.add_argument("--tensorboard", action=argparse.BooleanOptionalAction,
+                     default=True,
+                     help="write tfevents scalars under <run_dir>/tb "
+                          "(on by default — reference Logger parity; "
+                          "torch-free writer, utils/tensorboard.py)")
+    sub.add_argument("--wandb", action="store_true",
+                     help="also log scalars to Weights & Biases "
+                          "(training_optimization.py:220 toggle; needs the "
+                          "wandb package)")
 
 
 def _make_cfg(args) -> PiGanConfig:
@@ -90,7 +99,11 @@ def _make_trainer(cfg: PiGanConfig, args, name: str, ds=None):
     from .train.trainer import Trainer
     from .utils.logging import RunLogger
 
-    logger = RunLogger(cfg.workdir, name=name)
+    logger = RunLogger(
+        cfg.workdir, name=name,
+        use_tensorboard=getattr(args, "tensorboard", True),
+        use_wandb=getattr(args, "wandb", False),
+    )
     return Trainer(cfg, ds=ds, logger=logger, csv_path=args.csv), logger
 
 
@@ -482,7 +495,7 @@ def cmd_screen(args) -> int:
     rows = []
     for i in range(args.top_k):
         if not bool(res.valid[i]):
-            break  # filler row: fewer than top_k candidates scored
+            continue  # filler row: fewer than top_k candidates scored
         rows.append({
             "rank": i + 1,
             "score": float(res.scores[i]),

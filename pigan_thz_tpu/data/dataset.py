@@ -274,8 +274,11 @@ def load_metadata(cfg: DataConfig, csv_path: str | None = None) -> ThzMetadata:
         import csv as _csv
 
         with open(csv_path, "r", newline="", encoding="utf-8-sig") as fh:
-            header = [c.strip() for c in next(_csv.reader(fh), [])]
-            n_rows = sum(1 for line in fh if line.strip())
+            reader = _csv.reader(fh)
+            header = [c.strip() for c in next(reader, [])]
+            # count via the same csv.reader so quoted fields with embedded
+            # newlines count as one row, matching pandas' semantics
+            n_rows = sum(1 for row in reader if any(c.strip() for c in row))
         spec_cols, freqs = discover_spectrum_schema(header)
         return ThzMetadata(
             frequencies=freqs,

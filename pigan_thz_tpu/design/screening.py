@@ -128,6 +128,10 @@ def screen_designs(
                 frequencies, pred_spec, min_prominence=cfg.min_prominence
             )
             scores = _score(metrics, cfg.objective)
+            # NaN scores (e.g. a ±inf-mixing composite objective) must sort
+            # last — lax.top_k can otherwise rank NaN above finite scores,
+            # truncating genuinely valid candidates from the output
+            scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
             # ceil-divide chunking: rows past num_candidates in the final
             # chunk are padding, not extra free screening — mask them out
             # so exactly num_candidates candidates compete

@@ -534,6 +534,12 @@ _PACK_MAX = 8
 # (largest row_steps divisor <= _PACK_MAX) and unpackable shapes are
 # routed to XLA by the Trainer (small_grid_risk).
 _MIN_CLEAN_GRID = 1
+
+# Member-packed ensemble compile envelope: an M=8 single-launch compile
+# exceeded 25 minutes on v5e through the TPU tunnel (killed; RESULTS.md
+# "Member-packed kernel") — and long remote compiles are also the tunnel's
+# RPC-drop failure mode.  M <= 4 is the measured practical envelope.
+_MAX_PACKED_M = 4
 # Efficiency floor for GAN sub-epoch launch sizes (_gan_sub_plan's
 # gated-pad decision): launches below this amortize poorly (one host
 # enqueue + stream slice per call), so divisor-poor spe pads to a count
@@ -1949,6 +1955,7 @@ def make_pallas_multi_epoch_fn(
 
 def make_pallas_ensemble_fn(
     cfg: PiGanConfig, settings, num_members: int, *, interpret: bool = False,
+    force_large_m: bool = False,
 ):
     """M independent seed-ensemble members trained in ONE Pallas launch:
     every state buffer carries a leading member axis (M, 3, r, c) resident
@@ -1986,6 +1993,16 @@ def make_pallas_ensemble_fn(
         raise ValueError(f"megakernel unsupported here: {reason}")
     if num_members < 1:
         raise ValueError("num_members must be >= 1")
+    if num_members > _MAX_PACKED_M and not interpret and not force_large_m:
+        raise ValueError(
+            f"member-packed kernel: M={num_members} members in one launch "
+            f"exceeds the measured compile envelope (M <= {_MAX_PACKED_M}): "
+            "an M=8 compile ran past 25 minutes on v5e and was killed "
+            "(RESULTS.md 'Member-packed kernel'), and long remote compiles "
+            "are the TPU tunnel's RPC-drop failure mode.  Spread members "
+            "over more devices, use packed=False round-robin dispatch, or "
+            "pass force_large_m=True if you can afford the compile."
+        )
     if float(settings.ema_decay) > 0.0:
         raise ValueError("member-packed kernel: ema_decay > 0 unsupported")
     S = cfg.data.spectrum_dim
@@ -2173,6 +2190,25 @@ def make_pallas_ensemble_fn(
                         "packed members share one schedule stream and "
                         "must sit at the same training position (fresh "
                         "or equally-resumed seed-ensemble members)"
+                    )
+            # the launch carries ONE frozen F (member 0's) — a member
+            # with different surrogate weights would silently train
+            # against the wrong physics.  Cheap fingerprint (one scalar
+            # sync per member, first call only).
+            def _f_fingerprint(variables):
+                leaves = jax.tree_util.tree_leaves(variables)
+                return float(
+                    sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in leaves)
+                )
+
+            fp0 = _f_fingerprint(states[0].f.variables)
+            for i, st in enumerate(states[1:], start=1):
+                if _f_fingerprint(st.f.variables) != fp0:
+                    raise ValueError(
+                        f"member {i}'s frozen F differs from member 0's: "
+                        "the packed launch carries one shared surrogate "
+                        "(member 0's) — all members must be built from "
+                        "the same forward_variables"
                     )
             validated[0] = True
         E = int(scales.shape[0])
@@ -2831,10 +2867,17 @@ def _make_forward_kernel(
 def make_pallas_forward_epoch_fn(
     cfg: PiGanConfig, fsettings, *, lr: float | None = None,
     total_epochs: int | None = None, interpret: bool = False,
+    schedule: str = "cosine",
 ):
     """multi_epoch(state, ds, key, scales) for the forward-pretrain phase —
-    drop-in for make_multi_epoch_fn(make_forward_step(...), bs) (scales are
-    ignored: the forward step has no constraint annealing).
+    drop-in for make_multi_epoch_fn(make_forward_step(...), bs).
+
+    `scales` is the per-epoch LR multiplier stream (the forward phase has
+    no constraint annealing, so the channel carries the host-side
+    ReduceLROnPlateau controller's scale instead): the prologue multiplies
+    the precomputed per-step LR lane by the epoch's scale, which is the
+    kernel-path twin of make_forward_step's `lr_scale` update scaling.
+    Pass ones when unused (exactly the old ignored-scales behaviour).
 
     lr/total_epochs parameterize the cosine schedule exactly like
     Trainer.pretrain_forward's optimizer override; defaults mirror
@@ -2849,7 +2892,7 @@ def make_pallas_forward_epoch_fn(
     base_lr = cfg.train.fwd_pretrain_lr if lr is None else lr
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
-    def _streams(t0, ds, key: jax.Array, E: int):
+    def _streams(t0, ds, key: jax.Array, E: int, scales):
         """Gather/sched/seed stream construction (the XLA prologue) —
         compiled as its OWN jitted program: fusing it with the aliased
         pallas_call corrupts the kernel's operands on v5e (the round-3
@@ -2857,7 +2900,11 @@ def make_pallas_forward_epoch_fn(
         N = ds.spectra.shape[0]
         spe = max(1, N // B)
         T = E * spe
-        sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
+        from ..train.schedules import make_schedule
+
+        sched_fn = make_schedule(
+            schedule, base_lr, horizon, spe, schedule_alpha=0.0
+        )
 
         keys = jax.random.split(key, E)
         idx = jax.vmap(lambda k: epoch_indices(k, N, B))(keys).reshape(T, B)
@@ -2867,8 +2914,9 @@ def make_pallas_forward_epoch_fn(
 
         t = t0 + jnp.arange(T)
         tf = (t + 1).astype(jnp.float32)
+        lr_scale = jnp.repeat(scales.astype(jnp.float32), spe)
         sched = jnp.stack([
-            sched_fn(t),
+            sched_fn(t) * lr_scale,
             1.0 / (1.0 - jnp.power(0.9, tf)),
             1.0 / (1.0 - jnp.power(_B2, tf)),
         ] + [jnp.zeros((T,), jnp.float32)] * (LANE - 3), axis=1).reshape(T, 1, LANE)
@@ -2961,7 +3009,7 @@ def make_pallas_forward_epoch_fn(
         def fused(state, ds, key: jax.Array, scales: jax.Array):
             E = scales.shape[0]
             spe = max(1, ds.spectra.shape[0] // B)
-            streams = _streams(state.opt[1][0].count, ds, key, E)
+            streams = _streams(state.opt[1][0].count, ds, key, E, scales)
             return _kernel_body(state, E, spe, *streams)
 
     def multi_epoch(state, ds, key: jax.Array, scales: jax.Array):
@@ -2976,7 +3024,7 @@ def make_pallas_forward_epoch_fn(
             )
         if fused_prologue:
             return fused(state, ds, key, scales)
-        streams = stream_jit(state.opt[1][0].count, ds, key, E)
+        streams = stream_jit(state.opt[1][0].count, ds, key, E, scales)
         return kernel_jit(state, E, spe, *streams)
 
     return multi_epoch
@@ -2985,6 +3033,7 @@ def make_pallas_forward_epoch_fn(
 def make_pallas_forward_subepoch_fn(
     cfg: PiGanConfig, fsettings, *, lr: float | None = None,
     total_epochs: int | None = None, interpret: bool = False,
+    schedule: str = "cosine",
 ):
     """Forward-pretrain driver for steps_per_epoch > _FWD_MAX_TOTAL.
 
@@ -3012,13 +3061,17 @@ def make_pallas_forward_subepoch_fn(
     horizon = cfg.train.fwd_pretrain_epochs if total_epochs is None else total_epochs
 
     def _mk_sub_call(live_steps: int, static_offset: int | None = None):
-        def _streams(t0, ds, key_e, seed_key, offset):
+        def _streams(t0, ds, key_e, seed_key, offset, lr_scale):
             """Gather/sched/seed stream construction (the XLA prologue)."""
             N = ds.spectra.shape[0]
             spe = max(1, N // B)
             L, spe_pad = _fwd_sub_plan(spe)
             padded = spe_pad != spe
-            sched_fn = cosine_schedule(base_lr, horizon, spe, 0.0)
+            from ..train.schedules import make_schedule
+
+            sched_fn = make_schedule(
+                schedule, base_lr, horizon, spe, schedule_alpha=0.0
+            )
             idx_full = epoch_indices(key_e, N, B)                  # (spe, B)
             if padded:
                 # gated tail rows index sample 0 — data content is irrelevant
@@ -3041,7 +3094,7 @@ def make_pallas_forward_subepoch_fn(
             tf = (t + 1).astype(jnp.float32)
             mask = (jnp.arange(L) < live_steps).astype(jnp.float32)
             sched = jnp.stack([
-                mask * sched_fn(t),
+                mask * sched_fn(t) * lr_scale,
                 mask / (1.0 - jnp.power(0.9, tf)),
                 mask / (1.0 - jnp.power(_B2, tf)),
                 mask,                                # `live` gate (lane 3)
@@ -3114,11 +3167,11 @@ def make_pallas_forward_subepoch_fn(
             # CORRUPTS the kernel's VMEM operands on v5e hardware (see the
             # _FUSED_PROLOGUE note) — kept only to reproduce the failure.
             @partial(jax.jit, donate_argnums=donate)
-            def sub_call(state, ds, key_e, seed_key, offset):
+            def sub_call(state, ds, key_e, seed_key, offset, lr_scale=1.0):
                 N = ds.spectra.shape[0]
                 spe = max(1, N // B)
                 t0 = state.opt[1][0].count
-                streams = _streams(t0, ds, key_e, seed_key, offset)
+                streams = _streams(t0, ds, key_e, seed_key, offset, lr_scale)
                 return _kernel_body(state, spe, *streams)
 
             return sub_call
@@ -3132,10 +3185,10 @@ def make_pallas_forward_subepoch_fn(
         kernel_jit = partial(jax.jit, static_argnums=(1,),
                              donate_argnums=donate)(_kernel_body)
 
-        def sub_call(state, ds, key_e, seed_key, offset):
+        def sub_call(state, ds, key_e, seed_key, offset, lr_scale=1.0):
             spe = max(1, ds.spectra.shape[0] // B)
             streams = stream_jit(
-                state.opt[1][0].count, ds, key_e, seed_key, offset
+                state.opt[1][0].count, ds, key_e, seed_key, offset, lr_scale
             )
             return kernel_jit(state, spe, *streams)
 
@@ -3162,7 +3215,7 @@ def make_pallas_forward_subepoch_fn(
                     calls[ck] = _mk_sub_call(live, ck[1])
                 skey = jax.random.fold_in(keys[e], 0x5EED + j)
                 state, mrow = calls[ck](
-                    state, ds, keys[e], skey, jnp.int32(j * L)
+                    state, ds, keys[e], skey, jnp.int32(j * L), scales[e]
                 )
                 acc = mrow if acc is None else acc + mrow
                 dispatched += 1

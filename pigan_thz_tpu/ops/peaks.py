@@ -3,39 +3,37 @@
 The reference computes these metrics with sequential Python loops over
 spectrum points (`core/utils/data_loader.py:13-58`: FWHM crossing search via
 linear interpolation, Q = f_res/Δf, FoM = Q/|t_min|) and
-`scipy.signal.find_peaks` for dip detection (`data_loader.py:84`).  Sequential
-branchy loops do not map to the TPU VPU, so this module reformulates the whole
-analysis as fixed-shape masked reductions:
+`scipy.signal.find_peaks(-t, prominence=1.0, width=1)` for dip detection
+(`data_loader.py:84`), selecting the qualified dip CLOSEST to each expected
+resonance centre (`data_loader.py:91-105`) with centre-frequency fallback
+when absent (`data_loader.py:108-109`).
 
-- dip detection  -> local-minimum mask + two masked argmins (deepest dips,
-  the second outside an exclusion window around the first);
+Sequential branchy loops do not map to the TPU VPU, so this module
+reformulates the whole analysis as fixed-shape masked reductions over an
+(N, N) index lattice (N = 250 spectrum points — trivially VPU-sized):
+
+- dip detection  -> scipy-parity `find_peaks` semantics, vectorized:
+  plateau-aware local maxima (plateau midpoint, endpoints never qualify),
+  topographic prominence via masked window minima between the peak and its
+  nearest strictly-higher samples, and interpolated width at half
+  prominence (`rel_height=0.5`), with `prominence >= 1.0` and `width >= 1`
+  qualification exactly as the reference's call;
+- dip selection  -> closest-to-expected-centre among qualified dips when
+  centres are supplied (reference parity), deepest-two otherwise;
 - FWHM           -> boolean half-level crossing masks, nearest-crossing
   selection via masked max/min over an index iota, then the same linear
   interpolation as the reference;
 - NaN policy     -> identical to the reference: Q/FoM are NaN when either
-  half-level crossing is missing or the dip is too shallow.
+  half-level crossing is missing or the dip is too shallow; f falls back
+  to the expected centre when no dip qualifies.
 
 Everything is jittable and `vmap`-friendly; `batched_peak_metrics` maps a
 (B, N) spectrum block to the 8 reference metrics (f1,f2,Q1,FoM1,S1,Q2,FoM2,S2)
 with no host round-trips — this also powers the large-scale inverse-design
-screening pipeline (BASELINE.json config #5).
-
-Known deviations from scipy.find_peaks semantics (documented, golden-
-tested against this module's own sequential oracle; self-consistent
-because dataset GENERATION and evaluation share these functions):
-
-- dip qualification uses an absolute depth threshold (t <= -min_prom)
-  where scipy uses topographic prominence — on spectra whose baseline
-  itself approaches the threshold (noise wiggles below -1 dB), a shallow
-  or absent second resonance can be assigned to a baseline minimum
-  instead of scipy's fall-back-to-centre behaviour;
-- the endpoint samples can qualify as local minima (the mask pads with
-  +inf) where scipy never returns endpoints — a monotone roll-off tail
-  can therefore register as a dip.
-
-Both matter only for off-oracle inputs (real CSVs / degenerate model
-output in screening); revisit with a prominence-style reformulation if
-real-data parity at the metric level becomes a requirement.
+screening pipeline (BASELINE.json config #5).  Golden-tested for exact dip
+selection agreement against real `scipy.signal.find_peaks` on adversarial
+spectra classes (noisy baselines near threshold, monotone roll-off tails,
+endpoint dips, plateau bottoms) in tests/test_peaks.py.
 """
 
 from __future__ import annotations
@@ -55,44 +53,167 @@ class PeakMetrics(NamedTuple):
     valid: jax.Array
 
 
-def _local_min_mask(t: jax.Array) -> jax.Array:
-    """Interior local minima of a 1-D signal (strict left, non-strict right)."""
-    left = jnp.concatenate([jnp.array([jnp.inf], t.dtype), t[:-1]])
-    right = jnp.concatenate([t[1:], jnp.array([jnp.inf], t.dtype)])
-    return (t < left) & (t <= right)
+class DipQualification(NamedTuple):
+    """Per-index dip analysis for one spectrum (all arrays shaped (N,)).
+
+    `qualified[i]` is True iff scipy's
+    `find_peaks(-t, prominence=min_prominence, width=min_width)` would
+    return index i.  `prominence`/`width` carry the underlying measures
+    (meaningful only where `is_peak`); non-peak rows hold don't-care
+    values.
+    """
+
+    qualified: jax.Array     # bool — passes prominence AND width filters
+    is_peak: jax.Array       # bool — plateau-midpoint local maximum of -t
+    prominence: jax.Array    # topographic prominence of -t at the peak
+    width: jax.Array         # interpolated width (samples) at half prominence
+
+
+def dip_qualification(
+    t: jax.Array,
+    min_prominence: float = 1.0,
+    min_width: float = 1.0,
+) -> DipQualification:
+    """scipy `find_peaks(-t, prominence, width)` parity, fully vectorized.
+
+    Semantics matched against scipy 1.x `_local_maxima_1d`,
+    `_peak_prominences` (wlen=None) and `_peak_widths` (rel_height=0.5):
+
+    - a local maximum of x = -t is a sample strictly above its nearest
+      differing neighbours on both sides; flat plateaus report their
+      midpoint; endpoints never qualify;
+    - prominence: walk outward from the peak until a strictly higher
+      sample (or the signal border); the base on each side is the window
+      minimum; prominence = x[peak] - max(left_min, right_min);
+    - width: evaluation height = x[peak] - 0.5*prominence; the first
+      sample at-or-below that height walking toward each base defines the
+      (linearly interpolated) intersection; width = right_ip - left_ip.
+
+    Replaces the pre-round-5 absolute-depth heuristic — the reference
+    qualifies dips by topographic prominence (`data_loader.py:84`), which
+    differs on noisy baselines and monotone roll-off tails.
+    """
+    x = -t
+    n = x.shape[0]
+    iota = jnp.arange(n)
+    i = iota[:, None]            # peak-candidate axis
+    j = iota[None, :]            # scan axis
+    xi = x[:, None]
+    xj = x[None, :]
+
+    # --- plateau-aware local maxima (scipy _local_maxima_1d) ---
+    neq = xj != xi
+    ld = jnp.max(jnp.where(neq & (j < i), j, -1), axis=1)    # nearest differing left
+    rd = jnp.min(jnp.where(neq & (j > i), j, n), axis=1)     # nearest differing right
+    x_ld = x[jnp.clip(ld, 0, n - 1)]
+    x_rd = x[jnp.clip(rd, 0, n - 1)]
+    run_is_peak = (ld >= 0) & (x_ld < x) & (rd <= n - 1) & (x_rd < x)
+    midpoint = (ld + rd) // 2    # ((ld+1) + (rd-1)) // 2 — plateau midpoint
+    is_peak = run_is_peak & (iota == midpoint)
+
+    # --- topographic prominence (scipy _peak_prominences, wlen=None) ---
+    greater = xj > xi
+    lg = jnp.max(jnp.where(greater & (j < i), j, -1), axis=1)   # last strictly-higher left
+    rg = jnp.min(jnp.where(greater & (j > i), j, n), axis=1)    # first strictly-higher right
+    lwin = (j > lg[:, None]) & (j <= i)      # (lg, i]
+    rwin = (j >= i) & (j < rg[:, None])      # [i, rg)
+    left_min = jnp.min(jnp.where(lwin, xj, jnp.inf), axis=1)
+    right_min = jnp.min(jnp.where(rwin, xj, jnp.inf), axis=1)
+    prominence = x - jnp.maximum(left_min, right_min)
+    # base = the occurrence of the window minimum closest to the peak
+    # (scipy's walk updates on strictly-lower samples only)
+    left_base = jnp.max(
+        jnp.where(lwin & (xj == left_min[:, None]) & (j < i), j, -1), axis=1
+    )
+    right_base = jnp.min(
+        jnp.where(rwin & (xj == right_min[:, None]) & (j > i), j, n), axis=1
+    )
+
+    # --- interpolated width at rel_height=0.5 (scipy _peak_widths) ---
+    height = x - 0.5 * prominence
+    at_or_below = xj <= height[:, None]
+    # first sample at-or-below the evaluation height walking from the peak
+    # toward each base; a crossing always exists for a true peak because
+    # x[base] <= x[peak] - prominence < height
+    jl = jnp.max(
+        jnp.where(at_or_below & (j >= left_base[:, None]) & (j < i), j, -1),
+        axis=1,
+    )
+    jr = jnp.min(
+        jnp.where(at_or_below & (j <= right_base[:, None]) & (j > i), j, n),
+        axis=1,
+    )
+    jl_c = jnp.clip(jl, 0, n - 1)
+    jr_c = jnp.clip(jr, 0, n - 1)
+    x_jl = x[jl_c]
+    x_jl1 = x[jnp.clip(jl_c + 1, 0, n - 1)]
+    x_jr = x[jr_c]
+    x_jr1 = x[jnp.clip(jr_c - 1, 0, n - 1)]
+    # interpolate only when the stop sample is strictly below the height
+    # (scipy: `if x[i] < height`); denominators are positive there because
+    # the neighbouring sample toward the peak is strictly above the height
+    dl = jnp.where(x_jl1 != x_jl, x_jl1 - x_jl, 1.0)
+    dr = jnp.where(x_jr1 != x_jr, x_jr1 - x_jr, 1.0)
+    left_ip = jl_c + jnp.where(x_jl < height, (height - x_jl) / dl, 0.0)
+    right_ip = jr_c - jnp.where(x_jr < height, (height - x_jr) / dr, 0.0)
+    width = right_ip - left_ip
+
+    qualified = is_peak & (prominence >= min_prominence) & (width >= min_width)
+    return DipQualification(
+        qualified=qualified, is_peak=is_peak, prominence=prominence, width=width
+    )
 
 
 def find_two_dips(
     t: jax.Array,
     min_prominence: float = 1.0,
-    exclusion: int = 10,
-) -> tuple[jax.Array, jax.Array]:
-    """Indices of the two deepest transmission dips (dB, dips are negative).
+    freq: jax.Array | None = None,
+    centers: tuple[jax.Array, jax.Array] | None = None,
+    min_width: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Indices of the two reference dips among scipy-qualified candidates.
 
-    Replaces `scipy.signal.find_peaks(-t, prominence=1.0)` from
-    data_loader.py:84 with a fixed-shape two-pass masked argmin.  The second
-    dip must lie at least `exclusion` samples from the first.  Returned in
-    frequency order (idx1 < idx2 when both valid).
+    Returns `(i1, i2, has1, has2)`.  With `centers=(c1, c2)` (and `freq`),
+    dip 1 is the qualified dip closest to c1 and dip 2 the closest to c2
+    among the rest — the reference's selection (`data_loader.py:91-105`);
+    per-sample NaN centres fall back to depth selection, enabling batched
+    mixed use.  Without centres, the two deepest qualified dips are
+    returned in frequency order.  `has1`/`has2` report whether enough
+    qualified dips exist; when False the paired index is a placeholder.
     """
     n = t.shape[0]
     iota = jnp.arange(n)
-    is_min = _local_min_mask(t) & (t <= -min_prominence)
-    masked = jnp.where(is_min, t, jnp.inf)
-    i1 = jnp.argmin(masked)
-    v1_ok = jnp.isfinite(masked[i1])
+    qual = dip_qualification(t, min_prominence, min_width).qualified
 
-    far = jnp.abs(iota - i1) > exclusion
-    masked2 = jnp.where(is_min & far, t, jnp.inf)
-    i2 = jnp.argmin(masked2)
-    v2_ok = jnp.isfinite(masked2[i2])
+    # depth selection: deepest qualified dip, then deepest of the rest
+    depth1 = jnp.where(qual, t, jnp.inf)
+    d1 = jnp.argmin(depth1)
+    has1 = jnp.isfinite(depth1[d1])
+    depth2 = jnp.where(qual & (iota != d1), t, jnp.inf)
+    d2 = jnp.argmin(depth2)
+    has2 = has1 & jnp.isfinite(depth2[d2])
+    # frequency order (repo convention when no centres constrain roles)
+    d_lo = jnp.minimum(d1, d2)
+    d_hi = jnp.maximum(d1, d2)
+    d1o = jnp.where(has2, d_lo, d1)
+    d2o = jnp.where(has2, d_hi, d1)
 
-    lo = jnp.minimum(i1, i2)
-    hi = jnp.maximum(i1, i2)
-    first = jnp.where(v2_ok, lo, i1)
-    second = jnp.where(v2_ok, hi, i1)
-    first = jnp.where(v1_ok, first, 0)
-    second = jnp.where(v1_ok & v2_ok, second, first)
-    return first, second
+    if centers is None or freq is None:
+        return d1o, d2o, has1, has2
+
+    c1, c2 = centers
+    use_centers = jnp.isfinite(c1) & jnp.isfinite(c2)
+    dist1 = jnp.where(qual, jnp.abs(freq - c1), jnp.inf)
+    i1c = jnp.argmin(dist1)
+    dist2 = jnp.where(qual & (iota != i1c), jnp.abs(freq - c2), jnp.inf)
+    i2c = jnp.argmin(dist2)
+    has2c = has1 & jnp.isfinite(dist2[i2c])
+
+    i1 = jnp.where(use_centers, i1c, d1o)
+    i2 = jnp.where(use_centers, i2c, d2o)
+    has2 = jnp.where(use_centers, has2c, has2)
+    i2 = jnp.where(has2, i2, i1)
+    return i1, i2, has1, has2
 
 
 def _interp_crossing(freq, t, j, level):
@@ -166,28 +287,28 @@ def spectrum_metrics(
 ) -> jax.Array:
     """All 8 reference metrics for one spectrum: (f1,f2,Q1,FoM1,S1,Q2,FoM2,S2).
 
-    When a dip is missing, f falls back to the supplied expected centre
-    frequency (data_loader.py:108-109) and Q/FoM/S are NaN.
+    The supplied expected centre frequencies serve double duty exactly as in
+    the reference generator: dip selection prefers the qualified dip closest
+    to each centre (`data_loader.py:93,102`), and f falls back to the centre
+    when no dip qualifies (`data_loader.py:108-109`); Q/FoM/S stay NaN then.
     """
-    i1, i2 = find_two_dips(t, min_prominence=min_prominence)
+    fb1 = jnp.asarray(jnp.nan if fallback_f1 is None else fallback_f1, t.dtype)
+    fb2 = jnp.asarray(jnp.nan if fallback_f2 is None else fallback_f2, t.dtype)
+    i1, i2, has1, has2 = find_two_dips(
+        t, min_prominence=min_prominence, freq=freq, centers=(fb1, fb2)
+    )
     p1 = peak_parameters(freq, t, i1)
     p2 = peak_parameters(freq, t, i2)
-    two_dips = i2 != i1
 
-    f1 = p1.f_res
-    f2 = jnp.where(two_dips, p2.f_res, jnp.nan)
-    q2 = jnp.where(two_dips, p2.q, jnp.nan)
-    fom2 = jnp.where(two_dips, p2.fom, jnp.nan)
+    f1 = jnp.where(has1, p1.f_res, jnp.nan)
+    q1 = jnp.where(has1, p1.q, jnp.nan)
+    fom1 = jnp.where(has1, p1.fom, jnp.nan)
+    f2 = jnp.where(has2, p2.f_res, jnp.nan)
+    q2 = jnp.where(has2, p2.q, jnp.nan)
+    fom2 = jnp.where(has2, p2.fom, jnp.nan)
 
-    any_dip = t[i1] <= -min_prominence
-    f1 = jnp.where(any_dip, f1, jnp.nan)
-    q1 = jnp.where(any_dip, p1.q, jnp.nan)
-    fom1 = jnp.where(any_dip, p1.fom, jnp.nan)
-
-    if fallback_f1 is not None:
-        f1 = jnp.where(jnp.isnan(f1), fallback_f1, f1)
-    if fallback_f2 is not None:
-        f2 = jnp.where(jnp.isnan(f2), fallback_f2, f2)
+    f1 = jnp.where(jnp.isnan(f1), fb1, f1)
+    f2 = jnp.where(jnp.isnan(f2), fb2, f2)
 
     s1 = sensitivity(f1, q1)
     s2 = sensitivity(f2, q2)

@@ -79,6 +79,7 @@ def train_seed_ensemble(
     forward_variables=None,
     interpret: bool = False,
     packed: bool = False,
+    force_large_m: bool = False,
 ):
     """Train N independent GAN members through the Pallas megakernel,
     one member per device (round-robin when N > #devices).
@@ -106,7 +107,9 @@ def train_seed_ensemble(
     packed=False (the packed kernel consumes the exact per-member chunk
     keys this driver derives — tested).  Requires a shared
     ``forward_variables`` (the packed launch carries one frozen F) and
-    ema_decay == 0.
+    ema_decay == 0.  Groups of more than 4 members per device refuse to
+    compile (measured 25+ minute Mosaic compiles at M=8 — RESULTS.md
+    "Member-packed kernel"); ``force_large_m=True`` overrides.
     """
     from ..train.steps import StepSettings
 
@@ -147,7 +150,7 @@ def train_seed_ensemble(
         return _train_seed_ensemble_packed(
             cfg, ds, num_members, settings, epochs, k_init, k_train,
             devices, used, epochs_per_call, scales, forward_variables,
-            interpret, g, d, f, g_tx, d_tx, spe,
+            interpret, g, d, f, g_tx, d_tx, spe, force_large_m,
         )
     fn = MK.make_pallas_multi_epoch_fn(cfg, settings, interpret=interpret)
     ds_by_dev = {dev: jax.device_put(ds, dev) for dev in set(used)}
@@ -209,7 +212,7 @@ def train_seed_ensemble(
 def _train_seed_ensemble_packed(
     cfg, ds, N, settings, epochs, k_init, k_train, devices, used,
     epochs_per_call, scales, forward_variables, interpret,
-    g, d, f, g_tx, d_tx, spe,
+    g, d, f, g_tx, d_tx, spe, force_large_m=False,
 ):
     """packed=True implementation: each device's member group trains in
     ONE kernel launch per chunk (make_pallas_ensemble_fn).  Bit-identity
@@ -227,7 +230,8 @@ def _train_seed_ensemble_packed(
         Mg = len(groups[dev])
         if Mg not in fns:
             fns[Mg] = MK.make_pallas_ensemble_fn(
-                cfg, settings, Mg, interpret=interpret
+                cfg, settings, Mg, interpret=interpret,
+                force_large_m=force_large_m,
             )
     ds_by_dev = {dev: jax.device_put(ds, dev) for dev in dev_list}
     scales_by_dev = {dev: jax.device_put(scales, dev) for dev in dev_list}

@@ -196,18 +196,24 @@ class CheckpointManager:
         )
         self._last_saved: int | None = None
 
-    def _save_args(self, epoch: int, state, history=None, config=None):
+    def _save_args(self, epoch: int, state, history=None, config=None,
+                   extra=None):
         meta = {
             "epoch": epoch,
             "history": history if history is not None else {},
             "config": _config_meta(config),
+            # free-form JSON payload for host-side controller state that
+            # must survive kill/resume (e.g. the ReduceLROnPlateau
+            # scale/best/bad-epoch counters — schedules.ReduceLROnPlateau)
+            "extra": extra if extra is not None else {},
         }
         return ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             meta=ocp.args.JsonSave(meta),
         )
 
-    def maybe_save(self, epoch: int, state, history=None, config=None) -> bool:
+    def maybe_save(self, epoch: int, state, history=None, config=None,
+                   extra=None) -> bool:
         """Save when an interval boundary has been CROSSED since the last
         save — robust to callers that only observe chunked epoch counts
         (epoch may jump by epochs_per_call, never landing on an exact
@@ -220,14 +226,17 @@ class CheckpointManager:
         # copy: saves are async and training loops donate the live state
         state = jax.tree.map(jnp.copy, state)
         self._mgr.save(
-            epoch, args=self._save_args(epoch, state, history, config), force=True
+            epoch, args=self._save_args(epoch, state, history, config, extra),
+            force=True,
         )
         self._last_saved = epoch
         return True
 
-    def save(self, epoch: int, state, history=None, config=None) -> None:
+    def save(self, epoch: int, state, history=None, config=None,
+             extra=None) -> None:
         self._mgr.save(
-            epoch, args=self._save_args(epoch, state, history, config), force=True
+            epoch, args=self._save_args(epoch, state, history, config, extra),
+            force=True,
         )
         self._mgr.wait_until_finished()
 
@@ -252,7 +261,9 @@ class CheckpointManager:
             # pytree as the single default item) — restore it and synthesize
             # empty meta so old run directories remain resumable
             state = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
-            return step, state, {"epoch": step, "history": {}, "config": None}
+            return step, state, {
+                "epoch": step, "history": {}, "config": None, "extra": {},
+            }
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(

@@ -37,6 +37,11 @@ class Phase:
     forward_settings: ForwardStepSettings = field(default_factory=ForwardStepSettings)
     gan_settings: Optional[StepSettings] = None
     lr: Optional[float] = None                     # forward-phase LR override
+    schedule: Optional[str] = None                 # forward-phase base schedule
+    # forward-phase ReduceLROnPlateau kwargs (schedules.ReduceLROnPlateau);
+    # the runner builds a fresh controller per run — a dict keeps Phase
+    # declarative/stateless
+    plateau: Optional[Dict] = None
     # per-phase GAN optimizer policies (unified_constraint_trainer.py:196-214)
     lr_g: Optional[float] = None
     lr_d: Optional[float] = None
@@ -75,6 +80,8 @@ def run_program(trainer: Trainer, phases: List[Phase], log_every: int = 10) -> P
         if trainer.logger:
             trainer.logger.info(f"=== phase: {phase.name} ({phase.kind}, {phase.epochs} ep) ===")
         if phase.kind == "forward":
+            from .schedules import ReduceLROnPlateau
+
             trainer.pretrain_forward(
                 epochs=phase.epochs,
                 settings=phase.forward_settings,
@@ -82,6 +89,11 @@ def run_program(trainer: Trainer, phases: List[Phase], log_every: int = 10) -> P
                 log_every=log_every,
                 early_stop_patience=phase.early_stop_patience,
                 keep_best=phase.keep_best,
+                schedule=phase.schedule or "cosine",
+                plateau=(
+                    ReduceLROnPlateau(**phase.plateau)
+                    if phase.plateau is not None else None
+                ),
             )
             if phase.refresh_frozen_forward and trainer.pigan_state is not None:
                 trainer.init_pigan()  # re-freeze latest F into the GAN state
@@ -179,6 +191,11 @@ def emergency_phases(
             gate=lambda ev: ev["pigan_evaluation"]["parameter_prediction"]["r2"] < 0.7,
             forward_settings=ForwardStepSettings(l1_w=0.5),
             lr=5e-4,
+            # reference: fixed Adam LR driven by ReduceLROnPlateau
+            # (emergency_trainer.py:125-133: mode 'min', factor 0.5,
+            # patience 20) — not a decaying schedule
+            schedule="constant",
+            plateau=dict(factor=0.5, patience=20),
             early_stop_patience=30,
             keep_best=True,
         ),

@@ -97,6 +97,118 @@ def linear_schedule(
     )
 
 
+class ReduceLROnPlateau:
+    """Metric-reactive LR controller — `torch.optim.lr_scheduler.
+    ReduceLROnPlateau` parity, re-expressed for the chunked-scan design.
+
+    The reference's emergency forward recovery drives its LR with this
+    scheduler (`emergency_trainer.py:131-133`: factor 0.5, patience 20,
+    mode 'min'); defaults here mirror that call.  Because compiled
+    schedules are step-count functions, the controller emits a runtime
+    *scale* multiplying the compiled schedule instead of mutating an
+    optimizer: `step(metric)` is called once per EPOCH (exactly like the
+    torch scheduler), and the Trainer applies the latest scale to the
+    NEXT epoch chunk — epoch-granular accounting, chunk-granular
+    application (the one deviation; chunks default to 25 epochs).
+
+    Semantics matched against torch (mode/threshold_mode/cooldown/eps;
+    golden-tested value-for-value in tests/test_trainer.py): a new best
+    resets the bad-epoch count; `num_bad > patience` multiplies the scale
+    by `factor` (floored at `min_scale`, skipped within `eps`) and starts
+    `cooldown` epochs during which bad epochs don't accumulate.
+
+    Host-side state only — `state_dict()`/`load_state_dict()` ride in the
+    checkpoint meta JSON so kill/resume preserves the schedule position
+    (CheckpointManager `extra=`).
+    """
+
+    def __init__(
+        self,
+        factor: float = 0.5,
+        patience: int = 20,
+        threshold: float = 1e-4,
+        threshold_mode: str = "rel",
+        cooldown: int = 0,
+        min_scale: float = 0.0,
+        mode: str = "min",
+        eps: float = 1e-8,
+        base_lr: float | None = None,
+    ):
+        if not 0.0 < factor < 1.0:
+            raise ValueError("factor must be in (0, 1)")
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode {mode!r}: use min | max")
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"threshold_mode {threshold_mode!r}: use rel | abs")
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.threshold_mode = threshold_mode
+        self.cooldown = int(cooldown)
+        self.min_scale = float(min_scale)
+        self.mode = mode
+        self.eps = float(eps)
+        # torch's eps guard compares LR deltas in absolute LR units; give
+        # it the base LR the scale multiplies for exact parity (without
+        # it the guard applies to the scale itself — same behaviour for
+        # any realistically-sized eps)
+        self.base_lr = None if base_lr is None else float(base_lr)
+        self.scale = 1.0
+        self.best = float("inf") if mode == "min" else float("-inf")
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+        self.num_reductions = 0
+
+    def _is_better(self, a: float, best: float) -> bool:
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return a < best * (1.0 - self.threshold)
+            return a < best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > best * (1.0 + self.threshold)
+        return a > best + self.threshold
+
+    def step(self, metric: float) -> float:
+        """Observe one epoch's metric; returns the (possibly reduced)
+        current LR scale."""
+        current = float(metric)
+        # NaN compares False to everything -> counts as a bad epoch,
+        # matching torch's behaviour
+        if self._is_better(current, self.best):
+            self.best = current
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            new_scale = max(self.scale * self.factor, self.min_scale)
+            unit = self.base_lr if self.base_lr is not None else 1.0
+            if (self.scale - new_scale) * unit > self.eps:
+                self.scale = new_scale
+                self.num_reductions += 1
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self) -> dict:
+        return {
+            "scale": self.scale,
+            "best": self.best,
+            "num_bad_epochs": self.num_bad_epochs,
+            "cooldown_counter": self.cooldown_counter,
+            "num_reductions": self.num_reductions,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.scale = float(state["scale"])
+        self.best = float(state["best"])
+        self.num_bad_epochs = int(state["num_bad_epochs"])
+        self.cooldown_counter = int(state["cooldown_counter"])
+        self.num_reductions = int(state.get("num_reductions", 0))
+
+
 def make_schedule(
     kind: str,
     lr: float,

@@ -164,9 +164,16 @@ def make_forward_step(
     settings: ForwardStepSettings = ForwardStepSettings(),
 ) -> Callable[[ForwardState, Batch], tuple[ForwardState, Dict[str, jax.Array]]]:
     """One fused pretrain step (pretrain_fwd_model.py:68-92): forward, loss,
-    grad, clip, Adam — a single XLA program."""
+    grad, clip, Adam — a single XLA program.
 
-    def step(state: ForwardState, batch: Batch):
+    The optional third argument `lr_scale` is a *runtime* scalar
+    multiplying the final parameter updates — mathematically identical to
+    scaling the learning rate, which lets the host-side
+    `ReduceLROnPlateau` controller (emergency_trainer.py:131-133 parity)
+    drive a compiled schedule without recompiling.  Epoch fns built with
+    `with_scale=True` thread their per-epoch scale stream into it."""
+
+    def step(state: ForwardState, batch: Batch, lr_scale=None):
         _, _, params_norm, _, metrics_norm = batch[:5]
         spectra = batch[0]
         rng, k_drop = jax.random.split(state.rng)
@@ -204,6 +211,8 @@ def make_forward_step(
             loss_fn, has_aux=True
         )(state.f.params)
         updates, new_opt = tx.update(grads, state.opt, state.f.params)
+        if lr_scale is not None:
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.f.params, updates)
         new_state = ForwardState(
             step=state.step + 1,

@@ -27,7 +27,7 @@ from ..evaluate.evaluator import Evaluator
 from ..models.registry import build_trio
 from ..utils.logging import RunLogger
 from . import checkpoint as ckpt
-from .schedules import build_optimizer
+from .schedules import ReduceLROnPlateau, build_optimizer
 from .state import (
     ForwardState,
     PiGanState,
@@ -146,6 +146,7 @@ class Trainer:
         self.fallback_trips = 0  # megakernel->XLA reliability-net trips
         self.fallback_events: List[str] = []  # one "<what>@epoch<N>" per trip
         self._progress_anchors: dict = {}  # per-kind post-compile window
+        self._progress_warm: set = set()   # kinds whose program is compiled
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import replicate_dataset
@@ -270,7 +271,7 @@ class Trainer:
         spe_pad = _launch_plan(2, self.steps_per_epoch)[3]
         return min(chunk, max(1, _MAX_PROGRAM_GRID // spe_pad))
 
-    def _maybe_forward_megakernel(self, settings, lr, epochs):
+    def _maybe_forward_megakernel(self, settings, lr, epochs, schedule="cosine"):
         """Pallas forward-pretrain kernel when eligible, else None.  Note
         the in-kernel dropout masks come from the TPU hardware PRNG — same
         distribution as the XLA path, different bitstream."""
@@ -315,7 +316,10 @@ class Trainer:
             if self.megakernel == "force" and reason is not None:
                 raise ValueError(f"megakernel='force' but: {reason}")
             return None
-        cache_key = ("fwd-mega", settings, lr, epochs if lr is not None else None)
+        cache_key = (
+            "fwd-mega", settings, lr, epochs if lr is not None else None,
+            schedule,
+        )
         if cache_key not in self._epoch_fns:
             self._log_always("megakernel engaged for forward pretrain")
             factory = (
@@ -325,7 +329,7 @@ class Trainer:
             self._epoch_fns[cache_key] = factory(
                 self.cfg, settings,
                 lr=lr, total_epochs=epochs if lr is not None else None,
-                interpret=not on_tpu,
+                interpret=not on_tpu, schedule=schedule,
             )
         return self._epoch_fns[cache_key]
 
@@ -543,7 +547,10 @@ class Trainer:
         else:  # first chunk of this run
             self._progress_anchors[what] = (time.time(), done_epochs)
             rate = done_epochs * self.steps_per_epoch / dt
-            note = " (incl. compile)"
+            # a later train() call in the same session reuses the warm
+            # jitted program — only the first chunk per kind pays compile
+            note = " (incl. compile)" if what not in self._progress_warm else ""
+            self._progress_warm.add(what)
         left = (total_epochs - done_epochs) * self.steps_per_epoch / rate
         eta = f"{int(left // 60)}:{int(left % 60):02d}"
         self._log(
@@ -579,16 +586,34 @@ class Trainer:
         keep_best: bool = False,
         reset: bool = False,
         checkpoint_manager: Optional[ckpt.CheckpointManager] = None,
+        schedule: str = "cosine",
+        plateau: Optional["ReduceLROnPlateau"] = None,
     ) -> History:
+        """``plateau`` attaches a host-side metric-reactive LR controller
+        (schedules.ReduceLROnPlateau — emergency_trainer.py:131-133 parity):
+        it observes each epoch's total loss and its scale multiplies the
+        compiled LR schedule from the NEXT chunk on (both backends consume
+        the per-epoch scale stream).  The controller is caller-owned state:
+        with a ``checkpoint_manager`` its state_dict rides in the
+        checkpoint meta (``extra['plateau']``) and a resuming caller
+        restores it via ``plateau.load_state_dict`` before re-calling.
+        ``schedule`` picks the base schedule for an ``lr`` override
+        (the reference's emergency phase pairs a CONSTANT base LR with the
+        plateau controller)."""
         cfg = self.cfg
         # NOTE explicit None check: epochs=0 legitimately means
         # "initialize state only" (used by resumable pipelines)
         epochs = cfg.train.fwd_pretrain_epochs if epochs is None else epochs
+        if schedule != "cosine" and lr is None:
+            raise ValueError(
+                "schedule= only applies to an lr override (without lr the "
+                "optimizer comes from the config's fwd_pretrain settings)"
+            )
         tx = self.f_tx
         if lr is not None:
             tx = build_optimizer(
                 lr=lr, total_epochs=epochs, steps_per_epoch=self.steps_per_epoch,
-                schedule="cosine", b1=0.9, grad_clip=cfg.train.grad_clip,
+                schedule=schedule, b1=0.9, grad_clip=cfg.train.grad_clip,
                 schedule_alpha=0.0,
                 adam_state_dtype=cfg.train.adam_state_dtype,
             )
@@ -606,14 +631,17 @@ class Trainer:
             self.forward_state = self.forward_state.replace(
                 opt=tx.init(self.forward_state.f.params)
             )
-        multi_epoch = self._maybe_forward_megakernel(settings, lr, epochs)
+        multi_epoch = self._maybe_forward_megakernel(settings, lr, epochs, schedule)
         mega_active = multi_epoch is not None
 
         def _xla_epoch_fn():
+            # with_scale=True threads the per-epoch LR-scale stream into
+            # the step (exact no-op at scale 1.0 — IEEE multiply by 1.0)
             return self._make_multi_epoch(
                 make_forward_step(self.forward_model, tx, settings),
-                with_scale=False,
-                cache_key=("fwd", settings, lr, epochs if lr is not None else None),
+                with_scale=True,
+                cache_key=("fwd", settings, lr,
+                           epochs if lr is not None else None, schedule),
             )
 
         if multi_epoch is None:
@@ -655,9 +683,12 @@ class Trainer:
                 )
             fn, active = (_xla_epoch_fn(), False) if routed \
                 else (multi_epoch, mega_active)
+            # plateau scale is chunk-granular: the controller's latest
+            # scale applies to every epoch of the NEXT chunk
+            lr_scale = plateau.scale if plateau is not None else 1.0
             self.forward_state, rows, fn, active = self._chunk_with_fallback(
                 fn, active, _xla_epoch_fn, self.forward_state, sub,
-                jnp.ones((chunk,), jnp.float32), "forward", at=epoch,
+                jnp.full((chunk,), lr_scale, jnp.float32), "forward", at=epoch,
             )
             if not routed:
                 multi_epoch, mega_active = fn, active
@@ -665,6 +696,16 @@ class Trainer:
             for j in range(chunk):
                 e = epoch + j
                 m = {k: v[j] for k, v in rows.items()}
+                if plateau is not None:
+                    before = plateau.num_reductions
+                    plateau.step(m["loss"])
+                    if plateau.num_reductions != before:
+                        self._log(
+                            f"[forward] plateau: LR scale -> "
+                            f"{plateau.scale:g} at epoch {e + 1} "
+                            "(applies next chunk)"
+                        )
+                    m = dict(m, lr_scale=lr_scale)
                 self._record(m, "forward/", e)
                 if (e + 1) % log_every == 0:
                     self._log(f"[forward] epoch {e + 1}/{epochs} loss={m['loss']:.6f}")
@@ -684,6 +725,10 @@ class Trainer:
                 checkpoint_manager.maybe_save(
                     ckpt_base + epoch + chunk, self.forward_state,
                     history=self.train_history, config=self.cfg,
+                    extra=(
+                        {"plateau": plateau.state_dict()}
+                        if plateau is not None else None
+                    ),
                 )
             epoch += chunk
             self._progress("forward", t_start, epoch, epochs)

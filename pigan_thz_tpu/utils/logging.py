@@ -21,7 +21,7 @@ class RunLogger:
         self,
         workdir: str,
         name: str = "pigan",
-        use_tensorboard: bool = False,
+        use_tensorboard: bool = True,
         use_wandb: bool = False,
         stdout: bool = True,
     ):
@@ -46,12 +46,12 @@ class RunLogger:
         self._scalars = open(os.path.join(self.run_dir, "scalars.jsonl"), "a")
         self._tb = None
         if use_tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+            # dependency-free tfevents writer (utils/tensorboard.py) —
+            # on-by-default parity with the reference Logger, which
+            # constructs a SummaryWriter unconditionally (logger.py:47)
+            from .tensorboard import TfEventsWriter
 
-                self._tb = SummaryWriter(log_dir=os.path.join(self.run_dir, "tb"))
-            except Exception:  # tensorboard optional
-                self._tb = None
+            self._tb = TfEventsWriter(os.path.join(self.run_dir, "tb"))
         self._wandb = None
         if use_wandb:
             try:

