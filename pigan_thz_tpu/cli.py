@@ -144,6 +144,31 @@ def cmd_generate_data(args) -> int:
     return 0
 
 
+def cmd_convert_cst(args) -> int:
+    """Raw CST Studio export (dataset/THZ.txt format) -> Freq_* CSV."""
+    cfg = _make_cfg(args)
+    from .data.cst import convert_cst_export
+
+    def _kv(items, cast):
+        out = {}
+        for it in items or []:
+            k, _, v = it.partition("=")
+            if not _:
+                raise SystemExit(f"--{'default' if cast is float else 'param-map'} "
+                                 f"expects key=value, got {it!r}")
+            out[k.strip()] = cast(v.strip())
+        return out
+
+    n = convert_cst_export(
+        args.raw, args.out, cfg=cfg.data,
+        param_map=_kv(args.param_map, str),
+        defaults=_kv(args.default, float),
+        fit_grid=args.fit_grid,
+    )
+    print(f"converted {n} sample(s) from {args.raw} -> {args.out}")
+    return 0
+
+
 def cmd_pretrain_forward(args) -> int:
     cfg = _make_cfg(args)
     if args.epochs is not None:
@@ -844,6 +869,22 @@ def build_parser() -> argparse.ArgumentParser:
     _base_parser(g)
     g.add_argument("--out", default="dataset/THz_Metamaterial_Spectra_With_Metrics.csv")
     g.set_defaults(fn=cmd_generate_data)
+
+    g = sub.add_parser(
+        "convert-cst",
+        help="convert a raw CST export (THZ.txt format) to the Freq_* CSV",
+    )
+    _base_parser(g)
+    g.add_argument("raw", help="raw CST text export path")
+    g.add_argument("--out", default="dataset/converted.csv")
+    g.add_argument("--param-map", action="append", metavar="NAME=KEY",
+                   help="dataset column -> export parameter key (e.g. g=p)")
+    g.add_argument("--default", action="append", metavar="NAME=VALUE",
+                   help="value for a structural parameter the export lacks")
+    g.add_argument("--fit-grid", action="store_true",
+                   help="derive the frequency grid from the export's sweep "
+                        "instead of requiring it to cover data.freq_min/max")
+    g.set_defaults(fn=cmd_convert_cst)
 
     g = sub.add_parser("pretrain-forward", help="pretrain the forward surrogate")
     _base_parser(g)

@@ -1,3 +1,12 @@
+from .ensemble import (
+    EnsembleSettings,
+    init_ensemble_states,
+    make_ensemble_epoch_fn,
+    make_ensemble_multi_epoch_fn,
+    make_ensemble_pigan_step,
+    shard_ensemble,
+    weight_vector,
+)
 from .hlo_check import assert_mesh_collectives, check_mesh_collectives
 from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, replicated
 from .sharding import (
@@ -11,8 +20,15 @@ from .sharding import (
 
 __all__ = [
     "DATA_AXIS",
+    "EnsembleSettings",
     "assert_mesh_collectives",
     "check_mesh_collectives",
+    "init_ensemble_states",
+    "make_ensemble_epoch_fn",
+    "make_ensemble_multi_epoch_fn",
+    "make_ensemble_pigan_step",
+    "shard_ensemble",
+    "weight_vector",
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
