@@ -1,0 +1,277 @@
+"""Scaled-batch throughput + quality recipe (round 5, VERDICT r4 #2).
+
+The parity workload (batch 64, 1000 samples) is LATENCY-bound on v5e:
+~21 small MXU matmuls x ~0.8 us issue latency -> 59.6k steps/s at 16.5% MFU
+(RESULTS.md "Roofline").  The only real lever the roofline leaves is
+fewer/LARGER matmuls per optimizer step — i.e. a bigger batch.  This probe
+owns that regime end to end:
+
+--throughput  hardware steps/s + samples/s + TFLOP/s + MFU for
+              batch in {64..1024} x {megakernel, xla}, spe fixed at 15
+              (dataset scales with the batch: the scaled regime is
+              "more data per step", not "fewer steps per epoch").
+
+--quality     the recipe run on the PARITY dataset (1000 samples):
+              batch 512, LR x {1, sqrt(8), 8} (the linear-scaling rule and
+              its sqrt variant), each at the SAME total sample budget as
+              the batch-64 baseline (3000 ep x 15 spe x 64 = 2.88M
+              samples -> 5625 ep x 1 spe x 512), pretrained F shared
+              across arms, param R2 via the standard evaluator.
+              Done-bar: best arm R2 >= 0.979 (VERDICT r4 #2).
+
+    python examples/scaled_batch_probe.py --throughput
+    python examples/scaled_batch_probe.py --quality
+    python examples/scaled_batch_probe.py --quality --budget-epochs 3000
+
+Prints one JSON line per mode.  bench.py's headline workload is unchanged
+(driver comparability); RESULTS.md carries this table alongside it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--throughput", action="store_true")
+    ap.add_argument("--quality", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="CPU smoke (tiny sizes)")
+    ap.add_argument("--batches", default="64,128,256,512,1024")
+    ap.add_argument("--spe", type=int, default=15)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--meas", type=int, default=3)
+    ap.add_argument("--budget-epochs", type=int, default=3000,
+                    help="batch-64-equivalent epoch budget for --quality")
+    ap.add_argument("--matrix", default="128:2:w,256:2:w,256:4:w,512:2.83:w,512:4:w",
+                    help="quality arms as B:lr_scale[:w][:N] (w = "
+                         "warmup_cosine on both optimizers; N = dataset "
+                         "size, default 1000 — the scaled-DATA regime keeps "
+                         "the same total sample budget on a bigger set)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.data import synthetic_dataset
+    from pigan_thz_tpu.models import build_trio
+    from pigan_thz_tpu.ops.costs import device_peak_flops, pigan_step_costs
+    from pigan_thz_tpu.ops.megakernel import (
+        make_pallas_multi_epoch_fn,
+        supports_megakernel,
+    )
+    from pigan_thz_tpu.train import (
+        StepSettings,
+        init_forward_state,
+        init_pigan_state,
+        make_epoch_fn,
+        make_forward_step,
+        make_multi_epoch_fn,
+        make_optimizers,
+        make_pigan_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    kind = jax.devices()[0].device_kind
+    peak = device_peak_flops(kind)
+
+    if args.throughput:
+        batches = [int(b) for b in args.batches.split(",")]
+        if args.cpu:
+            batches = batches[:2]
+        rows = []
+        for B in batches:
+            cfg = default_config()
+            cfg = cfg.replace(
+                data=dc.replace(cfg.data, num_samples=B * args.spe),
+                train=dc.replace(cfg.train, batch_size=B),
+            )
+            ds = synthetic_dataset(cfg.data)
+            g, d, f = build_trio(cfg)
+            g_tx, d_tx, f_tx = make_optimizers(cfg, args.spe)
+            fs = init_forward_state(f, f_tx, jax.random.PRNGKey(0))
+            fepoch = make_epoch_fn(make_forward_step(f, f_tx), B)
+            for e in range(3):
+                fs, _ = fepoch(fs, ds, jax.random.PRNGKey(100 + e))
+            settings = StepSettings.from_config(cfg)
+            costs = pigan_step_costs(cfg, settings)
+
+            backends = ["xla"]
+            if on_tpu and supports_megakernel(cfg, settings) is None:
+                backends.insert(0, "megakernel")
+            for backend in backends:
+                state = init_pigan_state(
+                    g, d, f, g_tx, d_tx, jax.random.PRNGKey(1),
+                    forward_variables=fs.f.variables,
+                )
+                if backend == "megakernel":
+                    me = make_pallas_multi_epoch_fn(cfg, settings)
+                else:
+                    step = make_pigan_step(
+                        g, d, f, g_tx, d_tx, settings, ds.param_lo, ds.param_hi
+                    )
+                    me = make_multi_epoch_fn(
+                        step, B, with_scale=True,
+                        unroll=min(args.spe, 15),
+                    )
+                chunk = 2 if args.cpu else args.chunk
+                ones = jnp.ones((chunk,), jnp.float32)
+                try:
+                    for w in range(2):
+                        state, m = me(
+                            state, ds, jax.random.PRNGKey(2 + w), ones
+                        )
+                    mets = jax.device_get(m)
+                except Exception as exc:  # compile/envelope failure is data
+                    rows.append({"batch": B, "backend": backend,
+                                 "error": f"{type(exc).__name__}: {exc}"[:200]})
+                    continue
+                if not all(
+                    math.isfinite(float(x))
+                    for v in mets.values() for x in v
+                ):
+                    rows.append({"batch": B, "backend": backend,
+                                 "error": "non-finite warmup metrics"})
+                    continue
+                rates = []
+                chain = 1 if args.cpu else args.chain
+                for e in range(args.meas):
+                    t0 = time.perf_counter()
+                    for c in range(chain):
+                        state, m = me(
+                            state, ds,
+                            jax.random.PRNGKey(10 + e * chain + c), ones,
+                        )
+                    jax.device_get(m["d_loss"])
+                    dt = time.perf_counter() - t0
+                    rates.append(chain * chunk * args.spe / dt)
+                best = max(rates)
+                tflops = costs.model_flops * best / 1e12
+                row = {
+                    "batch": B,
+                    "backend": backend,
+                    "steps_per_sec": round(best, 1),
+                    "samples_per_sec": round(best * B, 1),
+                    "flops_per_step": costs.model_flops,
+                    "tflops_per_sec": round(tflops, 2),
+                }
+                if peak:
+                    row["mfu_pct"] = round(100.0 * tflops * 1e12 / peak, 1)
+                rows.append(row)
+                print(f"[throughput] {row}", file=sys.stderr, flush=True)
+        print(json.dumps({"mode": "throughput", "device": kind,
+                          "spe": args.spe, "rows": rows}))
+        return 0
+
+    if args.quality:
+        from pigan_thz_tpu.train import Trainer
+
+        budget = args.budget_epochs if not args.cpu else 40
+        base_cfg = default_config()
+        base_samples = budget * (1000 // 64) * 64
+
+        arms_spec = []
+        for item in args.matrix.split(","):
+            parts = item.strip().split(":")
+            arms_spec.append((
+                int(parts[0]), float(parts[1]),
+                len(parts) > 2 and parts[2] == "w",
+                int(parts[3]) if len(parts) > 3 else 1000,
+            ))
+        if args.cpu:
+            arms_spec = [(128, 2.0, True, 1000)]
+
+        # per-dataset pretrained surrogate (standard 500-epoch recipe;
+        # a production scaled-data run pretrains on its own data)
+        trainers: dict = {}
+
+        def base_for(n_samples: int):
+            if n_samples not in trainers:
+                c = base_cfg.replace(
+                    data=dc.replace(base_cfg.data, num_samples=n_samples)
+                )
+                t0 = time.perf_counter()
+                b = Trainer(c, megakernel="auto" if on_tpu else "off")
+                b.pretrain_forward(
+                    epochs=60 if args.cpu else None, log_every=10**9
+                )
+                print(f"[quality] F pretrain N={n_samples}: "
+                      f"{time.perf_counter() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+                trainers[n_samples] = b
+            return trainers[n_samples]
+
+        out = {"mode": "quality", "device": kind,
+               "sample_budget": base_samples, "arms": {}}
+        best_r2, best_arm = -1e9, None
+        for B, s, warm, N in arms_spec:
+            base = base_for(N)
+            fstate = base.forward_state
+            spe_scaled = max(1, N // B)
+            epochs_scaled = max(1, base_samples // (spe_scaled * B))
+            cfg = base_cfg.replace(
+                data=dc.replace(base_cfg.data, num_samples=N),
+                train=dc.replace(
+                    base_cfg.train, batch_size=B, num_epochs=epochs_scaled,
+                ),
+            )
+            t = Trainer(
+                cfg, ds=base.ds, megakernel="auto" if on_tpu else "off",
+                epochs_per_call=min(1000, epochs_scaled),
+            )
+            t.forward_state = jax.tree.map(jnp.copy, fstate)
+            t.init_pigan()
+            t0 = time.perf_counter()
+            override = dict(
+                lr_g=base_cfg.train.lr_g * s,
+                lr_d=base_cfg.train.lr_d * s,
+                schedule_g="warmup_cosine" if warm else "cosine",
+                schedule_d="warmup_cosine" if warm else "step",
+            ) if (s != 1.0 or warm) else {}
+            t.train_pigan(epochs=epochs_scaled, log_every=10**9, **override)
+            wall = round(time.perf_counter() - t0, 1)
+            ev = t.evaluate()
+            r2 = float(ev["pigan_evaluation"]["parameter_prediction"]["r2"])
+            cyc = float(ev["model_validation"]["cycle_consistency_error_mean"])
+            name = f"B{B}x{s:g}{'w' if warm else ''}" + (
+                f"N{N}" if N != 1000 else ""
+            )
+            arm = {"batch": B, "lr_scale": round(s, 3), "warmup": warm,
+                   "dataset": N, "epochs": epochs_scaled, "r2": round(r2, 4),
+                   "cycle": round(cyc, 4), "wall_s": wall,
+                   "trips": t.fallback_trips}
+            out["arms"][name] = arm
+            if r2 > best_r2:
+                best_r2, best_arm = r2, name
+            print(f"[quality] {name} {arm}", file=sys.stderr, flush=True)
+        out["best_r2"] = round(best_r2, 4)
+        out["best_arm"] = best_arm
+        out["ok"] = bool(best_r2 >= (0.979 if not args.cpu else 0.0))
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+
+    print("pass --throughput or --quality", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -223,6 +223,18 @@ def make_schedule(
     two paths can never drift."""
     if kind == "cosine":
         return cosine_schedule(lr, total_epochs, steps_per_epoch, schedule_alpha)
+    if kind == "warmup_cosine":
+        # large-batch recipe (scaled-batch mode, RESULTS.md): linear warmup
+        # over the first 5% of steps to the peak LR, then the same cosine
+        # decay — the standard stabilizer for LR-scaled large-batch training
+        total = max(1, total_epochs * steps_per_epoch)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=max(1, int(0.05 * total)),
+            decay_steps=total,
+            end_value=lr * schedule_alpha,
+        )
     if kind == "step":
         return step_schedule(
             lr, total_epochs, steps_per_epoch, step_decay_rate,

@@ -197,3 +197,19 @@ def test_empty_tuple_override_roundtrip():
     assert cfg.generator.hidden_dims == ()
     cfg2 = apply_overrides(cfg, ["generator.hidden_dims=512,256"])
     assert cfg2.generator.hidden_dims == (512, 256)
+
+
+def test_warmup_cosine_schedule_shape():
+    """Round-5 scaled-batch recipe schedule: linear warmup over the first
+    5% of steps to the peak LR, then cosine decay to alpha*lr."""
+    import numpy as np
+
+    lr, epochs, spe = 1.6e-3, 100, 15
+    sched = make_schedule("warmup_cosine", lr, epochs, spe)
+    total = epochs * spe
+    warm = max(1, int(0.05 * total))
+    assert float(sched(0)) < 0.2 * lr                  # starts near zero
+    assert float(sched(warm)) == pytest.approx(lr, rel=1e-5)   # peak
+    vals = np.array([float(sched(t)) for t in range(warm, total, 50)])
+    assert (np.diff(vals) <= 1e-12).all()              # monotone decay
+    assert float(sched(total)) == pytest.approx(lr * 0.01, rel=0.05)
