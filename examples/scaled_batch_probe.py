@@ -241,13 +241,21 @@ def main() -> int:
             t.forward_state = jax.tree.map(jnp.copy, fstate)
             t.init_pigan()
             t0 = time.perf_counter()
+            # the QUALITY recipe (seed_search.py / RESULTS "Seed-search"):
+            # detach_forward=False lets the physics-recon gradients reach G
+            # through the frozen F — worth ~+0.05 param R2 over the parity
+            # quirk default; applied to EVERY arm so the comparison is fair
+            settings = dc.replace(
+                StepSettings.from_config(cfg), detach_forward=False
+            )
             override = dict(
                 lr_g=base_cfg.train.lr_g * s,
                 lr_d=base_cfg.train.lr_d * s,
                 schedule_g="warmup_cosine" if warm else "cosine",
                 schedule_d="warmup_cosine" if warm else "step",
             ) if (s != 1.0 or warm) else {}
-            t.train_pigan(epochs=epochs_scaled, log_every=10**9, **override)
+            t.train_pigan(epochs=epochs_scaled, log_every=10**9,
+                          settings=settings, **override)
             wall = round(time.perf_counter() - t0, 1)
             ev = t.evaluate()
             r2 = float(ev["pigan_evaluation"]["parameter_prediction"]["r2"])
