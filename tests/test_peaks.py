@@ -259,3 +259,41 @@ def test_degenerate_spectra_score_invalid_for_screening():
     assert np.all(np.asarray(scores) == -np.inf)
     scores2 = _score(metrics, "FoM1+FoM2")
     assert np.all(np.asarray(scores2) == -np.inf)
+
+
+def test_pallas_batch_matches_dense_oracle():
+    """The Pallas batch path (interpret mode here; the TPU production
+    route for screening-scale batches) must agree with the per-spectrum
+    XLA lattice on qualification, and on prominence/width AT PEAKS
+    (non-peak rows are don't-care by contract).  Exercises N padding to
+    the 128-lane multiple and B padding to the tile."""
+    from pigan_thz_tpu.ops.peaks import batched_dip_qualification
+
+    rng = np.random.default_rng(99)
+    for n in (250, 199, 64):
+        rows = []
+        for trial in range(11):        # 11: forces batch padding (tile=8)
+            if trial % 3 == 0:
+                t = np.minimum(np.cumsum(rng.normal(0, 0.8, n)), 0)
+            elif trial % 3 == 1:
+                t = np.round(np.minimum(rng.normal(-2, 1.5, n), 0) * 2) / 2
+            else:
+                t = np.minimum(rng.normal(-1.0, 0.6, n), 0)
+            rows.append(t)
+        batch = jnp.asarray(np.stack(rows), jnp.float32)
+        a = batched_dip_qualification(batch, interpret=True)
+        b = jax.vmap(dip_qualification)(batch)
+        np.testing.assert_array_equal(
+            np.asarray(a.qualified), np.asarray(b.qualified)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.is_peak), np.asarray(b.is_peak)
+        )
+        pk = np.asarray(b.is_peak)
+        np.testing.assert_allclose(
+            np.asarray(a.prominence)[pk], np.asarray(b.prominence)[pk],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.width)[pk], np.asarray(b.width)[pk], rtol=1e-5
+        )
