@@ -106,7 +106,7 @@ def test_legacy_plain_checkpoint_restores(cfg, small_ds, tmp_path):
     step, state, meta = mgr.restore_with_meta(t.forward_state)
     mgr.close()
     assert step == 3
-    assert meta == {"epoch": 3, "history": {}, "config": None}
+    assert meta == {"epoch": 3, "history": {}, "config": None, "extra": {}}
     _trees_equal(state.f.params, t.forward_state.f.params)
     _trees_equal(state.opt, t.forward_state.opt)
 
