@@ -1461,17 +1461,18 @@ def test_megakernel_emergency_settings(cfg):
 
 
 @pytest.mark.slow
-def test_megakernel_optimizer_override_parity(cfg):
-    """Per-phase lr/schedule override (emergency lr_d=5e-5 pattern):
-    Trainer(megakernel='force') with overrides matches the XLA trainer
-    with identical overrides."""
+@pytest.mark.parametrize("sched_kind", ["linear", "warmup_cosine"])
+def test_megakernel_optimizer_override_parity(cfg, sched_kind):
+    """Per-phase lr/schedule override (emergency lr_d=5e-5 pattern; the
+    round-5 scaled-batch warmup_cosine): Trainer(megakernel='force') with
+    overrides matches the XLA trainer with identical overrides."""
     from pigan_thz_tpu.data import synthetic_dataset as synth
     from pigan_thz_tpu.train import Trainer
 
     c = cfg.replace(data=dataclasses.replace(cfg.data, num_samples=128))
     ds = synth(c.data)
     kw = dict(epochs=2, log_every=10**9, lr_d=5e-5, lr_g=1e-4,
-              schedule_g="linear")
+              schedule_g=sched_kind, schedule_d=sched_kind)
     t_p = Trainer(c, ds=ds, epochs_per_call=2, megakernel="force")
     t_p.init_pigan()
     t_p.train_pigan(**kw)
