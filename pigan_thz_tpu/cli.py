@@ -151,12 +151,18 @@ def cmd_convert_cst(args) -> int:
 
     def _kv(items, cast):
         out = {}
+        flag = "--default" if cast is float else "--param-map"
         for it in items or []:
-            k, _, v = it.partition("=")
-            if not _:
-                raise SystemExit(f"--{'default' if cast is float else 'param-map'} "
-                                 f"expects key=value, got {it!r}")
-            out[k.strip()] = cast(v.strip())
+            k, sep, v = it.partition("=")
+            if not sep:
+                raise SystemExit(f"{flag} expects key=value, got {it!r}")
+            try:
+                out[k.strip()] = cast(v.strip())
+            except ValueError:
+                raise SystemExit(
+                    f"{flag} {it!r}: {v.strip()!r} is not a valid "
+                    f"{cast.__name__}"
+                )
         return out
 
     n = convert_cst_export(

@@ -34,6 +34,15 @@ screening pipeline (BASELINE.json config #5).  Golden-tested for exact dip
 selection agreement against real `scipy.signal.find_peaks` on adversarial
 spectra classes (noisy baselines near threshold, monotone roll-off tails,
 endpoint dips, plateau bottoms) in tests/test_peaks.py.
+
+Known precision boundary: this module computes in float32 (the TPU compute
+dtype) while scipy computes in float64, so a dip whose TRUE prominence or
+width sits within float32 rounding (~1e-7 relative) of the filter
+threshold can be qualified differently — e.g. a plateau dip of exact
+width 1 + 4e-16 samples qualifies in scipy but rounds to 0.99999976 here.
+Index selection is exact everywhere else (fuzzed, including a quantized-
+spectra class that generates such knife-edge cases); the boundary cases
+are physically meaningless (a width measured to the last ulp of a sample).
 """
 
 from __future__ import annotations
@@ -178,6 +187,116 @@ def _interp_width(x, n, height, jl, jr, take=lambda a, k: a[k]):
     return right_ip - left_ip
 
 
+def _dip_qualification_lifted(
+    t: jax.Array,
+    min_prominence: float = 1.0,
+    min_width: float = 1.0,
+) -> DipQualification:
+    """Same semantics as `dip_qualification`, O(N log N) via sparse tables.
+
+    Every per-index query (nearest neighbour satisfying a comparison
+    against a per-query threshold; range-min over the prominence window)
+    is answered in O(log N) branchless binary-descent steps against
+    max/min tables over dyadic blocks.  This is the CPU batch path:
+    ~16x the dense lattice on CPU — but 8x SLOWER on TPU, where
+    the per-level `take_along_axis` walks lower to hardware-hostile
+    gathers (measured; RESULTS.md "Pallas peaks kernel") — so
+    `batched_dip_qualification` routes TPU to the Pallas lattice kernel
+    and everything else here.  Cross-checked against the dense form in
+    the fuzz tests."""
+    x = -t
+    n = x.shape[0]
+    iota = jnp.arange(n)
+    K = max(1, (n - 1).bit_length())     # 2^K >= n
+    pad = 1 << K
+
+    # sparse tables over the padded signal: level k holds the max / min of
+    # [j, j+2^k); sentinels (-inf / +inf) make out-of-range samples
+    # non-qualifying for every predicate used below.  (jnp.roll wraps, but
+    # blocks starting inside the real signal never reach the wrapped
+    # region, and blocks starting in the sentinel run only ever delay a
+    # walk that is already out of range.)
+    xp_max = jnp.concatenate([x, jnp.full((pad,), -jnp.inf, x.dtype)])
+    xp_min = jnp.concatenate([x, jnp.full((pad,), jnp.inf, x.dtype)])
+    maxt = [xp_max]
+    mint = [xp_min]
+    for k in range(1, K + 1):
+        h = 1 << (k - 1)
+        maxt.append(jnp.maximum(maxt[-1], jnp.roll(maxt[-1], -h)))
+        mint.append(jnp.minimum(mint[-1], jnp.roll(mint[-1], -h)))
+
+    def nearest_left(tabs, thr, has):
+        """Largest j < i with has(x[j], thr[i]); -1 if none.
+
+        Branchless binary descent: greedily extend the non-qualifying
+        suffix [hi, i) by dyadic blocks, largest first — the accepted
+        block sizes are exactly the binary digits of the suffix length."""
+        hi = iota
+        for k in range(K - 1, -1, -1):
+            cand = hi - (1 << k)
+            agg = tabs[k][jnp.clip(cand, 0, None)]
+            skip = (cand >= 0) & ~has(agg, thr)
+            hi = jnp.where(skip, cand, hi)
+        return hi - 1
+
+    def nearest_right(tabs, thr, has):
+        """Smallest j > i with has(x[j], thr[i]); n if none."""
+        lo = iota + 1
+        for k in range(K - 1, -1, -1):
+            agg = tabs[k][lo]      # block [lo, lo + 2^k); padding in range
+            skip = ~has(agg, thr)
+            lo = jnp.where(skip, lo + (1 << k), lo)
+        return jnp.minimum(lo, n)
+
+    gt = lambda agg, thr: agg > thr    # tabs=maxt: block max > thr
+    lt = lambda agg, thr: agg < thr    # tabs=mint: block min < thr
+    le = lambda agg, thr: agg <= thr   # tabs=mint: block min <= thr
+
+    # --- plateau-aware local maxima (scipy _local_maxima_1d) ---
+    lgt = nearest_left(maxt, x, gt)      # last strictly-higher left
+    llt = nearest_left(mint, x, lt)      # last strictly-lower left
+    rgt = nearest_right(maxt, x, gt)     # first strictly-higher right
+    rlt = nearest_right(mint, x, lt)     # first strictly-lower right
+    ld = jnp.maximum(lgt, llt)           # nearest differing left
+    rd = jnp.minimum(rgt, rlt)           # nearest differing right
+    # the closer differing neighbour is lower iff the lower one is nearer
+    left_lower = llt > lgt
+    right_lower = rlt < rgt
+    run_is_peak = (ld >= 0) & left_lower & (rd <= n - 1) & right_lower
+    midpoint = (ld + rd) // 2            # plateau midpoint
+    is_peak = run_is_peak & (iota == midpoint)
+
+    # --- prominence: range-min over the walk windows (lg, i] and [i, rg) ---
+    def range_min(l, r):
+        """min x over [l, r] inclusive (l <= r) — two overlapping blocks."""
+        length = r - l + 1
+        kq = jnp.zeros_like(length)
+        for k in range(1, K + 1):
+            kq = jnp.where(length >= (1 << k), k, kq)
+        stacked = jnp.stack(mint)                      # (K+1, n+pad)
+        left_block = stacked[kq, l]
+        right_block = stacked[kq, jnp.clip(r - (1 << kq) + 1, 0, None)]
+        return jnp.minimum(left_block, right_block)
+
+    left_min = range_min(jnp.clip(lgt + 1, 0, None), iota)
+    right_min = range_min(iota, jnp.clip(rgt - 1, None, n - 1))
+    prominence = x - jnp.maximum(left_min, right_min)
+
+    # --- width at rel_height=0.5: nearest at-or-below the eval height ---
+    # (unbounded search ≡ scipy's base-bounded walk for true peaks:
+    # x[base] <= x[peak] - prominence < height, so a qualifying sample
+    # exists strictly inside the prominence window)
+    height = x - 0.5 * prominence
+    jl = nearest_left(mint, height, le)
+    jr = nearest_right(mint, height, le)
+    width = _interp_width(x, n, height, jl, jr)
+
+    qualified = is_peak & (prominence >= min_prominence) & (width >= min_width)
+    return DipQualification(
+        qualified=qualified, is_peak=is_peak, prominence=prominence, width=width
+    )
+
+
 def batched_dip_qualification(
     spectra: jax.Array,
     min_prominence: float = 1.0,
@@ -202,8 +321,10 @@ def batched_dip_qualification(
     if use_pallas is None:
         use_pallas = interpret or jax.default_backend() == "tpu"
     if not use_pallas:
+        # CPU/GPU: the sparse-table form — ~16x the dense lattice on CPU
+        # (dense measured 1.6 s per 1024 spectra there)
         return jax.vmap(
-            lambda t: dip_qualification(t, min_prominence, min_width)
+            lambda t: _dip_qualification_lifted(t, min_prominence, min_width)
         )(spectra)
 
     from jax.experimental import pallas as pl

@@ -527,7 +527,7 @@ class Trainer:
             print(f"[trainer] {msg}", file=sys.stderr)
 
     def _progress(self, what: str, t_start: float, done_epochs: int,
-                  total_epochs: int) -> None:
+                  total_epochs: int, program_key=None) -> None:
         """Per-chunk steps/s + ETA line — the chunked-jit counterpart of the
         reference's in-epoch progress bar with ETA (train_pigan.py:205-233;
         an in-epoch bar is meaningless when 25 epochs run per jit call).
@@ -547,10 +547,12 @@ class Trainer:
         else:  # first chunk of this run
             self._progress_anchors[what] = (time.time(), done_epochs)
             rate = done_epochs * self.steps_per_epoch / dt
-            # a later train() call in the same session reuses the warm
-            # jitted program — only the first chunk per kind pays compile
-            note = " (incl. compile)" if what not in self._progress_warm else ""
-            self._progress_warm.add(what)
+            # a later train() call reusing the SAME jitted program is warm
+            # — but a new lr/schedule/settings combo compiles fresh, so
+            # the warm set keys on the program identity, not the kind
+            warm_key = (what, program_key)
+            note = " (incl. compile)" if warm_key not in self._progress_warm else ""
+            self._progress_warm.add(warm_key)
         left = (total_epochs - done_epochs) * self.steps_per_epoch / rate
         eta = f"{int(left // 60)}:{int(left % 60):02d}"
         self._log(
@@ -647,6 +649,29 @@ class Trainer:
         if multi_epoch is None:
             multi_epoch = _xla_epoch_fn()
 
+        if (
+            plateau is not None
+            and checkpoint_manager is not None
+            and math.isinf(plateau.best)
+            and plateau.num_bad_epochs == 0
+        ):
+            # kill/resume: a PRISTINE controller paired with a manager that
+            # has saved plateau state resumes from it — otherwise the
+            # restart silently forgets the reductions and retrains at the
+            # pre-plateau LR.  A caller-warmed controller is left alone.
+            latest = checkpoint_manager.latest_epoch()
+            if latest is not None:
+                _, _, meta = checkpoint_manager.restore_with_meta(
+                    self.forward_state, latest
+                )
+                saved = (meta or {}).get("extra", {}).get("plateau")
+                if saved:
+                    plateau.load_state_dict(saved)
+                    self._log(
+                        f"[forward] plateau controller resumed from "
+                        f"checkpoint {latest} (scale {plateau.scale:g})"
+                    )
+
         best_loss, best_state, bad_epochs = float("inf"), None, 0
         key = jax.random.PRNGKey(cfg.train.seed + 1000 + seed)
         epoch = 0
@@ -731,7 +756,11 @@ class Trainer:
                     ),
                 )
             epoch += chunk
-            self._progress("forward", t_start, epoch, epochs)
+            self._progress(
+                "forward", t_start, epoch, epochs,
+                program_key=(settings, lr,
+                             epochs if lr is not None else None, schedule),
+            )
         if keep_best and best_state is not None:
             self.forward_state = best_state
         return self.train_history
@@ -934,7 +963,8 @@ class Trainer:
                     history=self.train_history, config=self.cfg,
                 )
             epoch += chunk
-            self._progress("pigan", t0, epoch, epochs)
+            self._progress("pigan", t0, epoch, epochs,
+                           program_key=(settings, override_key))
         if snapshot_metric is not None and best_state is not None:
             self.pigan_state = best_state
             self._log(f"[pigan] restored best snapshot ({snapshot_metric}={best_val:.4f})")

@@ -83,6 +83,10 @@ class RunLogger:
         for k, v in scalars.items():
             self.add_scalar(f"{prefix}{k}", v, step)
         self._scalars.flush()
+        if self._tb is not None:
+            # killed runs are this repo's normal failure mode — keep the
+            # tfevents stream current, not buffered until close()
+            self._tb.flush()
 
     def close(self) -> None:
         self._scalars.close()

@@ -147,27 +147,42 @@ class TfEventsWriter:
                 self._fh.close()
 
 
-def read_scalar_events(path: str):
+def read_scalar_events(path: str, strict: bool = False):
     """Decode (tag, value, step) scalar tuples from a tfevents file.
 
     Test/debug utility (a minimal TFRecord+proto reader, the writer's
-    inverse); skips the file_version record and non-scalar events."""
+    inverse); skips the file_version record and non-scalar events.
+
+    A killed writer can leave a HALF-WRITTEN final record — exactly the
+    files the kill-on-timeout supervisors produce — so by default a
+    truncated or crc-corrupt tail ends the stream gracefully (every
+    complete record before it is returned), matching TensorBoard's own
+    reader behaviour.  ``strict=True`` raises instead."""
     out = []
     with open(path, "rb") as fh:
         data = fh.read()
     off = 0
     while off + 12 <= len(data):
         (length,) = struct.unpack_from("<Q", data, off)
+        end = off + 12 + length + 4
+        if end > len(data):
+            if strict:
+                raise ValueError(f"truncated record at offset {off}")
+            break
         payload = data[off + 12: off + 12 + length]
         expect = struct.unpack_from("<I", data, off + 8)[0]
         if _masked_crc(data[off: off + 8]) != expect:
-            raise ValueError(f"corrupt length crc at offset {off}")
+            if strict:
+                raise ValueError(f"corrupt length crc at offset {off}")
+            break
         if _masked_crc(payload) != struct.unpack_from(
             "<I", data, off + 12 + length
         )[0]:
-            raise ValueError(f"corrupt payload crc at offset {off}")
+            if strict:
+                raise ValueError(f"corrupt payload crc at offset {off}")
+            break
         out.extend(_decode_event(payload))
-        off += 12 + length + 4
+        off = end
     return out
 
 

@@ -297,3 +297,56 @@ def test_pallas_batch_matches_dense_oracle():
         np.testing.assert_allclose(
             np.asarray(a.width)[pk], np.asarray(b.width)[pk], rtol=1e-5
         )
+
+
+def test_quantized_spectra_parity_modulo_threshold_ulps():
+    """Quantized spectra (rounded real exports) generate knife-edge dips
+    whose fp64 width/prominence sits exactly ON the filter threshold
+    (e.g. width 1 + 4e-16).  fp32 cannot decide those; every OTHER dip
+    must still agree exactly with scipy (review r5: the earlier 'exact'
+    claim hid this class because the fixed fuzz seeds missed it)."""
+    from scipy.signal import peak_prominences, peak_widths
+
+    rng = np.random.default_rng(7)
+    checked = disagreements = 0
+    for trial in range(400):
+        t = np.minimum(rng.normal(-2, 1.5, 250), 0)
+        t = (np.round(t * 2) / 2).astype(np.float32)     # 0.5-dB quantized
+        x64 = -t.astype(np.float64)
+        sp, _ = find_peaks(x64, prominence=1.0, width=1)
+        ours = set(np.flatnonzero(
+            np.asarray(dip_qualification(jnp.asarray(t)).qualified)
+        ).tolist())
+        # all local maxima with their fp64 measures, to classify diffs
+        from scipy.signal import argrelextrema  # noqa: F401 (doc only)
+        for idx in set(sp.tolist()) ^ ours:
+            prom = peak_prominences(x64, [idx])
+            w = peak_widths(x64, [idx], rel_height=0.5,
+                            prominence_data=prom)[0][0]
+            near_thr = (
+                abs(prom[0][0] - 1.0) < 1e-5 or abs(w - 1.0) < 1e-5
+            )
+            assert near_thr, (
+                f"trial {trial}: dip {idx} disagrees with scipy but its "
+                f"fp64 prominence {prom[0][0]} / width {w} is NOT at a "
+                "filter threshold — that would be a semantics bug, not "
+                "fp32 rounding"
+            )
+            disagreements += 1
+        checked += 1
+    assert checked == 400
+
+    # deterministic knife-edge instance (review r5 repro): the dip at
+    # index 4 has fp64 width EXACTLY 1.0 — scipy qualifies it, fp32
+    # rounds the interpolation to 0.99999976 and drops it.  Pin that the
+    # divergence class exists and is confined to the threshold boundary.
+    t = np.array([-5, -2.5, 0, 0, -3, -1.5, -1, -5] + [0] * 242, np.float32)
+    x64 = -t.astype(np.float64)
+    sp = set(_scipy_dips(t).tolist())
+    ours = set(np.flatnonzero(
+        np.asarray(dip_qualification(jnp.asarray(t)).qualified)
+    ).tolist())
+    assert sp - ours == {4} and ours <= sp
+    w4 = peak_widths(x64, [4], rel_height=0.5,
+                     prominence_data=peak_prominences(x64, [4]))[0][0]
+    assert abs(w4 - 1.0) < 1e-9      # exactly at the width threshold

@@ -105,3 +105,34 @@ def test_writer_handles_nonfinite_and_unicode(tmp_path):
     events = read_scalar_events(w.path)
     assert events[0] == ("λ/loss", float("inf"), 0)
     assert events[1][0] == "λ/loss" and math.isnan(events[1][1])
+
+
+def test_truncated_tail_reads_gracefully(tmp_path):
+    """Killed writers leave half-written final records — the reader must
+    return every complete record and stop, not raise (strict=True keeps
+    the raising behaviour)."""
+    w = TfEventsWriter(str(tmp_path))
+    w.add_scalar("a", 1.0, 1)
+    w.add_scalar("b", 2.0, 2)
+    w.close()
+    data = open(w.path, "rb").read()
+    for cut in (7, 20):
+        trunc = str(tmp_path / f"trunc{cut}")
+        with open(trunc, "wb") as fh:
+            fh.write(data[:-cut])
+        events = read_scalar_events(trunc)
+        assert ("a", 1.0, 1) in events          # complete records survive
+        with pytest.raises(ValueError):
+            read_scalar_events(trunc, strict=True)
+
+
+def test_runlogger_flushes_tb_per_add_scalars(tmp_path):
+    from pigan_thz_tpu.utils.logging import RunLogger
+
+    lg = RunLogger(str(tmp_path), name="t", stdout=False)
+    lg.add_scalars({"loss": 0.5}, step=1)
+    # file readable BEFORE close (the kill scenario)
+    import glob, os
+    f = glob.glob(os.path.join(lg.run_dir, "tb", "events.out.tfevents.*"))[0]
+    assert ("loss", 0.5, 1) in read_scalar_events(f)
+    lg.close()

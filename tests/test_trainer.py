@@ -349,3 +349,49 @@ def test_plateau_state_rides_checkpoint(tmp_path, cfg, small_ds):
                               threshold_mode="abs")
     fresh.load_state_dict(meta["extra"]["plateau"])
     assert fresh.scale <= 1.0
+
+
+def test_plateau_resumes_from_checkpoint_after_kill(tmp_path, cfg, small_ds):
+    """Kill/resume: a FRESH Trainer + pristine controller + the same
+    checkpoint dir must resume the reduced LR scale instead of silently
+    restarting at the pre-plateau LR (review r5)."""
+    from pigan_thz_tpu.train import checkpoint as ckpt
+    from pigan_thz_tpu.train.schedules import ReduceLROnPlateau
+
+    t = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    ctl = ReduceLROnPlateau(factor=0.5, patience=0, threshold=10.0,
+                            threshold_mode="abs")
+    mgr = ckpt.CheckpointManager(str(tmp_path), save_interval=2)
+    t.pretrain_forward(epochs=4, lr=1e-3, schedule="constant", plateau=ctl,
+                       checkpoint_manager=mgr)
+    mgr._mgr.wait_until_finished()
+    assert ctl.scale < 1.0
+    # "kill": fresh Trainer session; realistic resume = restore state +
+    # history from the manager (the full_pipeline chunk-resume pattern),
+    # then continue with a PRISTINE controller — the auto-restore must
+    # pick the saved plateau state up
+    t2 = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    t2.pretrain_forward(epochs=0, lr=1e-3, schedule="constant")  # init only
+    mgr2 = ckpt.CheckpointManager(str(tmp_path), save_interval=2)
+    step, state, meta = mgr2.restore_with_meta(t2.forward_state)
+    t2.forward_state = state
+    t2.train_history = dict(meta["history"])
+    ctl2 = ReduceLROnPlateau(factor=0.5, patience=0, threshold=10.0,
+                             threshold_mode="abs")
+    t2.pretrain_forward(epochs=2, lr=1e-3, schedule="constant", plateau=ctl2,
+                        checkpoint_manager=mgr2)
+    scales = t2.train_history["forward/lr_scale"][step:]
+    assert scales[0] < 1.0          # resumed scale applied from chunk 0
+    mgr2._mgr.wait_until_finished()
+    # a caller-warmed controller is NOT overwritten by the auto-restore
+    ctl3 = ReduceLROnPlateau(factor=0.5, patience=0)
+    ctl3.step(0.123)                # observed something -> not pristine
+    t3 = Trainer(cfg, ds=small_ds, epochs_per_call=2, megakernel="off")
+    t3.pretrain_forward(epochs=0, lr=1e-3, schedule="constant")
+    mgr3 = ckpt.CheckpointManager(str(tmp_path), save_interval=2)
+    _, state3, meta3 = mgr3.restore_with_meta(t3.forward_state)
+    t3.forward_state = state3
+    t3.train_history = dict(meta3["history"])
+    t3.pretrain_forward(epochs=2, lr=1e-3, schedule="constant", plateau=ctl3,
+                        checkpoint_manager=mgr3)
+    assert ctl3.best == pytest.approx(0.123)
