@@ -511,7 +511,7 @@ def cmd_screen(args) -> int:
     sc = ScreeningConfig(
         num_candidates=args.candidates, top_k=args.top_k,
         objective=args.objective, chunk_size=args.chunk_size,
-        use_pallas=args.pallas,
+        use_pallas=args.pallas, compute_dtype=args.dtype,
     )
     mesh = None
     if args.mesh_data > 1:
@@ -974,6 +974,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--chunk-size", type=int, default=8192)
     g.add_argument("--objective", default="FoM1")
     g.add_argument("--pallas", action="store_true")
+    g.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="surrogate forward-pass dtype; bfloat16 = the "
+                        "serving fast path (rankings may differ near ties)")
     g.add_argument("--mesh-data", type=int, default=1,
                    help="shard candidate batches over N devices")
     g.add_argument("--out", default=None)

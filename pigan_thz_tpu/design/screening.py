@@ -58,6 +58,14 @@ class ScreeningConfig:
     # a numerics-verified option, not a speedup (RESULTS.md "Serving
     # measurements"); the XLA default stands.
     use_pallas: bool = False
+    # "bfloat16" runs the surrogate forward pass in bf16 (weights + input
+    # cast once; predictions back in fp32 for the peak analysis) — the
+    # serving fast path's dtype.  Measured end-to-end on v5e-1: 19.9 s vs
+    # 20.3 s per 1e6 (the chunk is dominated by the Pallas peak analysis,
+    # so unlike serving's 2.06x this is a ~2% trim); rankings can differ
+    # near score ties (top FoM1 moved 1.4e-4 relative in the measured
+    # run).  fp32 default keeps exact-rank parity.
+    compute_dtype: str = "float32"
 
 
 def _score(metrics: jax.Array, objective: str) -> jax.Array:
@@ -90,6 +98,18 @@ def screen_designs(
     top-k reduction crossing chips (BASELINE config #5)."""
     n_chunks = -(-cfg.num_candidates // cfg.chunk_size)
     spectrum_dim = frequencies.shape[0]
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"compute_dtype {cfg.compute_dtype!r}: use float32 | bfloat16"
+        )
+    if cfg.compute_dtype == "bfloat16":
+        if cfg.use_pallas:
+            raise ValueError("use_pallas supports float32 only")
+        f_variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            f_variables,
+        )
     batch_constraint = None
     if mesh is not None and cfg.use_pallas:
         raise ValueError(
@@ -122,8 +142,12 @@ def screen_designs(
                     f_variables, params_norm, spectrum_dim=spectrum_dim
                 )
             else:
-                out = forward_model.apply(f_variables, params_norm, train=False)
-                pred_spec = out[0]
+                x = (
+                    params_norm.astype(jnp.bfloat16)
+                    if cfg.compute_dtype == "bfloat16" else params_norm
+                )
+                out = forward_model.apply(f_variables, x, train=False)
+                pred_spec = out[0].astype(jnp.float32)
             metrics = batched_peak_metrics(
                 frequencies, pred_spec, min_prominence=cfg.min_prominence
             )

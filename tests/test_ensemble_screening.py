@@ -209,3 +209,40 @@ def test_screening_masks_ceil_divide_padding(trio, small_ds):
     np.testing.assert_array_equal(
         np.asarray(res.scores)[:n], np.asarray(res2.scores)[:n]
     )
+
+
+def test_screening_bf16_surrogate(trio, small_ds):
+    """compute_dtype='bfloat16' (the serving fast path's dtype) screens to
+    a valid, sorted top-k whose scores approximate the fp32 run's; the
+    pallas+bf16 combination refuses."""
+    g, d, f, g_tx, d_tx, _ = trio
+    fv = f.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 4)), train=False,
+    )
+    kw = dict(num_candidates=2048, chunk_size=1024, top_k=8, objective="FoM1")
+    res32 = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(3), ScreeningConfig(**kw),
+    )
+    res16 = screen_designs(
+        f, fv, small_ds.frequencies, small_ds.param_lo, small_ds.param_hi,
+        jax.random.PRNGKey(3), ScreeningConfig(compute_dtype="bfloat16", **kw),
+    )
+    s32, s16 = np.asarray(res32.scores), np.asarray(res16.scores)
+    assert all(s16[i] >= s16[i + 1] for i in range(len(s16) - 1))
+    finite = np.isfinite(s32) & np.isfinite(s16)
+    if finite.any():
+        np.testing.assert_allclose(s16[finite], s32[finite], rtol=0.1)
+    with pytest.raises(ValueError, match="float32 only"):
+        screen_designs(
+            f, fv, small_ds.frequencies, small_ds.param_lo,
+            small_ds.param_hi, jax.random.PRNGKey(3),
+            ScreeningConfig(compute_dtype="bfloat16", use_pallas=True, **kw),
+        )
+    with pytest.raises(ValueError, match="compute_dtype"):
+        screen_designs(
+            f, fv, small_ds.frequencies, small_ds.param_lo,
+            small_ds.param_hi, jax.random.PRNGKey(3),
+            ScreeningConfig(compute_dtype="float16", **kw),
+        )
