@@ -132,20 +132,26 @@ def dip_qualification(
     xj = x[None, :]
 
     # --- plateau-aware local maxima (scipy _local_maxima_1d) ---
-    neq = xj != xi
-    ld = jnp.max(jnp.where(neq & (j < i), j, -1), axis=1)    # nearest differing left
-    rd = jnp.min(jnp.where(neq & (j > i), j, n), axis=1)     # nearest differing right
+    # nearest differing neighbour = the closer of (nearest strictly
+    # higher, nearest strictly lower); it is LOWER iff the lower one is
+    # the nearer — which removes the x[ld]/x[rd] gathers entirely (two
+    # fewer lattice passes; Mosaic also has no vector gather)
     take = _vtake if _mosaic_safe else (lambda a, k: a[k])
-    x_ld = take(x, jnp.clip(ld, 0, n - 1))
-    x_rd = take(x, jnp.clip(rd, 0, n - 1))
-    run_is_peak = (ld >= 0) & (x_ld < x) & (rd <= n - 1) & (x_rd < x)
+    greater = xj > xi
+    lower = xj < xi
+    left = j < i
+    right = j > i
+    lg = jnp.max(jnp.where(greater & left, j, -1), axis=1)   # last strictly-higher left
+    rg = jnp.min(jnp.where(greater & right, j, n), axis=1)   # first strictly-higher right
+    llt = jnp.max(jnp.where(lower & left, j, -1), axis=1)    # last strictly-lower left
+    rlt = jnp.min(jnp.where(lower & right, j, n), axis=1)    # first strictly-lower right
+    ld = jnp.maximum(lg, llt)                                # nearest differing left
+    rd = jnp.minimum(rg, rlt)                                # nearest differing right
+    run_is_peak = (ld >= 0) & (llt > lg) & (rd <= n - 1) & (rlt < rg)
     midpoint = (ld + rd) // 2    # ((ld+1) + (rd-1)) // 2 — plateau midpoint
     is_peak = run_is_peak & (iota == midpoint)
 
     # --- topographic prominence (scipy _peak_prominences, wlen=None) ---
-    greater = xj > xi
-    lg = jnp.max(jnp.where(greater & (j < i), j, -1), axis=1)   # last strictly-higher left
-    rg = jnp.min(jnp.where(greater & (j > i), j, n), axis=1)    # first strictly-higher right
     lwin = (j > lg[:, None]) & (j <= i)      # (lg, i]
     rwin = (j >= i) & (j < rg[:, None])      # [i, rg)
     left_min = jnp.min(jnp.where(lwin, xj, jnp.inf), axis=1)
