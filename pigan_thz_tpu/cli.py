@@ -63,6 +63,11 @@ def _make_cfg(args) -> PiGanConfig:
         from .config_presets import apply_optimization_config
 
         cfg = apply_optimization_config(cfg)
+    elif getattr(args, "preset", None) == "scaled":
+        # the round-5 large-batch recipe (RESULTS.md "Scaled-batch mode")
+        from .config_presets import apply_scaled_batch_config
+
+        cfg = apply_scaled_batch_config(cfg)
     if args.seed is not None:
         cfg = apply_overrides(cfg, [f"train.seed={args.seed}", f"data.seed={args.seed}"])
     cfg = apply_overrides(cfg, args.set)
@@ -244,6 +249,11 @@ def cmd_train(args) -> int:
         settings = _dc.replace(
             step_settings_from_optimized_config(cfg), ema_decay=args.ema_decay
         )
+    elif args.preset == "scaled":
+        # recipe's detach_forward=False comes from the preset overlay (the
+        # through-F gradient is what makes the LR-scaled batch converge —
+        # RESULTS.md); --fixed-physics must not silently re-detach it
+        settings = StepSettings.from_config(cfg, ema_decay=args.ema_decay)
     else:
         settings = StepSettings.from_config(
             cfg, detach_forward=not args.fixed_physics,
@@ -276,8 +286,19 @@ def cmd_train(args) -> int:
             # state type (ForwardState and PiGanState have different trees)
             trainer.pretrain_forward(epochs=args.forward_epochs)
         trainer.init_pigan()
+        gan_kw = {}
+        if args.preset == "scaled":
+            # the recipe's warmup schedule rides as a per-phase optimizer
+            # override (the preset overlay already set batch/lr/detach)
+            from .config_presets import SCALED_BATCH_SCHEDULE
+
+            gan_kw = dict(
+                lr_g=cfg.train.lr_g, lr_d=cfg.train.lr_d,
+                schedule_g=SCALED_BATCH_SCHEDULE,
+                schedule_d=SCALED_BATCH_SCHEDULE,
+            )
         trainer.train_pigan(epochs=args.epochs, settings=settings,
-                            checkpoint_manager=mgr)
+                            checkpoint_manager=mgr, **gan_kw)
         trainer.save_final(out, backup_tag=args.backup_tag)
         logger.info(f"saved final models under {out}")
         if holdout_ds is not None:
@@ -922,7 +943,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--holdout-seed", type=int, default=9,
                    help="split shuffle seed; reuse at evaluate time to "
                         "reproduce the identical split")
-    g.add_argument("--preset", default=None, choices=["optimized"],
+    g.add_argument("--preset", default=None, choices=["optimized", "scaled"],
                    help="apply the reference OptimizedTrainer overlay "
                         "(config_presets.py: residual G, dual-encoder D, "
                         "overlay LRs/loss mix); --set still overrides")

@@ -278,3 +278,34 @@ def step_settings_from_optimization(opt: Dict[str, Any] | None = None):
         label_real=1.0 - opt["discriminator"]["label_smoothing"],
         label_fake=opt["discriminator"]["label_smoothing"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Scaled-batch recipe (round 5 — no reference counterpart)
+# ---------------------------------------------------------------------------
+
+# The hardware-measured large-batch recipe (RESULTS.md "Scaled-batch mode",
+# examples/scaled_batch_probe.py): batch 512 at lr x2 with a 5% linear
+# warmup into the standard cosine/step decay, physics gradients THROUGH the
+# frozen F.  At an equal total sample budget this holds param R2 >= 0.9835
+# (control 0.9941) while lifting single-chip MFU from 13.8% to 45%.
+# Batch 128-256 with the same recipe stays within ~0.004 R2 of control.
+SCALED_BATCH_RECIPE: Dict[str, Any] = {
+    "train.batch_size": 512,
+    "train.lr_g": 4e-4,            # 2e-4 x (the measured-safe x2)
+    "train.lr_d": 4e-4,
+    "train.detach_forward": False,  # required: detach caps large batches ~0.7
+}
+SCALED_BATCH_SCHEDULE = "warmup_cosine"   # both optimizers
+
+
+def apply_scaled_batch_config(cfg: PiGanConfig) -> PiGanConfig:
+    """Overlay the scaled-batch recipe onto a config (CLI `--preset
+    scaled`; `--set` overrides applied after still win).  The warmup
+    schedule itself is a per-phase optimizer override — the CLI passes
+    `schedule_g/d=SCALED_BATCH_SCHEDULE` into train_pigan."""
+    from .config import apply_overrides
+
+    return apply_overrides(
+        cfg, [f"{k}={v}" for k, v in SCALED_BATCH_RECIPE.items()]
+    )

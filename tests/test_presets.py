@@ -81,3 +81,29 @@ def test_optimized_settings_cfg_routed():
     tweaked = apply_overrides(cfg, ["loss.recon=50", "loss.stability=0"])
     st = step_settings_from_optimized_config(tweaked)
     assert st.recon_w == 50.0 and st.stability_w == 0.0
+
+
+def test_scaled_batch_preset():
+    """`--preset scaled` overlay (round 5): the measured large-batch
+    recipe — batch 512, lr x2, through-F gradients; --set still wins."""
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.config import apply_overrides
+    from pigan_thz_tpu.config_presets import (
+        SCALED_BATCH_SCHEDULE,
+        apply_scaled_batch_config,
+    )
+    from pigan_thz_tpu.train.schedules import make_schedule
+    from pigan_thz_tpu.train.steps import StepSettings
+
+    cfg = apply_scaled_batch_config(default_config())
+    assert cfg.train.batch_size == 512
+    assert abs(cfg.train.lr_g - 4e-4) < 1e-12
+    assert abs(cfg.train.lr_d - 4e-4) < 1e-12
+    assert cfg.train.detach_forward is False
+    # the recipe's settings inherit through from_config
+    assert StepSettings.from_config(cfg).detach_forward is False
+    # user overrides applied after the overlay win (CLI order)
+    cfg2 = apply_overrides(cfg, ["train.batch_size=256"])
+    assert cfg2.train.batch_size == 256
+    # the schedule name resolves in the shared dispatch (both backends)
+    make_schedule(SCALED_BATCH_SCHEDULE, cfg.train.lr_g, 10, 2)
