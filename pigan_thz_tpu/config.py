@@ -151,7 +151,7 @@ class OptimizerConfig:
     eps: float = 1e-8
     weight_decay: float = 0.0
     grad_clip: float = 1.0
-    schedule: str = "cosine"   # cosine|step|constant|plateau-ish
+    schedule: str = "cosine"   # cosine|step|linear|constant|warmup_cosine
     schedule_alpha: float = 0.01   # cosine floor fraction (train_pigan.py:61)
     step_decay_rate: float = 0.5   # StepLR gamma (train_pigan.py:62)
     step_decay_every_frac: float = 0.25  # StepLR step_size = epochs/4
