@@ -252,7 +252,16 @@ def cmd_train(args) -> int:
     elif args.preset == "scaled":
         # recipe's detach_forward=False comes from the preset overlay (the
         # through-F gradient is what makes the LR-scaled batch converge —
-        # RESULTS.md); --fixed-physics must not silently re-detach it
+        # RESULTS.md); a conflicting --fixed-physics must be LOUD, not
+        # silently dropped
+        if args.fixed_physics:
+            raise SystemExit(
+                "--fixed-physics conflicts with --preset scaled: the recipe "
+                "requires through-F gradients (detached physics caps large "
+                "batches near R2 0.7 — RESULTS.md 'Scaled-batch mode').  "
+                "To force it anyway: --set train.detach_forward=true "
+                "without --fixed-physics."
+            )
         settings = StepSettings.from_config(cfg, ema_decay=args.ema_decay)
     else:
         settings = StepSettings.from_config(
@@ -292,8 +301,9 @@ def cmd_train(args) -> int:
             # override (the preset overlay already set batch/lr/detach)
             from .config_presets import SCALED_BATCH_SCHEDULE
 
+            # schedule-only override: train_pigan defaults the override LRs
+            # from cfg.train.lr_g/lr_d (which the overlay already scaled)
             gan_kw = dict(
-                lr_g=cfg.train.lr_g, lr_d=cfg.train.lr_d,
                 schedule_g=SCALED_BATCH_SCHEDULE,
                 schedule_d=SCALED_BATCH_SCHEDULE,
             )
@@ -507,6 +517,9 @@ def cmd_evaluate(args) -> int:
 
 
 def cmd_screen(args) -> int:
+    if args.pallas and args.dtype == "bfloat16":
+        # fail BEFORE model load / tunnel device init (cmd_export pattern)
+        raise SystemExit("--pallas supports float32 only; drop --dtype")
     cfg = _make_cfg(args)
     cfg = _overlay_saved_model_config(cfg, args)
     import jax
@@ -944,9 +957,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="split shuffle seed; reuse at evaluate time to "
                         "reproduce the identical split")
     g.add_argument("--preset", default=None, choices=["optimized", "scaled"],
-                   help="apply the reference OptimizedTrainer overlay "
+                   help="'optimized': the reference OptimizedTrainer overlay "
                         "(config_presets.py: residual G, dual-encoder D, "
-                        "overlay LRs/loss mix); --set still overrides")
+                        "overlay LRs/loss mix); 'scaled': the measured "
+                        "large-batch recipe (batch 512, lr x2, "
+                        "warmup_cosine, through-F gradients — RESULTS.md "
+                        "'Scaled-batch mode').  --set still overrides")
     g.add_argument("--backup-tag", default=None, metavar="TAG",
                    help="also write versioned backup artifacts "
                         "generator_<TAG>/... next to the finals (reference "

@@ -105,11 +105,10 @@ def screen_designs(
     if cfg.compute_dtype == "bfloat16":
         if cfg.use_pallas:
             raise ValueError("use_pallas supports float32 only")
-        f_variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            f_variables,
-        )
+        # the serving fast path's mechanism (serve.py): flax dtype attrs
+        # cascade from the top-level module — params stay fp32, matmuls
+        # run bf16 on the MXU
+        forward_model = forward_model.clone(dtype=jnp.bfloat16)
     batch_constraint = None
     if mesh is not None and cfg.use_pallas:
         raise ValueError(
@@ -142,11 +141,7 @@ def screen_designs(
                     f_variables, params_norm, spectrum_dim=spectrum_dim
                 )
             else:
-                x = (
-                    params_norm.astype(jnp.bfloat16)
-                    if cfg.compute_dtype == "bfloat16" else params_norm
-                )
-                out = forward_model.apply(f_variables, x, train=False)
+                out = forward_model.apply(f_variables, params_norm, train=False)
                 pred_spec = out[0].astype(jnp.float32)
             metrics = batched_peak_metrics(
                 frequencies, pred_spec, min_prominence=cfg.min_prominence
