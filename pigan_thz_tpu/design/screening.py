@@ -58,13 +58,14 @@ class ScreeningConfig:
     # a numerics-verified option, not a speedup (RESULTS.md "Serving
     # measurements"); the XLA default stands.
     use_pallas: bool = False
-    # "bfloat16" runs the surrogate forward pass in bf16 (weights + input
-    # cast once; predictions back in fp32 for the peak analysis) — the
-    # serving fast path's dtype.  Measured end-to-end on v5e-1: 19.9 s vs
-    # 20.3 s per 1e6 (the chunk is dominated by the Pallas peak analysis,
-    # so unlike serving's 2.06x this is a ~2% trim); rankings can differ
-    # near score ties (top FoM1 moved 1.4e-4 relative in the measured
-    # run).  fp32 default keeps exact-rank parity.
+    # "bfloat16" runs the surrogate forward pass in bf16 (module compute
+    # dtype + variables cast once; predictions back in fp32 for the peak
+    # analysis) — the serving fast path's dtype, offered for parity with
+    # `export --dtype`.  Measured end-to-end on v5e-1: ~NEUTRAL (19.4 s
+    # bf16 vs 18.7 s fp32 per 1e6, same session): unlike serving's 2.06x,
+    # the screening chunk is dominated by the Pallas peak analysis, not
+    # the surrogate matmuls.  Rankings can differ near score ties (top
+    # FoM1 moved ~6e-3 relative).  fp32 default keeps exact-rank parity.
     compute_dtype: str = "float32"
 
 
@@ -105,10 +106,17 @@ def screen_designs(
     if cfg.compute_dtype == "bfloat16":
         if cfg.use_pallas:
             raise ValueError("use_pallas supports float32 only")
-        # the serving fast path's mechanism (serve.py): flax dtype attrs
-        # cascade from the top-level module — params stay fp32, matmuls
-        # run bf16 on the MXU
+        # serve.py's clone(dtype=...) mechanism sets the compute dtype;
+        # screening ALSO pre-casts the variables once, because its apply
+        # sits inside a lax.scan — with fp32 params the fp32->bf16 weight
+        # cast re-runs every chunk iteration (measured +80 ms/chunk,
+        # turning the bf16 mode into a net slowdown)
         forward_model = forward_model.clone(dtype=jnp.bfloat16)
+        f_variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            f_variables,
+        )
     batch_constraint = None
     if mesh is not None and cfg.use_pallas:
         raise ValueError(
