@@ -653,12 +653,45 @@ def cmd_export(args) -> int:
         )
     cfg = _make_cfg(args)
     cfg = _overlay_saved_model_config(cfg, args)
+    import jax
     import jax.numpy as jnp
 
     from . import serve
     from .train.trainer import Trainer
 
     trainer = Trainer(cfg, csv_path=args.csv)
+    if args.artifact == "ensemble":
+        # the ensemble-mean predictor (seed_search --save-best snapshot:
+        # a full member-stacked PiGanState under 'ensemble_best') — the
+        # measured best held-out predictor, exported as ONE artifact
+        if not args.ensemble_members:
+            raise SystemExit("--artifact ensemble needs --ensemble-members N")
+        if args.dtype == "int8":
+            raise SystemExit("int8 covers the single-model designer only")
+        from .parallel.ensemble import init_ensemble_states
+        from .train import checkpoint as ckpt_mod
+        from .train.state import make_optimizers
+
+        spe = max(1, trainer.ds.num_samples // cfg.train.batch_size)
+        g_tx, d_tx, _ = make_optimizers(cfg, spe)
+        template = init_ensemble_states(
+            trainer.generator, trainer.discriminator, trainer.forward_model,
+            g_tx, d_tx, args.ensemble_members, jax.random.PRNGKey(0),
+            spectrum_dim=trainer.ds.spectrum_dim,
+            param_dim=cfg.data.param_dim,
+        )
+        snap = ckpt_mod.restore_pytree(args.models, "ensemble_best", template)
+        f_vars = jax.tree.map(lambda x: x[0], snap.f).variables
+        os.makedirs(args.out, exist_ok=True)
+        path = serve.export_ensemble_inverse_design(
+            trainer.generator, trainer.forward_model,
+            snap.g.variables, f_vars, trainer.ds,
+            os.path.join(args.out, "ensemble_designer.stablehlo"),
+            batch_size=args.batch_size,
+            compute_dtype={"bfloat16": jnp.bfloat16}.get(args.dtype),
+        )
+        print(f"exported {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+        return 0
     trainer.load_final(args.models)
     st = trainer.pigan_state
     g_vars = st.g.variables
@@ -1038,7 +1071,12 @@ def build_parser() -> argparse.ArgumentParser:
     _base_parser(g)
     g.add_argument("--models", required=True, help="saved_models directory")
     g.add_argument("--artifact", default="all",
-                   choices=["all", "designer", "generator", "surrogate"])
+                   choices=["all", "designer", "generator", "surrogate",
+                            "ensemble"])
+    g.add_argument("--ensemble-members", type=int, default=None,
+                   help="--artifact ensemble: member count of the "
+                        "'ensemble_best' snapshot in --models "
+                        "(examples/seed_search.py --save-best)")
     g.add_argument("--out", default="exported")
     g.add_argument("--batch-size", type=int, default=8192)
     g.add_argument("--use-ema", action="store_true",

@@ -214,6 +214,55 @@ def export_inverse_design(
     return _save(jex.export(fn, platforms=_platforms(use_pallas))(spec), path)
 
 
+def make_ensemble_inverse_design_fn(
+    generator, forward_model, g_variables_stacked, f_variables,
+    ds: ThzDataset, compute_dtype=None,
+):
+    """Ensemble-MEAN serving: spectra (B, S) -> (params_phys, recon, metrics).
+
+    The measured best held-out predictor is the mean of N seed-ensemble
+    members' normalized predictions (0.9806 vs 0.9752 for the best single
+    member — RESULTS.md "Seed-search quality"; `parallel/ensemble.py
+    evaluate_ensemble_mean` is the scoring twin of this serving path).
+    ``g_variables_stacked`` carries a leading member axis on every leaf
+    (the layout `examples/seed_search.py --save-best` persists as
+    ``ensemble_best``); the member forward passes run as one vmap — N
+    small matmul chains batched on-device, not N dispatches."""
+    if compute_dtype is not None:
+        generator = generator.clone(dtype=compute_dtype)
+        forward_model = forward_model.clone(dtype=compute_dtype)
+
+    @jax.jit
+    def fn(spectra):
+        preds = jax.vmap(
+            lambda gv: generator.apply(gv, spectra, train=False)
+        )(g_variables_stacked)                     # (N, B, 4)
+        mean_norm = jnp.mean(preds.astype(jnp.float32), axis=0)
+        out = forward_model.apply(f_variables, mean_norm, train=False)
+        return (
+            denormalize_params(mean_norm, ds.param_lo, ds.param_hi),
+            out[0].astype(jnp.float32),
+            out[1].astype(jnp.float32),
+        )
+
+    return fn
+
+
+def export_ensemble_inverse_design(
+    generator, forward_model, g_variables_stacked, f_variables,
+    ds: ThzDataset, path: str, batch_size: int = 64, compute_dtype=None,
+) -> str:
+    """StableHLO artifact of the ensemble-mean cycle (weights baked in,
+    every platform) — makes the best-quality predictor deployable, not
+    just scorable."""
+    fn = make_ensemble_inverse_design_fn(
+        generator, forward_model, g_variables_stacked, f_variables, ds,
+        compute_dtype=compute_dtype,
+    )
+    spec = jax.ShapeDtypeStruct((batch_size, ds.spectrum_dim), jnp.float32)
+    return _save(jex.export(fn, platforms=_PLATFORMS)(spec), path)
+
+
 def load_exported(path: str):
     """Returns a callable running the exported StableHLO function."""
     with open(path, "rb") as fh:

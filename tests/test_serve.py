@@ -184,3 +184,86 @@ def test_bf16_exports_cover_generator_and_surrogate(models, small_ds, tmp_path):
                                atol=0.5)                # dB scale, bf16
     np.testing.assert_allclose(np.asarray(met), np.asarray(ref_met),
                                atol=0.05)
+
+
+def test_ensemble_mean_export_roundtrip(cfg, small_ds, tmp_path):
+    """The ensemble-mean predictor (the measured best held-out scorer)
+    exports as one StableHLO artifact whose output equals averaging the
+    member generators' normalized predictions in-process (round 5)."""
+    from pigan_thz_tpu.data.dataset import denormalize_params
+    from pigan_thz_tpu.parallel.ensemble import init_ensemble_states
+    from pigan_thz_tpu.serve import (
+        export_ensemble_inverse_design,
+        make_ensemble_inverse_design_fn,
+    )
+    from pigan_thz_tpu.train.state import make_optimizers
+
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, 4)
+    states = init_ensemble_states(
+        g, d, f, g_tx, d_tx, 3, jax.random.PRNGKey(5),
+        spectrum_dim=small_ds.spectrum_dim,
+    )
+    f_vars = jax.tree_util.tree_map(lambda x: x[0], states.f).variables
+    spectra = small_ds.spectra[:16]
+
+    fn = make_ensemble_inverse_design_fn(
+        g, f, states.g.variables, f_vars, small_ds
+    )
+    params_phys, recon, met = fn(spectra)
+    # oracle: mean of member predictions
+    preds = jnp.stack([
+        g.apply(jax.tree_util.tree_map(lambda x: x[m], states.g).variables,
+                spectra, train=False)
+        for m in range(3)
+    ])
+    expected = denormalize_params(
+        preds.mean(axis=0), small_ds.param_lo, small_ds.param_hi
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_phys), np.asarray(expected), atol=1e-5
+    )
+    assert recon.shape == (16, small_ds.spectrum_dim)
+
+    path = str(tmp_path / "ens.stablehlo")
+    export_ensemble_inverse_design(
+        g, f, states.g.variables, f_vars, small_ds, path, batch_size=16
+    )
+    out = load_exported(path)(spectra)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(params_phys), atol=1e-5
+    )
+
+
+def test_cli_export_ensemble(cfg, small_ds, tmp_path, monkeypatch):
+    """CLI: seed_search-style 'ensemble_best' snapshot -> one artifact."""
+    from pigan_thz_tpu.cli import main
+    from pigan_thz_tpu.parallel.ensemble import init_ensemble_states
+    from pigan_thz_tpu.train import checkpoint as ckpt
+    from pigan_thz_tpu.train.state import make_optimizers
+
+    g, d, f = build_trio(cfg)
+    g_tx, d_tx, _ = make_optimizers(cfg, 4)
+    states = init_ensemble_states(
+        g, d, f, g_tx, d_tx, 2, jax.random.PRNGKey(1),
+        spectrum_dim=small_ds.spectrum_dim,
+    )
+    models_dir = str(tmp_path / "models")
+    ckpt.save_pytree(models_dir, "ensemble_best", states)
+    out_dir = str(tmp_path / "exported")
+    rc = main([
+        "export", "--models", models_dir, "--artifact", "ensemble",
+        "--ensemble-members", "2", "--out", out_dir, "--batch-size", "8",
+        "--set", f"data.num_samples={small_ds.num_samples}",
+    ])
+    assert rc == 0
+    import os as _os
+
+    art = _os.path.join(out_dir, "ensemble_designer.stablehlo")
+    assert _os.path.exists(art)
+    out = load_exported(art)(small_ds.spectra[:8])
+    assert np.isfinite(np.asarray(out[0])).all()
+    # missing member count fails fast
+    with pytest.raises(SystemExit):
+        main(["export", "--models", models_dir, "--artifact", "ensemble",
+              "--out", out_dir])
