@@ -162,3 +162,34 @@ def test_reference_thz_txt_converts(tmp_path):
     # the sample's r1=40, r2=15, w=2.5 geometry rides through verbatim
     assert float(ds.params[0, 0]) == pytest.approx(40.0)
     assert np.isfinite(np.asarray(ds.spectra)).all()
+
+
+def test_parser_robust_to_junk_interleaving(tmp_path):
+    """Property fuzz: random comment/junk/blank lines interleaved between
+    data rows must not change the parsed blocks (CST exports in the wild
+    carry headers, units lines, and Windows line endings)."""
+    rng = np.random.default_rng(13)
+    blocks = _synthetic_blocks(2, n_points=120, seed=5)
+    clean = str(tmp_path / "clean.txt")
+    _write_cst(clean, blocks)
+    ref = parse_cst_export(clean)
+    junk_lines = [
+        "# a comment", "#---", '#"Frequency / THz" "S2,1"', "", "   ",
+        "not a number at all", "only_one_col",
+    ]
+    for trial in range(5):
+        lines = open(clean).read().splitlines()
+        out = []
+        for ln in lines:
+            out.append(ln)
+            if rng.random() < 0.3:
+                out.append(junk_lines[rng.integers(len(junk_lines))])
+        noisy = str(tmp_path / f"noisy{trial}.txt")
+        with open(noisy, "w") as fh:
+            fh.write("\r\n".join(out) if trial % 2 else "\n".join(out))
+        got = parse_cst_export(noisy)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert a.params == b.params
+            np.testing.assert_allclose(a.freq, b.freq, rtol=1e-12)
+            np.testing.assert_allclose(a.values, b.values, rtol=1e-12)
