@@ -144,6 +144,11 @@ def main() -> int:
             ckpt.save_final_trio(args.save_best, member_state)
         else:  # ensemble mean won: the predictor is all members together
             ckpt.save_pytree(args.save_best, "ensemble_best", snap)
+        # architectures + de/normalization bounds ride with the snapshot so
+        # `export --artifact ensemble` (and evaluate) rebuild/denormalize
+        # exactly as trained — cfg drift at export time would otherwise
+        # bake wrong physical bounds into the artifact silently
+        ckpt.save_model_config(args.save_best, cfg)
         out["saved_to"] = os.path.abspath(args.save_best)
     print(json.dumps(out), flush=True)
     return 0

@@ -664,21 +664,32 @@ def cmd_export(args) -> int:
         # the ensemble-mean predictor (seed_search --save-best snapshot:
         # a full member-stacked PiGanState under 'ensemble_best') — the
         # measured best held-out predictor, exported as ONE artifact
-        if not args.ensemble_members:
-            raise SystemExit("--artifact ensemble needs --ensemble-members N")
+        if not args.ensemble_members or args.ensemble_members < 1:
+            raise SystemExit("--artifact ensemble needs --ensemble-members N (>= 1)")
         if args.dtype == "int8":
             raise SystemExit("int8 covers the single-model designer only")
+        if args.use_ema or args.pallas:
+            raise SystemExit(
+                "--use-ema / --pallas are single-model options; the "
+                "ensemble artifact serves the members' live weights on "
+                "the XLA path"
+            )
         from .parallel.ensemble import init_ensemble_states
         from .train import checkpoint as ckpt_mod
         from .train.state import make_optimizers
 
         spe = max(1, trainer.ds.num_samples // cfg.train.batch_size)
         g_tx, d_tx, _ = make_optimizers(cfg, spe)
-        template = init_ensemble_states(
-            trainer.generator, trainer.discriminator, trainer.forward_model,
-            g_tx, d_tx, args.ensemble_members, jax.random.PRNGKey(0),
-            spectrum_dim=trainer.ds.spectrum_dim,
-            param_dim=cfg.data.param_dim,
+        # eval_shape: orbax only needs the shape/dtype tree — don't
+        # materialize N full states (real init programs) to discard them
+        template = jax.eval_shape(
+            lambda: init_ensemble_states(
+                trainer.generator, trainer.discriminator,
+                trainer.forward_model, g_tx, d_tx, args.ensemble_members,
+                jax.random.PRNGKey(0),
+                spectrum_dim=trainer.ds.spectrum_dim,
+                param_dim=cfg.data.param_dim,
+            )
         )
         snap = ckpt_mod.restore_pytree(args.models, "ensemble_best", template)
         f_vars = jax.tree.map(lambda x: x[0], snap.f).variables

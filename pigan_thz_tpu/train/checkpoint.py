@@ -47,6 +47,16 @@ def save_model_config(directory: str, config) -> None:
     sections = {
         k: d[k] for k in ("generator", "discriminator", "forward_model")
     }
+    # artifact-semantics data fields (round 5): the de/normalization
+    # bounds and grid BAKE INTO exported artifacts and evaluators — a
+    # consumer with a different param range would silently mis-scale
+    # physical parameters.  (num_samples etc. deliberately excluded: they
+    # are run-shape knobs, not artifact semantics.)
+    sections["data"] = {
+        k: d["data"][k]
+        for k in ("param_min", "param_max", "spectrum_dim",
+                  "freq_min", "freq_max")
+    }
     os.makedirs(os.path.abspath(directory), exist_ok=True)
     with open(_path(directory, MODEL_CONFIG), "w") as fh:
         json.dump(sections, fh, indent=2)
