@@ -61,7 +61,8 @@ def _make_trainer(args):
 
     cfg = default_config()  # 1000 samples, batch 64 -> spe=15 (the shape)
     cfg = cfg.replace(
-        train=dc.replace(cfg.train, num_epochs=args.total_epochs),
+        train=dc.replace(cfg.train, num_epochs=args.total_epochs,
+                         batch_size=args.batch),
         data=dc.replace(cfg.data, num_samples=args.num_samples),
     )
     return Trainer(cfg, epochs_per_call=25, megakernel=args.megakernel)
@@ -152,6 +153,7 @@ def supervise(args) -> int:
             "--fwd-epochs", str(args.fwd_epochs),
             "--total-epochs", str(args.total_epochs),
             "--num-samples", str(args.num_samples),
+            "--batch", str(args.batch),
             "--megakernel", args.megakernel,
         ] + (["--evaluate"] if last else []) + (["--cpu"] if args.cpu else [])
         line = None
@@ -211,6 +213,9 @@ def main() -> int:
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--num-samples", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="batch size (e.g. 512 to soak the scaled-batch "
+                         "recipe's kill/resume path)")
     ap.add_argument("--megakernel", default="auto",
                     choices=["auto", "off", "force"],
                     help="'force' lets the probe run interpreted off-TPU "
