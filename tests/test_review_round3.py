@@ -213,3 +213,30 @@ def test_warmup_cosine_schedule_shape():
     vals = np.array([float(sched(t)) for t in range(warm, total, 50)])
     assert (np.diff(vals) <= 1e-12).all()              # monotone decay
     assert float(sched(total)) == pytest.approx(lr * 0.01, rel=0.05)
+
+
+def test_model_config_carries_data_bounds(tmp_path):
+    """round 5: model_config.json records the artifact-semantics data
+    fields so export/evaluate rebuild the exact de/normalization bounds
+    (a cfg drift at export time would silently mis-scale physical
+    parameters)."""
+    import dataclasses
+
+    from pigan_thz_tpu import default_config
+    from pigan_thz_tpu.cli import _overlay_model_config_dir
+    from pigan_thz_tpu.train import checkpoint as ckpt
+
+    trained = default_config()
+    trained = trained.replace(
+        data=dataclasses.replace(trained.data, param_min=1.5, param_max=3.5)
+    )
+    ckpt.save_model_config(str(tmp_path), trained)
+    # a consumer with DEFAULT config adopts the saved bounds
+    merged = _overlay_model_config_dir(default_config(), str(tmp_path), [])
+    assert merged.data.param_min == pytest.approx(1.5)
+    assert merged.data.param_max == pytest.approx(3.5)
+    # explicit user --set for a data field still wins
+    merged2 = _overlay_model_config_dir(
+        default_config(), str(tmp_path), ["data.param_max=2.9"]
+    )
+    assert merged2.data.param_max == pytest.approx(2.9)
